@@ -1,0 +1,387 @@
+"""HDF5 MRI datasets and an XLA-friendly host-side batcher.
+
+Functional parity with reference: mridc/collections/common/data/mri_loader.py
+(``MRIDataset`` :47, ``et_query`` :20, ``_retrieve_metadata`` :204,
+``get_consecutive_slices`` :272) and
+mridc/collections/reconstruction/data/mri_reconstruction_loader.py
+(``ReconstructionMRIDataset.__getitem__`` :108 incl. cc359 / stanford_knees
+dataset formats).
+
+TPU-first deviations:
+  - no torch DataLoader: a plain numpy batcher that **pads every sample to a
+    static bucket shape** (coils, h, w) so the jitted device step sees one
+    shape. The reference tolerates per-file dynamic shapes; XLA cannot.
+  - samples carry a ``sample_weight``/pad masks so padded regions cannot poison
+    losses or metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import re
+import xml.etree.ElementTree as ET
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import h5py
+import numpy as np
+
+__all__ = ["et_query", "MRIDataset", "ReconstructionMRIDataset", "BatchLoader"]
+
+
+def et_query(root, qlist: Sequence[str], namespace: str = "https://www.ismrm.org/ISMRMRD") -> str:
+    """Query an ISMRMRD XML header element chain; '0' if absent (reference :20-45)."""
+    s = "."
+    prefix = "ismrmrd_namespace"
+    ns = {prefix: namespace}
+    for el in qlist:
+        s += f"//{prefix}:{el}"
+    value = root.find(s, ns)
+    return "0" if value is None else str(value.text)
+
+
+def is_none(x) -> bool:
+    return x is None or str(x).lower() == "none"
+
+
+class MRIDataset:
+    """Base dataset: scans a directory (or JSON file list) of h5 volumes into
+    per-slice examples with ISMRMRD metadata (reference mri_loader.py:47-271)."""
+
+    def __init__(
+        self,
+        root: Union[str, Path, os.PathLike],
+        coil_sensitivity_maps_root=None,
+        mask_root=None,
+        dataset_format: Optional[str] = None,
+        sample_rate: Optional[float] = None,
+        volume_sample_rate: Optional[float] = None,
+        use_dataset_cache: bool = False,
+        dataset_cache_file=None,
+        num_cols: Optional[Tuple[int]] = None,
+        consecutive_slices: int = 1,
+        data_saved_per_slice: bool = False,
+        n2r_supervised_rate: float = 0.0,
+        transform: Optional[Callable] = None,
+        **kwargs,
+    ):
+        self.coil_sensitivity_maps_root = coil_sensitivity_maps_root
+        self.mask_root = mask_root
+        self.dataset_format = dataset_format
+
+        if not is_none(sample_rate) and not is_none(volume_sample_rate):
+            raise ValueError("Set only one of sample_rate / volume_sample_rate.")
+        sample_rate = 1.0 if is_none(sample_rate) else float(sample_rate)
+        volume_sample_rate = 1.0 if is_none(volume_sample_rate) else float(volume_sample_rate)
+
+        if consecutive_slices < 1:
+            raise ValueError(f"Consecutive slices {consecutive_slices} is out of range, must be > 0.")
+        self.consecutive_slices = consecutive_slices
+        self.transform = transform
+        self.data_saved_per_slice = data_saved_per_slice
+        self.recons_key = "reconstruction"
+        self.examples: List[Tuple[Path, int, Dict]] = []
+
+        if str(root).endswith(".json"):
+            with open(root, "r", encoding="utf-8") as f:
+                files = [Path(ex) for ex in json.load(f)]
+        else:
+            files = list(Path(root).iterdir())
+
+        n2r_supervised_files: List[Path] = []
+        if n2r_supervised_rate:
+            n2r_supervised_files = random.sample(files, int(np.round(n2r_supervised_rate * len(files))))
+
+        for fname in sorted(files):
+            metadata, num_slices = self._retrieve_metadata(fname)
+            metadata["n2r_supervised"] = bool(n2r_supervised_rate) and fname in n2r_supervised_files
+            num_slices = num_slices - (consecutive_slices - 1)
+            self.examples += [(fname, s, metadata) for s in range(num_slices)]
+
+        if sample_rate < 1.0:
+            random.shuffle(self.examples)
+            self.examples = self.examples[: round(len(self.examples) * sample_rate)]
+        elif volume_sample_rate < 1.0:
+            vol_names = sorted({f[0].stem for f in self.examples})
+            random.shuffle(vol_names)
+            sampled = set(vol_names[: round(len(vol_names) * volume_sample_rate)])
+            self.examples = [ex for ex in self.examples if ex[0].stem in sampled]
+
+        if num_cols and not is_none(num_cols):
+            self.examples = [ex for ex in self.examples if ex[2]["encoding_size"][1] in num_cols]
+
+    def _retrieve_metadata(self, fname) -> Tuple[Dict, int]:
+        with h5py.File(fname, "r") as hf:
+            if "ismrmrd_header" in hf:
+                et_root = ET.fromstring(hf["ismrmrd_header"][()])
+                enc = ["encoding", "encodedSpace", "matrixSize"]
+                enc_size = tuple(int(et_query(et_root, enc + [d])) for d in "xyz")
+                rec = ["encoding", "reconSpace", "matrixSize"]
+                recon_size = tuple(int(et_query(et_root, rec + [d])) for d in "xyz")
+                params = ["encoding", "encodingLimits", "kspace_encoding_step_1"]
+                enc_limits_center = int(et_query(et_root, params + ["center"]))
+                enc_limits_max = int(et_query(et_root, params + ["maximum"])) + 1
+                padding_left = enc_size[1] // 2 - enc_limits_center
+                padding_right = padding_left + enc_limits_max
+            else:
+                padding_left, padding_right = 0, 0
+                enc_size, recon_size = (0, 0, 0), (0, 0, 0)
+
+            if "kspace" in hf:
+                shape = hf["kspace"].shape
+            elif "ksp" in hf:
+                shape = hf["ksp"].shape
+            elif "reconstruction" in hf:
+                shape = hf["reconstruction"].shape
+            else:
+                raise ValueError(f"{fname} does not contain kspace or reconstruction data.")
+
+        num_slices = 1 if self.data_saved_per_slice else shape[0]
+        return (
+            {
+                "padding_left": padding_left,
+                "padding_right": padding_right,
+                "encoding_size": enc_size,
+                "recon_size": recon_size,
+            },
+            num_slices,
+        )
+
+    def get_consecutive_slices(self, data, key: str, dataslice: int) -> np.ndarray:
+        """Index one slice, or a [consecutive_slices, ...] stack (reference :272-330)."""
+        x = data[key]
+        if self.data_saved_per_slice:
+            x = np.expand_dims(x, axis=0)
+        if self.consecutive_slices == 1:
+            if x.shape[0] == 1:
+                return x[0]
+            if x.ndim != 2:
+                return x[dataslice]
+            return np.asarray(x)
+        num_slices = x.shape[0]
+        if self.consecutive_slices > num_slices:
+            return np.stack(x, axis=0)
+        end = min(dataslice + self.consecutive_slices, num_slices)
+        return x[dataslice:end]
+
+    def __len__(self):
+        return len(self.examples)
+
+    def __getitem__(self, i: int):
+        raise NotImplementedError
+
+
+class ReconstructionMRIDataset(MRIDataset):
+    """Accelerated-reconstruction dataset (reference mri_reconstruction_loader.py:18-168)."""
+
+    def __getitem__(self, i: int):
+        fname, dataslice, metadata = self.examples[i]
+        with h5py.File(fname, "r") as hf:
+            kspace = self.get_consecutive_slices(hf, "kspace", dataslice).astype(np.complex64)
+
+            if self.dataset_format is not None and str(self.dataset_format).lower() == "cc359":
+                kspace = np.transpose(kspace[..., ::2] + 1j * kspace[..., 1::2], (2, 0, 1))
+
+            if "sensitivity_map" in hf:
+                sensitivity_map = self.get_consecutive_slices(hf, "sensitivity_map", dataslice).astype(np.complex64)
+            elif "maps" in hf:
+                sensitivity_map = self.get_consecutive_slices(hf, "maps", dataslice).astype(np.complex64)
+            elif not is_none(self.coil_sensitivity_maps_root):
+                with h5py.File(Path(self.coil_sensitivity_maps_root) / Path(fname).name, "r") as sf:
+                    sensitivity_map = (
+                        self.get_consecutive_slices(sf, "sensitivity_map", dataslice).squeeze().astype(np.complex64)
+                    )
+            else:
+                sensitivity_map = np.array([])
+
+            if "mask" in hf:
+                mask = np.asarray(self.get_consecutive_slices(hf, "mask", dataslice))
+                if mask.ndim == 3:
+                    mask = mask[dataslice]
+            elif not is_none(self.mask_root):
+                with h5py.File(Path(self.mask_root) / Path(fname).name, "r") as mf:
+                    if str(self.dataset_format).lower() == "cc359":
+                        mask = [np.asarray(self.get_consecutive_slices(mf, k, dataslice)) for k in mf.keys()]
+                    else:
+                        mask = np.asarray(self.get_consecutive_slices(mf, "mask", dataslice))
+            else:
+                mask = None
+
+            prediction = (
+                self.get_consecutive_slices(hf, "eta", dataslice).astype(np.complex64)
+                if "eta" in hf
+                else np.array([])
+            )
+
+            rkey = re.findall(r"reconstruction_(.*)", str(list(hf.keys())))
+            recons_key = "reconstruction_" + rkey[0] if rkey else "target"
+            if "reconstruction_rss" in str(list(hf.keys())):
+                recons_key = "reconstruction_rss"
+            elif "reconstruction_sense" in hf:
+                recons_key = "reconstruction_sense"
+            target = self.get_consecutive_slices(hf, recons_key, dataslice) if recons_key in hf else None
+
+            attrs = dict(hf.attrs)
+            attrs.update(metadata)
+
+        if str(self.dataset_format).lower() == "stanford_knees":
+            kspace = np.transpose(kspace, (2, 0, 1))
+            sensitivity_map = np.transpose(np.squeeze(sensitivity_map), (2, 0, 1))
+            target = np.squeeze(target)
+
+        if sensitivity_map.ndim > 1 and sensitivity_map.shape != kspace.shape:
+            if sensitivity_map.ndim == 3:
+                sensitivity_map = np.transpose(sensitivity_map, (2, 0, 1))
+            elif sensitivity_map.ndim == 4:
+                sensitivity_map = np.transpose(sensitivity_map, (0, 3, 1, 2))
+
+        if self.transform is not None:
+            return self.transform(
+                kspace, sensitivity_map, mask, prediction, target, attrs, str(Path(fname).name), dataslice
+            )
+        return kspace, sensitivity_map, mask, prediction, target, attrs, str(Path(fname).name), dataslice
+
+
+def _pad_to(x: np.ndarray, shape: Sequence[int]) -> np.ndarray:
+    """Zero-pad trailing dims of ``x`` up to ``shape`` (center-aligned spatially)."""
+    pads = []
+    for dim, target in zip(x.shape, shape):
+        extra = max(int(target) - dim, 0)
+        pads.append((extra // 2, extra - extra // 2))
+    return np.pad(x, pads, mode="constant")
+
+
+class BatchLoader:
+    """Minimal host-side batcher producing static-shape numpy batches.
+
+    Every sample's (coils, h, w) is zero-padded to the bucket shape computed
+    from the dataset (or given explicitly), and each batch carries:
+      ``kspace, masked_kspace, sensitivity_maps, mask, initial_prediction,
+      target, fname, slice_idx, acceleration, attrs``
+    mirroring the reference 10-tuple, stacked over the batch axis.
+
+    Per-sample *random acceleration choice* happens here (one of the mask list
+    entries), so the jitted step stays pure (reference does it inside
+    training_step, reconstruction/nn/base.py:289-340).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        seed: int = 0,
+        pad_shape: Optional[Tuple[int, int, int]] = None,
+        drop_last: bool = False,
+        select_acceleration: str = "random",  # or "first"
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+        self.select_acceleration = select_acceleration
+        self.pad_shape = pad_shape
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _select(self, masked_kspace, mask, acc, prediction):
+        """Pick one acceleration choice from the per-sample lists."""
+        n2r_pair = None
+        if (
+            isinstance(masked_kspace, list)
+            and len(masked_kspace) == 2
+            and isinstance(masked_kspace[0], list)
+        ):  # n2r: [masked_list, n2r_masked_list]
+            n2r_pair = (masked_kspace[1], mask[1])
+            masked_kspace, mask = masked_kspace[0], mask[0]
+
+        if isinstance(masked_kspace, list):
+            if len(masked_kspace) > 1 and self.select_acceleration == "random":
+                r = int(self.rng.randint(len(masked_kspace)))
+            else:
+                r = 0
+            masked_kspace = masked_kspace[r]
+            mask = mask[r]
+            acc = acc[r] if isinstance(acc, (list, tuple)) else acc
+            if isinstance(prediction, list) and len(prediction) and isinstance(prediction[0], np.ndarray):
+                prediction = prediction[r] if len(prediction) > r else prediction[0]
+        else:
+            r = 0
+        return masked_kspace, mask, acc, prediction, r, n2r_pair
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batch = []
+        for idx in order:
+            batch.append(self.dataset[int(idx)])
+            if len(batch) == self.batch_size:
+                yield self._collate(batch)
+                batch = []
+        if batch and not self.drop_last:
+            yield self._collate(batch)
+
+    def _collate(self, samples):
+        ks, mks, sens, msks, preds, tgts, fnames, sidx, accs, attrs = [], [], [], [], [], [], [], [], [], []
+        for s in samples:
+            kspace, masked_kspace, sensitivity_map, mask, prediction, target, fname, slice_idx, acc, attr = s
+            masked_kspace, mask, acc, prediction, r, _ = self._select(masked_kspace, mask, acc, prediction)
+            if isinstance(kspace, list):
+                kspace = kspace[r]
+            # SSDU: mask entry is [train, loss]
+            if isinstance(mask, list):
+                mask = np.stack([np.asarray(m, np.float32) for m in mask], 0)
+            ks.append(kspace)
+            mks.append(masked_kspace)
+            sens.append(sensitivity_map)
+            msks.append(np.asarray(mask, np.float32))
+            preds.append(prediction)
+            tgts.append(target)
+            fnames.append(fname)
+            sidx.append(slice_idx)
+            accs.append(float(acc))
+            attrs.append(attr)
+
+        if self.pad_shape is not None:
+            tgt_shape = self.pad_shape
+        else:
+            coils = max(x.shape[0] for x in ks)
+            h = max(x.shape[-2] for x in ks)
+            w = max(x.shape[-1] for x in ks)
+            tgt_shape = (coils, h, w)
+
+        def stack_c(xs):
+            return np.stack([_pad_to(np.asarray(x), tgt_shape) for x in xs], 0)
+
+        spatial = tgt_shape[-2:]
+        def pad_mask(m):
+            # singleton axes broadcast — only pad non-singleton spatial dims
+            m = np.asarray(m, np.float32)
+            target = tuple(m.shape[:-2]) + tuple(
+                t if s > 1 else 1 for s, t in zip(m.shape[-2:], spatial)
+            )
+            return _pad_to(m, target)
+
+        masks = np.stack([pad_mask(m) for m in msks], 0)
+        return {
+            "kspace": stack_c(ks).astype(np.complex64),
+            "masked_kspace": stack_c(mks).astype(np.complex64),
+            "sensitivity_maps": stack_c(sens).astype(np.complex64),
+            "mask": masks,
+            "initial_prediction": np.stack([_pad_to(np.asarray(p), spatial) for p in preds], 0).astype(
+                np.complex64
+            ),
+            "target": np.stack([_pad_to(np.asarray(t), spatial) for t in tgts], 0),
+            "fname": fnames,
+            "slice_idx": np.asarray(sidx, np.int32),
+            "acceleration": np.asarray(accs, np.float32),
+            "attrs": attrs,
+        }

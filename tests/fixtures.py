@@ -1,0 +1,57 @@
+"""Synthetic fastMRI-style dataset fixture.
+
+Plays the role of the reference's mock-data generator
+(reference: tests/collections/reconstruction/fastmri/create_temp_data.py:10-104):
+writes real h5 volumes with random complex kspace, RSS targets and smooth coil
+sensitivities, so the full loader->transform->model path runs without real data.
+"""
+
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+
+def make_phantom_volume(rng, slices=3, coils=4, h=64, w=64):
+    """Smooth phantom + synthetic coil sensitivities -> (kspace, sens, rss)."""
+    yy, xx = np.mgrid[:h, :w]
+    img = np.zeros((slices, h, w), np.complex64)
+    for s in range(slices):
+        cx, cy = h / 2 + 3 * s, w / 2 - 2 * s
+        img[s] = (
+            np.exp(-(((yy - cx) ** 2 + (xx - cy) ** 2) / (0.08 * h * w)))
+            + 0.5 * np.exp(-(((yy - cx / 2) ** 2 + (xx - cy / 2) ** 2) / (0.02 * h * w)))
+        ).astype(np.complex64)
+    phases = [np.exp(1j * 2 * np.pi * (c * xx / w + c * yy / (2 * h))) for c in range(coils)]
+    mags = [np.exp(-(((yy - h * (c + 1) / (coils + 1)) ** 2) / (h * w))) + 0.5 for c in range(coils)]
+    sens = np.stack([m * p for m, p in zip(mags, phases)]).astype(np.complex64)
+    sens = sens / np.sqrt((np.abs(sens) ** 2).sum(0, keepdims=True))
+    coil_imgs = img[:, None] * sens[None]
+    coil_imgs = coil_imgs + 0.01 * (
+        rng.standard_normal(coil_imgs.shape) + 1j * rng.standard_normal(coil_imgs.shape)
+    ).astype(np.complex64)
+    kspace = np.fft.fftshift(
+        np.fft.fftn(np.fft.ifftshift(coil_imgs, axes=(-2, -1)), axes=(-2, -1), norm="ortho"),
+        axes=(-2, -1),
+    ).astype(np.complex64)
+    rss = np.sqrt((np.abs(coil_imgs) ** 2).sum(1)).astype(np.float32)
+    return kspace, np.tile(sens[None], (slices, 1, 1, 1)), rss
+
+
+def create_dataset(root: Path, n_files=2, slices=3, coils=4, h=64, w=64, with_sens=True, seed=0):
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    files = []
+    for i in range(n_files):
+        kspace, sens, rss = make_phantom_volume(rng, slices, coils, h, w)
+        fname = root / f"file_{i}.h5"
+        with h5py.File(fname, "w") as hf:
+            hf.create_dataset("kspace", data=kspace)
+            if with_sens:
+                hf.create_dataset("sensitivity_map", data=sens)
+            hf.create_dataset("reconstruction_rss", data=rss)
+            hf.attrs["max"] = float(rss.max())
+            hf.attrs["norm"] = float(np.linalg.norm(rss))
+        files.append(fname)
+    return files
