@@ -1,0 +1,71 @@
+"""Reconstruction-model base: shared config fields and output container.
+
+Plays the role of reference mridc/collections/reconstruction/nn/base.py's
+``BaseMRIReconstructionModel`` *module* side (the training/eval step logic
+lives in :mod:`mridc_tpu.train.trainer`, keeping modules pure functions).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax.numpy as jnp
+
+from mridc_tpu.nn.dc import sens_reduce
+from mridc_tpu.ops.complex import coil_combination
+
+__all__ = ["ModelOutput", "BaseReconModel", "expand_mask"]
+
+
+@flax.struct.dataclass
+class ModelOutput:
+    """prediction: final complex image [B, H, W].
+    intermediates: optional stacked per-step predictions [..., B, H, W] used by
+    logspace-weighted losses (CIRIM/CRNN accumulate_predictions semantics)."""
+
+    prediction: jnp.ndarray
+    intermediates: Optional[jnp.ndarray] = None
+
+
+def expand_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Ensure a mask broadcastable to [B, C, H, W] (adds the coil axis)."""
+    if mask.ndim == 3:  # [B, H, W] or [B, 1, W]
+        mask = mask[:, None]
+    return mask
+
+
+class BaseReconModel(nn.Module):
+    """Common config fields; subclasses implement ``__call__(y, sens, mask,
+    init_pred=None, train=False) -> ModelOutput``.
+
+    Inputs (native complex):
+      y [B, C, H, W] complex64 — masked k-space
+      sens [B, C, H, W] complex64
+      mask broadcastable to y (float)
+      init_pred [B, H, W] complex64 or None
+    """
+
+    fft_centered: bool = False
+    fft_normalization: str = "backward"
+    spatial_dims: Sequence[int] = (-2, -1)
+    coil_dim: int = 1
+    coil_combination_method: str = "SENSE"
+
+    def zero_filled(self, y: jnp.ndarray, sens: jnp.ndarray) -> jnp.ndarray:
+        """SENSE/RSS combine of the zero-filled reconstruction."""
+        from mridc_tpu.ops.fft import ifft2
+
+        img = ifft2(y, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        return coil_combination(img, sens, self.coil_combination_method, self.coil_dim)
+
+    def sense_init(self, y: jnp.ndarray, sens: jnp.ndarray) -> jnp.ndarray:
+        return sens_reduce(
+            y, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
+        )
+
+    @staticmethod
+    def pick(cfg: Dict[str, Any], key: str, default=None):
+        v = cfg.get(key, default)
+        return default if v is None else v

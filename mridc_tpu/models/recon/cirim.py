@@ -1,0 +1,98 @@
+"""Cascades of Independently Recurrent Inference Machines — the flagship model.
+
+Functional parity with reference:
+mridc/collections/reconstruction/nn/cirim.py:21 (cascade loop :110-127,
+generator semantics replaced by stacked scan outputs) and
+rim/rim_block.py:12. The per-cascade hidden state resets (the reference passes
+``hx=None`` into every cascade, cirim.py:108-121); with ``no_dc`` (default) the
+estimate flows through cascades in image space.
+
+TPU design: time steps run under `lax.scan` (one trace of the conv/GRU stack);
+cascades are separate-weight blocks in a python loop; all FFTs are native
+complex XLA TPU FFTs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
+from mridc_tpu.nn.rim import RIMBlock
+
+__all__ = ["CIRIM"]
+
+
+class CIRIM(BaseReconModel):
+    recurrent_layer: str = "IndRNN"
+    conv_filters: Sequence[int] = (64, 64, 2)
+    conv_kernels: Sequence[int] = (5, 3, 3)
+    conv_dilations: Sequence[int] = (1, 2, 1)
+    conv_bias: Sequence[bool] = (True, True, False)
+    recurrent_filters: Sequence[int] = (64, 64, 0)
+    recurrent_kernels: Sequence[int] = (1, 1, 0)
+    recurrent_dilations: Sequence[int] = (1, 1, 0)
+    recurrent_bias: Sequence[bool] = (True, True, False)
+    depth: int = 2
+    time_steps: int = 8
+    num_cascades: int = 5
+    no_dc: bool = True
+    keep_prediction: bool = True
+
+    @classmethod
+    def from_config(cls, cfg):
+        time_steps = 8 * math.ceil(cfg.get("time_steps", 8) / 8)
+        return cls(
+            recurrent_layer=cfg.get("recurrent_layer", "IndRNN"),
+            conv_filters=tuple(cfg.get("conv_filters", (64, 64, 2))),
+            conv_kernels=tuple(cfg.get("conv_kernels", (5, 3, 3))),
+            conv_dilations=tuple(cfg.get("conv_dilations", (1, 2, 1))),
+            conv_bias=tuple(cfg.get("conv_bias", (True, True, False))),
+            recurrent_filters=tuple(cfg.get("recurrent_filters", (64, 64, 0))),
+            recurrent_kernels=tuple(cfg.get("recurrent_kernels", (1, 1, 0))),
+            recurrent_dilations=tuple(cfg.get("recurrent_dilations", (1, 1, 0))),
+            recurrent_bias=tuple(cfg.get("recurrent_bias", (True, True, False))),
+            depth=cfg.get("depth", 2),
+            time_steps=time_steps,
+            num_cascades=cfg.get("num_cascades", 5),
+            no_dc=cfg.get("no_dc", True),
+            keep_prediction=cfg.get("keep_prediction", cfg.get("keep_eta", True)),
+            fft_centered=cfg.get("fft_centered", False),
+            fft_normalization=cfg.get("fft_normalization", "backward"),
+            spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
+            coil_dim=cfg.get("coil_dim", 1),
+            coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
+        )
+
+    @nn.compact
+    def __call__(self, y, sens, mask, init_pred=None, train: bool = False) -> ModelOutput:
+        del train
+        mask = expand_mask(mask)
+        eta = init_pred if (init_pred is not None and init_pred.ndim >= 3) else None
+        all_etas = []
+        for i in range(self.num_cascades):
+            block = RIMBlock(
+                recurrent_layer=self.recurrent_layer,
+                conv_filters=self.conv_filters,
+                conv_kernels=self.conv_kernels,
+                conv_dilations=self.conv_dilations,
+                conv_bias=self.conv_bias,
+                recurrent_filters=self.recurrent_filters,
+                recurrent_kernels=self.recurrent_kernels,
+                recurrent_dilations=self.recurrent_dilations,
+                recurrent_bias=self.recurrent_bias,
+                time_steps=self.time_steps,
+                no_dc=self.no_dc,
+                fft_centered=self.fft_centered,
+                fft_normalization=self.fft_normalization,
+                spatial_dims=self.spatial_dims,
+                coil_dim=self.coil_dim,
+            )
+            etas, eta_final = block(y, sens, mask, eta=eta)
+            all_etas.append(etas)  # [T, B, H, W]
+            eta = eta_final if self.keep_prediction else None
+        intermediates = jnp.stack(all_etas, axis=0)  # [cascades, T, B, H, W]
+        return ModelOutput(prediction=intermediates[-1, -1], intermediates=intermediates)

@@ -1,0 +1,62 @@
+"""Model registry: name -> builder (reference: the if/elif dispatch in
+mridc/launch.py:58-127 and mridc/cli/launch.py:81-156, collapsed into a dict).
+
+Accepts both spelling variants the reference entry points use.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+__all__ = ["MODEL_REGISTRY", "register_model", "build_model", "available_models"]
+
+MODEL_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(*names: str):
+    def deco(builder):
+        for n in names:
+            MODEL_REGISTRY[n.upper()] = builder
+        return builder
+
+    return deco
+
+
+def _register_defaults():
+    from mridc_tpu.models import recon
+
+    entries = [
+        (("ZF",), recon.ZF),
+        (("UNET", "UNet"), recon.UNet),
+        (("CASCADENET", "CCNN"), recon.CascadeNet),
+        (("CRNNET", "CRNN"), recon.CRNNet),
+        (("CIRIM",), recon.CIRIM),
+        (("VN", "VARNET", "E2EVN"), recon.VarNet),
+    ]
+    for names, cls in entries:
+        for n in names:
+            MODEL_REGISTRY[n.upper()] = cls.from_config
+
+
+_defaults_loaded = False
+
+
+def _ensure_defaults():
+    global _defaults_loaded
+    if not _defaults_loaded:
+        _register_defaults()
+        _defaults_loaded = True
+
+
+def build_model(cfg: Dict[str, Any]):
+    """Build a model module from a config dict with a ``model_name`` key."""
+    _ensure_defaults()
+    name = str(cfg.get("model_name", "")).upper()
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"Unknown model_name {name!r}. Available: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](cfg)
+
+
+def available_models():
+    _ensure_defaults()
+    return sorted(MODEL_REGISTRY)

@@ -1,0 +1,159 @@
+"""Recurrent Inference Machine block with a `lax.scan` over time steps.
+
+Functional parity with reference:
+mridc/collections/reconstruction/nn/rim/rim_block.py:12 (``RIMBlock`` — the
+time-step loop at :248-283 becomes a single `nn.scan`, so the conv/GRU stack is
+traced once and XLA pipelines the unroll), rim/conv_layers.py (``ConvRNNStack``
+:10), rim/rnn_cells.py (cells).
+
+Layout: the image estimate ``eta`` stays native complex [B, H, W]; hidden
+states are real [B, H, W, F] NHWC feeding the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mridc_tpu.nn.dc import log_likelihood_gradient, sens_expand, sens_reduce, soft_dc
+from mridc_tpu.nn.layers import ConvNonlinear, channels_to_complex
+from mridc_tpu.nn.rnn_cells import make_cell
+
+__all__ = ["RIMBlock"]
+
+
+class _RIMStep(nn.Module):
+    """One RIM time step: likelihood gradient -> conv/RNN stack -> delta-eta."""
+
+    recurrent_layer: str = "IndRNN"
+    conv_filters: Sequence[int] = (64, 64, 2)
+    conv_kernels: Sequence[int] = (5, 3, 3)
+    conv_dilations: Sequence[int] = (1, 2, 1)
+    conv_bias: Sequence[bool] = (True, True, False)
+    recurrent_filters: Sequence[int] = (64, 64, 0)
+    recurrent_kernels: Sequence[int] = (1, 1, 0)
+    recurrent_dilations: Sequence[int] = (1, 1, 0)
+    recurrent_bias: Sequence[bool] = (True, True, False)
+    fft_centered: bool = False
+    fft_normalization: str = "backward"
+    spatial_dims: Sequence[int] = (-2, -1)
+    coil_dim: int = 1
+
+    @nn.compact
+    def __call__(self, carry, _, y, sens, mask, sigma):
+        eta, hx = carry
+        x = log_likelihood_gradient(
+            eta,
+            y,
+            sens,
+            mask,
+            sigma=sigma,
+            fft_centered=self.fft_centered,
+            fft_normalization=self.fft_normalization,
+            spatial_dims=self.spatial_dims,
+            coil_dim=self.coil_dim,
+        )
+        new_hx = []
+        nonlinears = ["relu", "relu", None]
+        h_idx = 0
+        final = None
+        for cf, ck, cd, cb, rf, rk, rd, rb, nl in zip(
+            self.conv_filters,
+            self.conv_kernels,
+            self.conv_dilations,
+            self.conv_bias,
+            self.recurrent_filters,
+            self.recurrent_kernels,
+            self.recurrent_dilations,
+            self.recurrent_bias,
+            nonlinears,
+        ):
+            conv = ConvNonlinear(cf, ck, cd, cb, nl) if cf != 0 else None
+            if rf != 0 and nl is not None:
+                x = conv(x)
+                cell = make_cell(self.recurrent_layer, rf, rk, rd, rb)
+                x = cell(x, hx[h_idx])
+                new_hx.append(x)
+                h_idx += 1
+            else:
+                final = conv
+        dx = final(x)  # [B, H, W, 2]
+        eta = eta + channels_to_complex(dx)
+        return (eta, tuple(new_hx)), eta
+
+
+class RIMBlock(nn.Module):
+    """Cascade block: `time_steps` RIM updates via scan, optional soft DC."""
+
+    recurrent_layer: str = "IndRNN"
+    conv_filters: Sequence[int] = (64, 64, 2)
+    conv_kernels: Sequence[int] = (5, 3, 3)
+    conv_dilations: Sequence[int] = (1, 2, 1)
+    conv_bias: Sequence[bool] = (True, True, False)
+    recurrent_filters: Sequence[int] = (64, 64, 0)
+    recurrent_kernels: Sequence[int] = (1, 1, 0)
+    recurrent_dilations: Sequence[int] = (1, 1, 0)
+    recurrent_bias: Sequence[bool] = (True, True, False)
+    time_steps: int = 8
+    no_dc: bool = True
+    fft_centered: bool = False
+    fft_normalization: str = "backward"
+    spatial_dims: Sequence[int] = (-2, -1)
+    coil_dim: int = 1
+
+    @nn.compact
+    def __call__(
+        self,
+        y: jnp.ndarray,
+        sens: jnp.ndarray,
+        mask: jnp.ndarray,
+        eta: Optional[jnp.ndarray] = None,
+        sigma: float = 1.0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (etas [T, B, H, W] complex, final_eta [B, H, W])."""
+        if eta is None:
+            eta = sens_reduce(
+                y, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
+            )
+        b, h, w = eta.shape
+        hx = tuple(
+            jnp.zeros((b, h, w, f), jnp.float32) for f in self.recurrent_filters if f != 0
+        )
+
+        scan = nn.scan(
+            _RIMStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=self.time_steps,
+        )(
+            recurrent_layer=self.recurrent_layer,
+            conv_filters=self.conv_filters,
+            conv_kernels=self.conv_kernels,
+            conv_dilations=self.conv_dilations,
+            conv_bias=self.conv_bias,
+            recurrent_filters=self.recurrent_filters,
+            recurrent_kernels=self.recurrent_kernels,
+            recurrent_dilations=self.recurrent_dilations,
+            recurrent_bias=self.recurrent_bias,
+            fft_centered=self.fft_centered,
+            fft_normalization=self.fft_normalization,
+            spatial_dims=self.spatial_dims,
+            coil_dim=self.coil_dim,
+        )
+        (eta, _), etas = scan((eta, hx), None, y, sens, mask, sigma)
+
+        if self.no_dc:
+            return etas, eta
+
+        # soft-DC variant: project each eta back to k-space with learned weight
+        dc_weight = self.param("dc_weight", nn.initializers.ones, (1,))
+        pred_k = sens_expand(eta, sens, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        current_kspace = y - soft_dc(pred_k, y, mask, dc_weight) - pred_k
+        eta_dc = sens_reduce(
+            current_kspace, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
+        )
+        return etas, eta_dc

@@ -1,0 +1,110 @@
+"""Model-zoo shape tests (reference style: parametrize over config dicts,
+build via the registry, forward, check output spatial shape —
+tests/collections/reconstruction/models/test_*.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mridc_tpu.models import available_models, build_model
+from mridc_tpu.nn.sens import SensitivityModel
+
+
+B, C, H, W = 1, 3, 32, 32
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    y = (rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64)
+    sens = (rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64)
+    sens = sens / np.sqrt((np.abs(sens) ** 2).sum(1, keepdims=True))
+    mask = (rng.random((B, 1, H, W)) < 0.4).astype(np.float32)
+    return jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask)
+
+
+COMMON = {
+    "fft_centered": True,
+    "fft_normalization": "ortho",
+    "spatial_dims": (-2, -1),
+    "coil_dim": 1,
+    "coil_combination_method": "SENSE",
+}
+
+
+CONFIGS = [
+    {"model_name": "ZF", **COMMON},
+    {"model_name": "UNet", "channels": 8, "pooling_layers": 2, **COMMON},
+    {"model_name": "CCNN", "num_cascades": 2, "hidden_channels": 8, "n_convs": 2, **COMMON},
+    {"model_name": "CRNN", "num_iterations": 3, "hidden_channels": 8, "n_convs": 2, **COMMON},
+    {
+        "model_name": "CIRIM",
+        "num_cascades": 2,
+        "time_steps": 8,
+        "recurrent_layer": "IndRNN",
+        "conv_filters": [16, 16, 2],
+        "recurrent_filters": [16, 16, 0],
+        **COMMON,
+    },
+    {"model_name": "VN", "num_cascades": 2, "channels": 4, "pooling_layers": 2, **COMMON},
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: c["model_name"])
+def test_forward_shapes(cfg):
+    y, sens, mask = _inputs()
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+    out = model.apply(variables, y, sens, mask)
+    assert out.prediction.shape == (B, H, W)
+    assert jnp.iscomplexobj(out.prediction)
+    assert bool(jnp.isfinite(jnp.abs(out.prediction)).all())
+
+
+def test_cirim_intermediates_shape():
+    cfg = CONFIGS[4]
+    y, sens, mask = _inputs()
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+    out = model.apply(variables, y, sens, mask)
+    assert out.intermediates.shape == (2, 8, B, H, W)
+    # last intermediate == prediction
+    np.testing.assert_allclose(np.asarray(out.intermediates[-1, -1]), np.asarray(out.prediction))
+
+
+def test_gru_and_mgu_cells_work():
+    for layer in ("GRU", "MGU"):
+        cfg = dict(CONFIGS[4], recurrent_layer=layer, num_cascades=1, time_steps=8)
+        y, sens, mask = _inputs()
+        model = build_model(cfg)
+        variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+        out = model.apply(variables, y, sens, mask)
+        assert out.prediction.shape == (B, H, W)
+
+
+def test_zf_matches_manual_sense_recon():
+    y, sens, mask = _inputs()
+    model = build_model(CONFIGS[0])
+    variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+    out = model.apply(variables, y, sens, mask)
+    img = jnp.fft.fftshift(jnp.fft.ifftn(jnp.fft.ifftshift(y, axes=(-2, -1)), axes=(-2, -1), norm="ortho"), axes=(-2, -1))
+    want = (img * jnp.conj(sens)).sum(1)
+    np.testing.assert_allclose(np.asarray(out.prediction), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_sensitivity_model_shapes():
+    y, sens, mask = _inputs()
+    model = SensitivityModel(chans=4, num_pools=2, fft_centered=True, fft_normalization="ortho")
+    variables = model.init(jax.random.PRNGKey(0), y, mask)
+    est = model.apply(variables, y, mask)
+    assert est.shape == (B, C, H, W)
+    rss = np.sqrt((np.abs(np.asarray(est)) ** 2).sum(1))
+    np.testing.assert_allclose(rss, np.ones_like(rss), rtol=1e-4)
+
+
+def test_registry_lists_models():
+    names = available_models()
+    for n in ("CIRIM", "VN", "UNET", "ZF"):
+        assert n in names
+    with pytest.raises(ValueError):
+        build_model({"model_name": "NOPE"})
