@@ -358,8 +358,15 @@ class BatchLoader:
             w = max(x.shape[-1] for x in ks)
             tgt_shape = (coils, h, w)
 
+        def rv(x):
+            # device arrays are float32 real views [..., 2]; complex stays host-side
+            x = np.asarray(x)
+            if np.iscomplexobj(x):
+                return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+            return np.stack([x, np.zeros_like(x)], axis=-1).astype(np.float32)
+
         def stack_c(xs):
-            return np.stack([_pad_to(np.asarray(x), tgt_shape) for x in xs], 0)
+            return np.stack([rv(_pad_to(np.asarray(x), tgt_shape)) for x in xs], 0)
 
         spatial = tgt_shape[-2:]
         def pad_mask(m):
@@ -372,14 +379,12 @@ class BatchLoader:
 
         masks = np.stack([pad_mask(m) for m in msks], 0)
         return {
-            "kspace": stack_c(ks).astype(np.complex64),
-            "masked_kspace": stack_c(mks).astype(np.complex64),
-            "sensitivity_maps": stack_c(sens).astype(np.complex64),
+            "kspace": stack_c(ks),
+            "masked_kspace": stack_c(mks),
+            "sensitivity_maps": stack_c(sens),
             "mask": masks,
-            "initial_prediction": np.stack([_pad_to(np.asarray(p), spatial) for p in preds], 0).astype(
-                np.complex64
-            ),
-            "target": np.stack([_pad_to(np.asarray(t), spatial) for t in tgts], 0),
+            "initial_prediction": np.stack([rv(_pad_to(np.asarray(p), spatial)) for p in preds], 0),
+            "target": np.stack([rv(_pad_to(np.asarray(t), spatial)) for t in tgts], 0),
             "fname": fnames,
             "slice_idx": np.asarray(sidx, np.int32),
             "acceleration": np.asarray(accs, np.float32),

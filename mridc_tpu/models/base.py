@@ -3,27 +3,31 @@
 Plays the role of reference mridc/collections/reconstruction/nn/base.py's
 ``BaseMRIReconstructionModel`` *module* side (the training/eval step logic
 lives in :mod:`mridc_tpu.train.trainer`, keeping modules pure functions).
+
+Device layout: real views ``[..., 2]`` throughout (see mridc_tpu.ops.cplx) —
+the TPU backend executes no complex64 ops.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import flax.struct
 import jax.numpy as jnp
 
 from mridc_tpu.nn.dc import sens_reduce
-from mridc_tpu.ops.complex import coil_combination
+from mridc_tpu.ops.cplx import ccombine
+from mridc_tpu.ops.fft import ifft2_rv
 
 __all__ = ["ModelOutput", "BaseReconModel", "expand_mask"]
 
 
 @flax.struct.dataclass
 class ModelOutput:
-    """prediction: final complex image [B, H, W].
-    intermediates: optional stacked per-step predictions [..., B, H, W] used by
-    logspace-weighted losses (CIRIM/CRNN accumulate_predictions semantics)."""
+    """prediction: final image [B, H, W, 2] real view.
+    intermediates: optional stacked per-step predictions [..., B, H, W, 2] used
+    by logspace-weighted losses (CIRIM/CRNN accumulate_predictions semantics)."""
 
     prediction: jnp.ndarray
     intermediates: Optional[jnp.ndarray] = None
@@ -40,11 +44,11 @@ class BaseReconModel(nn.Module):
     """Common config fields; subclasses implement ``__call__(y, sens, mask,
     init_pred=None, train=False) -> ModelOutput``.
 
-    Inputs (native complex):
-      y [B, C, H, W] complex64 — masked k-space
-      sens [B, C, H, W] complex64
-      mask broadcastable to y (float)
-      init_pred [B, H, W] complex64 or None
+    Inputs (real views):
+      y [B, C, H, W, 2] float32 — masked k-space
+      sens [B, C, H, W, 2] float32
+      mask [B, 1, H, W] float32 (broadcastable)
+      init_pred [B, H, W, 2] float32 or None
     """
 
     fft_centered: bool = False
@@ -54,11 +58,9 @@ class BaseReconModel(nn.Module):
     coil_combination_method: str = "SENSE"
 
     def zero_filled(self, y: jnp.ndarray, sens: jnp.ndarray) -> jnp.ndarray:
-        """SENSE/RSS combine of the zero-filled reconstruction."""
-        from mridc_tpu.ops.fft import ifft2
-
-        img = ifft2(y, self.fft_centered, self.fft_normalization, self.spatial_dims)
-        return coil_combination(img, sens, self.coil_combination_method, self.coil_dim)
+        """SENSE/RSS combine of the zero-filled reconstruction -> [B, H, W, 2]."""
+        img = ifft2_rv(y, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        return ccombine(img, sens, self.coil_combination_method, self.coil_dim)
 
     def sense_init(self, y: jnp.ndarray, sens: jnp.ndarray) -> jnp.ndarray:
         return sens_reduce(

@@ -8,9 +8,8 @@ import flax.linen as nn
 from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
 from mridc_tpu.nn.conv2d import Conv2dCascade
 from mridc_tpu.nn.dc import sens_expand, sens_reduce, soft_dc
-from mridc_tpu.nn.layers import channels_to_complex, complex_to_channels
-from mridc_tpu.ops.complex import coil_combination
-from mridc_tpu.ops.fft import ifft2
+from mridc_tpu.ops.cplx import ccombine
+from mridc_tpu.ops.fft import ifft2_rv
 
 __all__ = ["CascadeNet"]
 
@@ -50,11 +49,11 @@ class CascadeNet(BaseReconModel):
             )
             x = Conv2dCascade(
                 out_channels=2, hidden_channels=self.hidden_channels, n_convs=self.n_convs, batchnorm=self.batchnorm
-            )(complex_to_channels(image), train)
+            )(image, train)
             model_term = sens_expand(
-                channels_to_complex(x), sens, self.fft_centered, self.fft_normalization, self.spatial_dims
+                x, sens, self.fft_centered, self.fft_normalization, self.spatial_dims
             )
             pred = model_term if self.no_dc else pred - dc - model_term
-        image = ifft2(pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
-        prediction = coil_combination(image, sens, self.coil_combination_method, self.coil_dim)
+        image = ifft2_rv(pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        prediction = ccombine(image, sens, self.coil_combination_method, self.coil_dim)
         return ModelOutput(prediction=prediction)

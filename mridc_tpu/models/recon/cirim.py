@@ -71,28 +71,53 @@ class CIRIM(BaseReconModel):
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False) -> ModelOutput:
         del train
         mask = expand_mask(mask)
-        eta = init_pred if (init_pred is not None and init_pred.ndim >= 3) else None
-        all_etas = []
-        for i in range(self.num_cascades):
-            block = RIMBlock(
-                recurrent_layer=self.recurrent_layer,
-                conv_filters=self.conv_filters,
-                conv_kernels=self.conv_kernels,
-                conv_dilations=self.conv_dilations,
-                conv_bias=self.conv_bias,
-                recurrent_filters=self.recurrent_filters,
-                recurrent_kernels=self.recurrent_kernels,
-                recurrent_dilations=self.recurrent_dilations,
-                recurrent_bias=self.recurrent_bias,
-                time_steps=self.time_steps,
-                no_dc=self.no_dc,
-                fft_centered=self.fft_centered,
-                fft_normalization=self.fft_normalization,
-                spatial_dims=self.spatial_dims,
-                coil_dim=self.coil_dim,
-            )
-            etas, eta_final = block(y, sens, mask, eta=eta)
-            all_etas.append(etas)  # [T, B, H, W]
-            eta = eta_final if self.keep_prediction else None
-        intermediates = jnp.stack(all_etas, axis=0)  # [cascades, T, B, H, W]
+        block_cfg = dict(
+            recurrent_layer=self.recurrent_layer,
+            conv_filters=self.conv_filters,
+            conv_kernels=self.conv_kernels,
+            conv_dilations=self.conv_dilations,
+            conv_bias=self.conv_bias,
+            recurrent_filters=self.recurrent_filters,
+            recurrent_kernels=self.recurrent_kernels,
+            recurrent_dilations=self.recurrent_dilations,
+            recurrent_bias=self.recurrent_bias,
+            time_steps=self.time_steps,
+            no_dc=self.no_dc,
+            fft_centered=self.fft_centered,
+            fft_normalization=self.fft_normalization,
+            spatial_dims=self.spatial_dims,
+            coil_dim=self.coil_dim,
+        )
+        if init_pred is not None and init_pred.ndim >= 4:
+            eta0 = init_pred
+        else:
+            eta0 = self.sense_init(y, sens)
+
+        # Cascades carry independent weights but identical structure: scan with
+        # params split over the cascade axis, so the RIM block is traced ONCE
+        # regardless of num_cascades (compile-time win on TPU; the reference
+        # python-loops a ModuleList, cirim.py:110-127).
+        keep = self.keep_prediction
+
+        class _Cascade(nn.Module):
+            @nn.compact
+            def __call__(self, carry, _, y, sens, mask):
+                eta = carry
+                etas, eta_final = RIMBlock(**block_cfg)(y, sens, mask, eta=eta)
+                next_eta = eta_final if keep else None
+                if next_eta is None:
+                    # re-init from the zero-filled SENSE recon next cascade
+                    next_eta = eta
+                return next_eta, etas
+
+        scan = nn.scan(
+            _Cascade,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=self.num_cascades,
+        )()
+        eta_last, intermediates = scan(eta0, None, y, sens, mask)
+        # intermediates: [cascades, T, B, H, W, 2]
         return ModelOutput(prediction=intermediates[-1, -1], intermediates=intermediates)

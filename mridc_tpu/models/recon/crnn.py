@@ -14,9 +14,8 @@ import jax.numpy as jnp
 from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
 from mridc_tpu.nn.conv2d import Conv2dCascade
 from mridc_tpu.nn.dc import sens_expand, sens_reduce, soft_dc
-from mridc_tpu.nn.layers import channels_to_complex, complex_to_channels
-from mridc_tpu.ops.complex import coil_combination
-from mridc_tpu.ops.fft import ifft2
+from mridc_tpu.ops.cplx import ccombine
+from mridc_tpu.ops.fft import ifft2_rv
 
 __all__ = ["CRNNet"]
 
@@ -37,8 +36,8 @@ class _CRNNIter(BaseReconModel):
         )
         x = Conv2dCascade(
             out_channels=2, hidden_channels=self.hidden_channels, n_convs=self.n_convs, batchnorm=self.batchnorm
-        )(complex_to_channels(image))
-        reg = channels_to_complex(x) + image  # residual connection (reference :158)
+        )(image)
+        reg = x + image  # residual connection (reference :158)
         model_term = sens_expand(reg, sens, self.fft_centered, self.fft_normalization, self.spatial_dims)
         pred = model_term if self.no_dc else pred - dc - model_term
         return pred, pred
@@ -87,8 +86,8 @@ class CRNNet(BaseReconModel):
             spatial_dims=self.spatial_dims,
             coil_dim=self.coil_dim,
         )
-        _, preds_k = scan(y, None, y, sens, mask)  # [T, B, C, H, W] k-space
-        images = ifft2(preds_k, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        _, preds_k = scan(y, None, y, sens, mask)  # [T, B, C, H, W, 2] k-space
+        images = ifft2_rv(preds_k, self.fft_centered, self.fft_normalization, self.spatial_dims)
         # coil combine each intermediate (coil axis shifts by the leading T axis)
-        combined = coil_combination(images, sens[None], self.coil_combination_method, self.coil_dim + 1)
+        combined = ccombine(images, sens[None], self.coil_combination_method, self.coil_dim + 1)
         return ModelOutput(prediction=combined[-1], intermediates=combined)

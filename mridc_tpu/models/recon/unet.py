@@ -5,7 +5,6 @@ from __future__ import annotations
 import flax.linen as nn
 
 from mridc_tpu.models.base import BaseReconModel, ModelOutput
-from mridc_tpu.nn.layers import channels_to_complex, complex_to_channels
 from mridc_tpu.nn.unet import NormUnet
 
 __all__ = ["UNet"]
@@ -38,8 +37,7 @@ class UNet(BaseReconModel):
     @nn.compact
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False) -> ModelOutput:
         del mask, init_pred
-        image = self.zero_filled(y, sens)  # [B, H, W] complex
-        x = complex_to_channels(image)  # [B, H, W, 2]
+        x = self.zero_filled(y, sens)  # [B, H, W, 2] real view
         x = NormUnet(
             chans=self.channels,
             num_pools=self.pooling_layers,
@@ -47,4 +45,4 @@ class UNet(BaseReconModel):
             normalize=self.normalize,
             drop_prob=self.dropout,
         )(x, train)
-        return ModelOutput(prediction=channels_to_complex(x))
+        return ModelOutput(prediction=x)

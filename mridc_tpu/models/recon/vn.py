@@ -13,10 +13,9 @@ import jax.numpy as jnp
 
 from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
 from mridc_tpu.nn.dc import sens_expand, sens_reduce, soft_dc
-from mridc_tpu.nn.layers import channels_to_complex, complex_to_channels
 from mridc_tpu.nn.unet import NormUnet
-from mridc_tpu.ops.complex import coil_combination
-from mridc_tpu.ops.fft import ifft2
+from mridc_tpu.ops.cplx import ccombine
+from mridc_tpu.ops.fft import ifft2_rv
 
 __all__ = ["VarNet"]
 
@@ -32,10 +31,9 @@ class _VarNetBlock(BaseReconModel):
     def __call__(self, pred, ref_kspace, sens, mask, train: bool = False):
         dc_weight = self.param("dc_weight", nn.initializers.ones, (1,))
         dc = soft_dc(pred, ref_kspace, mask, dc_weight)
-        image = sens_reduce(
+        x = sens_reduce(
             pred, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
         )
-        x = complex_to_channels(image)
         x = NormUnet(
             chans=self.channels,
             num_pools=self.pooling_layers,
@@ -43,7 +41,7 @@ class _VarNetBlock(BaseReconModel):
             normalize=self.normalize,
         )(x, train)
         model_term = sens_expand(
-            channels_to_complex(x), sens, self.fft_centered, self.fft_normalization, self.spatial_dims
+            x, sens, self.fft_centered, self.fft_normalization, self.spatial_dims
         )
         if self.no_dc:
             return model_term
@@ -91,6 +89,6 @@ class VarNet(BaseReconModel):
                 spatial_dims=self.spatial_dims,
                 coil_dim=self.coil_dim,
             )(pred, y, sens, mask, train)
-        image = ifft2(pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
-        prediction = coil_combination(image, sens, self.coil_combination_method, self.coil_dim)
+        image = ifft2_rv(pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        prediction = ccombine(image, sens, self.coil_combination_method, self.coil_dim)
         return ModelOutput(prediction=prediction)

@@ -6,11 +6,10 @@ mridc/collections/reconstruction/nn/varnet/vn_block.py (``sens_expand`` :53,
 mridc/collections/reconstruction/nn/rim/rim_utils.py:11
 (``log_likelihood_gradient``).
 
-These are the hot ops of every unrolled model: each evaluation is
-2 FFTs + 2 complex muls + a coil reduction. On TPU the FFT lowers to the XLA
-TPU FFT and XLA fuses the elementwise complex algebra into its neighbours;
-a fused Pallas variant lives in :mod:`mridc_tpu.ops.kernels` for the cases
-where manual fusion beats XLA.
+Device layout: real views ``[..., 2]`` (see :mod:`mridc_tpu.ops.cplx`) — the
+axon TPU backend executes no complex64 ops. Each DC evaluation is 2 real-view
+FFTs (MXU DFT matmuls on TPU) + 2 complex muls + a coil reduction; XLA fuses
+the elementwise algebra into the matmuls' epilogues.
 """
 
 from __future__ import annotations
@@ -19,9 +18,15 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-from mridc_tpu.ops.fft import fft2, ifft2
+from mridc_tpu.ops.cplx import cmul, cmul_conj
+from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
 
-__all__ = ["sens_expand", "sens_reduce", "soft_dc", "log_likelihood_gradient"]
+__all__ = ["sens_expand", "sens_reduce", "soft_dc", "log_likelihood_gradient", "expand_rv_mask"]
+
+
+def expand_rv_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, 1, H, W] (or broadcastable) float mask -> [..., 1] for rv arrays."""
+    return mask[..., None]
 
 
 def sens_expand(
@@ -31,10 +36,10 @@ def sens_expand(
     fft_normalization: str = "backward",
     spatial_dims: Sequence[int] = (-2, -1),
 ) -> jnp.ndarray:
-    """Coil-combined image [B, H, W] -> multicoil k-space [B, C, H, W]."""
+    """Coil-combined image [B, H, W, 2] -> multicoil k-space [B, C, H, W, 2]."""
     if image.ndim == sens.ndim - 1:
         image = image[:, None]
-    return fft2(image * sens, fft_centered, fft_normalization, spatial_dims)
+    return fft2_rv(cmul(image, sens), fft_centered, fft_normalization, spatial_dims)
 
 
 def sens_reduce(
@@ -46,13 +51,15 @@ def sens_reduce(
     coil_dim: int = 1,
     keepdims: bool = False,
 ) -> jnp.ndarray:
-    """Multicoil k-space [B, C, H, W] -> SENSE-combined image [B, H, W]."""
-    img = ifft2(kspace, fft_centered, fft_normalization, spatial_dims)
-    return (img * jnp.conj(sens)).sum(axis=coil_dim, keepdims=keepdims)
+    """Multicoil k-space [B, C, H, W, 2] -> SENSE-combined image [B, H, W, 2]."""
+    img = ifft2_rv(kspace, fft_centered, fft_normalization, spatial_dims)
+    return cmul_conj(img, sens).sum(axis=coil_dim, keepdims=keepdims)
 
 
 def soft_dc(pred_kspace: jnp.ndarray, ref_kspace: jnp.ndarray, mask: jnp.ndarray, weight) -> jnp.ndarray:
-    """Soft data-consistency term ``where(mask, pred - ref, 0) * w``."""
+    """Soft data-consistency ``where(mask, pred - ref, 0) * w`` on rv arrays."""
+    if mask.ndim == pred_kspace.ndim - 1:
+        mask = mask[..., None]
     return jnp.where(mask.astype(bool), pred_kspace - ref_kspace, jnp.zeros((), pred_kspace.dtype)) * weight
 
 
@@ -67,11 +74,11 @@ def log_likelihood_gradient(
     spatial_dims: Sequence[int] = (-2, -1),
     coil_dim: int = 1,
 ) -> jnp.ndarray:
-    """RIM likelihood gradient, returned as [B, H, W, 4] channels
-    ``[re(eta), im(eta), re(grad), im(grad)]`` (reference rim_utils.py:11-85).
-    """
-    coil_imgs = eta[:, None] * sens
-    pred_k = fft2(coil_imgs, fft_centered, fft_normalization, spatial_dims)
-    resid = ifft2(mask * (pred_k - masked_kspace), fft_centered, fft_normalization, spatial_dims)
-    grad = (resid * jnp.conj(sens)).sum(axis=coil_dim) / (sigma**2)
-    return jnp.stack([eta.real, eta.imag, grad.real, grad.imag], axis=-1)
+    """RIM likelihood gradient as [B, H, W, 4] channels
+    ``[re(eta), im(eta), re(grad), im(grad)]`` (reference rim_utils.py:11-85)."""
+    if mask.ndim == masked_kspace.ndim - 1:
+        mask = mask[..., None]
+    pred_k = fft2_rv(cmul(eta[:, None], sens), fft_centered, fft_normalization, spatial_dims)
+    resid = ifft2_rv(mask * (pred_k - masked_kspace), fft_centered, fft_normalization, spatial_dims)
+    grad = cmul_conj(resid, sens).sum(axis=coil_dim) / (sigma**2)
+    return jnp.concatenate([eta, grad], axis=-1)

@@ -6,8 +6,9 @@ time-step loop at :248-283 becomes a single `nn.scan`, so the conv/GRU stack is
 traced once and XLA pipelines the unroll), rim/conv_layers.py (``ConvRNNStack``
 :10), rim/rnn_cells.py (cells).
 
-Layout: the image estimate ``eta`` stays native complex [B, H, W]; hidden
-states are real [B, H, W, F] NHWC feeding the MXU.
+Layout: real views throughout — the image estimate ``eta`` is [B, H, W, 2]
+(the 2 re/im channels double as conv channels), hidden states are
+[B, H, W, F] NHWC feeding the MXU.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mridc_tpu.nn.dc import log_likelihood_gradient, sens_expand, sens_reduce, soft_dc
-from mridc_tpu.nn.layers import ConvNonlinear, channels_to_complex
+from mridc_tpu.nn.layers import ConvNonlinear
 from mridc_tpu.nn.rnn_cells import make_cell
 
 __all__ = ["RIMBlock"]
@@ -80,7 +81,7 @@ class _RIMStep(nn.Module):
             else:
                 final = conv
         dx = final(x)  # [B, H, W, 2]
-        eta = eta + channels_to_complex(dx)
+        eta = eta + dx
         return (eta, tuple(new_hx)), eta
 
 
@@ -112,12 +113,12 @@ class RIMBlock(nn.Module):
         eta: Optional[jnp.ndarray] = None,
         sigma: float = 1.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (etas [T, B, H, W] complex, final_eta [B, H, W])."""
+        """Returns (etas [T, B, H, W, 2], final_eta [B, H, W, 2]) real views."""
         if eta is None:
             eta = sens_reduce(
                 y, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
             )
-        b, h, w = eta.shape
+        b, h, w = eta.shape[0], eta.shape[1], eta.shape[2]
         hx = tuple(
             jnp.zeros((b, h, w, f), jnp.float32) for f in self.recurrent_filters if f != 0
         )

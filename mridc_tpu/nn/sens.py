@@ -3,6 +3,8 @@
 Functional parity with reference: mridc/collections/common/nn/base.py:276-508
 ``BaseSensitivityModel``: mask the ACS region, IFFT to coil images, run a
 NormUnet per coil (coils folded into batch), RSS-normalize.
+
+Layout: real views — kspace [B, C, H, W, 2], mask [B, 1, H, W].
 """
 
 from __future__ import annotations
@@ -12,9 +14,9 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mridc_tpu.nn.layers import channels_to_complex, complex_to_channels
 from mridc_tpu.nn.unet import NormUnet
-from mridc_tpu.ops.fft import ifft2
+from mridc_tpu.ops.cplx import cabs2
+from mridc_tpu.ops.fft import ifft2_rv
 
 __all__ = ["SensitivityModel"]
 
@@ -38,17 +40,16 @@ class SensitivityModel(nn.Module):
         num_low_frequencies: Optional[int] = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        """[B, C, H, W] complex k-space + [B, 1, H, W] mask -> [B, C, H, W] sens maps."""
+        """[B, C, H, W, 2] k-space + [B, 1, H, W] mask -> [B, C, H, W, 2] sens maps."""
         x = masked_kspace
         if self.mask_center:
             if mask.ndim == 3:
                 mask = mask[:, None]
-            mask_b = jnp.broadcast_to(mask, (x.shape[0], 1) + x.shape[-2:])
-            axis = -2 if self.mask_type == "2D" else -1
+            mask_b = jnp.broadcast_to(mask, (x.shape[0], 1) + x.shape[2:4])
+            axis = 2 if self.mask_type == "2D" else 3  # band axis in [B, C, H, W]
             n = x.shape[axis]
-            # band along `axis`: detect contiguous center samples of the mask
             profile = mask_b[:, 0]
-            line = profile.max(axis=-1 if axis == -2 else -2).astype(jnp.int8)  # [B, n]
+            line = profile.max(axis=2 if axis == 2 else 1).astype(jnp.int8)  # [B, n]
             cent = n // 2
             left = jnp.argmin(line[:, :cent][:, ::-1], axis=1)
             right = jnp.argmin(line[:, cent:], axis=1)
@@ -58,17 +59,17 @@ class SensitivityModel(nn.Module):
             pad = (n - num_low + 1) // 2
             idx = jnp.arange(n)
             keep = (idx[None, :] >= pad[:, None]) & (idx[None, :] < (pad + num_low)[:, None])
-            shape = [x.shape[0], 1, 1, 1]
+            shape = [x.shape[0], 1, 1, 1, 1]
             shape[axis] = n
             keep = keep.reshape(shape)
             x = jnp.where(keep, x, jnp.zeros((), x.dtype))
 
-        images = ifft2(x, self.fft_centered, self.fft_normalization, self.spatial_dims)
-        b, c, h, w = images.shape
-        per_coil = complex_to_channels(images.reshape(b * c, h, w))  # [B*C, H, W, 2]
+        images = ifft2_rv(x, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        b, c, h, w, _ = images.shape
+        per_coil = images.reshape(b * c, h, w, 2)
         est = NormUnet(self.chans, self.num_pools, normalize=self.normalize)(per_coil, train)
-        est = channels_to_complex(est).reshape(b, c, h, w)
+        est = est.reshape(b, c, h, w, 2)
         if self.normalize:
-            rss = jnp.sqrt((jnp.abs(est) ** 2).sum(axis=self.coil_dim, keepdims=True))
+            rss = jnp.sqrt(cabs2(est).sum(axis=self.coil_dim, keepdims=True))[..., None]
             est = est / jnp.maximum(rss, 1e-12)
         return est

@@ -1,0 +1,65 @@
+"""Device-mesh helpers: the TPU-native replacement for the reference's
+torch.distributed/NCCL plumbing (reference: mridc/utils/distributed.py:13-52,
+AppState parallel fields mridc/utils/app_state.py:45-52).
+
+There is no process-group code to port — a `jax.sharding.Mesh` with a ``data``
+axis *is* the data-parallel strategy; gradient reduction is inserted by XLA
+from the sharding annotations and rides ICI. Extra axes (``model``, ``slice``)
+are reserved so tensor/slice parallelism can be layered on without API change.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "data_parallel_shardings"]
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Tuple[int, ...]] = None,
+) -> Mesh:
+    """1D data mesh by default; pass shape+axis_names for hybrid layouts."""
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    devices = devices[:n]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """Device-put every array leaf with its batch axis sharded over ``axis``.
+
+    Non-array leaves (fnames, attrs) are passed through untouched for host use.
+    """
+    sharding = batch_sharding(mesh, axis)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] % mesh.shape[axis] == 0:
+            out[k] = jax.device_put(v, sharding)
+        elif isinstance(v, np.ndarray):
+            out[k] = jax.device_put(v, replicated(mesh))
+        else:
+            out[k] = v
+    return out
+
+
+def data_parallel_shardings(mesh: Mesh):
+    """(replicated_params, batch_sharded) pair for jit in/out shardings."""
+    return replicated(mesh), batch_sharding(mesh)

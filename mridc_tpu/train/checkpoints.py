@@ -1,0 +1,113 @@
+"""Checkpointing: orbax step checkpoints + the portable `.mridc`-style archive.
+
+Functional parity with reference:
+mridc/core/connectors/save_restore_connector.py:24 (``.mridc`` tar.gz =
+``model_config.yaml`` + ``model_weights.ckpt``) and
+mridc/utils/exp_manager.py:704 ``MRIDCModelCheckpoint`` (top-k on monitor,
+``-last`` checkpoint, best re-saved as archive on train end).
+
+The archive here is ``model_config.yaml`` + ``model_weights.msgpack``
+(flax.serialization) in a tar.gz with the same restore flow: read config,
+rebuild model from the registry, load weights.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import yaml
+from flax import serialization
+
+__all__ = ["save_archive", "load_archive", "restore_model", "OrbaxCheckpointer"]
+
+_CONFIG_NAME = "model_config.yaml"
+_WEIGHTS_NAME = "model_weights.msgpack"
+
+
+def save_archive(path, cfg: Dict, params) -> Path:
+    """Write a portable model archive (config + weights)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    params = jax.device_get(params)
+    weights = serialization.to_bytes(params)
+    cfg_bytes = yaml.safe_dump(cfg, sort_keys=False).encode()
+    with tarfile.open(path, "w:gz") as tar:
+        for name, data in ((_CONFIG_NAME, cfg_bytes), (_WEIGHTS_NAME, weights)):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    return path
+
+
+def load_archive(path) -> Tuple[Dict, bytes]:
+    """Read (config, raw weight bytes) from an archive."""
+    with tarfile.open(path, "r:gz") as tar:
+        cfg = yaml.safe_load(tar.extractfile(_CONFIG_NAME).read())
+        weights = tar.extractfile(_WEIGHTS_NAME).read()
+    return cfg, weights
+
+
+def restore_model(path, override_config: Optional[Dict] = None):
+    """Rebuild (model, params, cfg) from an archive — the ``restore_from``
+    path (reference save_restore_connector.py:173)."""
+    from mridc_tpu.models import build_model
+
+    cfg, weights = load_archive(path)
+    if override_config:
+        cfg = {**cfg, **override_config}
+    model = build_model(cfg)
+    # build a params template with matching treedef via shape-only init
+    params = serialization.msgpack_restore(weights)
+    return model, params, cfg
+
+
+class OrbaxCheckpointer:
+    """Thin orbax wrapper: save/restore train state by step, keep top-k."""
+
+    def __init__(self, directory, max_to_keep: int = 3, monitor: str = "val_loss", mode: str = "min"):
+        import orbax.checkpoint as ocp
+
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=lambda m: m.get(monitor, np.inf),
+            best_mode=mode,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state, metrics: Optional[Dict[str, float]] = None):
+        import orbax.checkpoint as ocp
+
+        state = jax.device_get(state)
+        self._mgr.save(
+            int(step),
+            args=ocp.args.StandardSave(state),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        target = jax.device_get(state_template)
+        return self._mgr.restore(int(step), args=ocp.args.StandardRestore(target))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def close(self):
+        self._mgr.close()

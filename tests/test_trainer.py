@@ -1,0 +1,153 @@
+"""Trainer engine tests: optimizers, schedulers, a real multi-device DP fit on
+the synthetic fixture, checkpoint/resume and archive roundtrip."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fixtures import create_dataset
+from mridc_tpu.data.loaders import BatchLoader, ReconstructionMRIDataset
+from mridc_tpu.data.subsample import create_masker
+from mridc_tpu.data.transforms import MRIDataTransforms
+from mridc_tpu.models import build_model
+from mridc_tpu.parallel.mesh import make_mesh
+from mridc_tpu.train.checkpoints import load_archive, restore_model, save_archive
+from mridc_tpu.train.config import apply_overrides, load_config, save_config
+from mridc_tpu.train.optim import AVAILABLE_OPTIMIZERS, get_optimizer
+from mridc_tpu.train.schedulers import (
+    AVAILABLE_SCHEDULERS,
+    compute_max_steps,
+    get_scheduler,
+)
+from mridc_tpu.train.trainer import Trainer
+
+
+def test_all_optimizers_build_and_step():
+    params = {"w": jnp.ones((4, 4))}
+    grads = {"w": jnp.ones((4, 4))}
+    for name in AVAILABLE_OPTIMIZERS:
+        tx = get_optimizer(name, 1e-3)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        assert jnp.isfinite(updates["w"]).all(), name
+
+
+@pytest.mark.parametrize("name", [n for n in AVAILABLE_SCHEDULERS if n != "ReduceLROnPlateau"])
+def test_schedulers_produce_sane_lrs(name):
+    kwargs = {"max_steps": 100, "warmup_steps": 10}
+    if name == "NoamAnnealing":
+        kwargs["d_model"] = 64
+    sched = get_scheduler(name, 1e-3, **kwargs)
+    lrs = np.array([float(sched(s)) for s in range(0, 120, 5)])
+    assert np.isfinite(lrs).all()
+    assert (lrs >= 0).all()
+    if name != "T5InverseSquareRootAnnealing":  # reference formula is lr-independent 1/sqrt(step)
+        assert lrs.max() <= 1e-2 + 1e-8
+
+
+def test_warmup_and_decay_shape():
+    sched = get_scheduler("CosineAnnealing", 1e-3, max_steps=100, warmup_steps=10, min_lr=1e-6)
+    assert float(sched(0)) < float(sched(9))  # warming up
+    assert float(sched(50)) > float(sched(99))  # decaying
+    assert float(sched(110)) == pytest.approx(1e-6)
+
+
+def test_compute_max_steps():
+    # 100 samples, batch 10, 5 epochs -> 50 steps
+    assert compute_max_steps(5, 1, 1.0, 0, 100, 10, False) == 50
+    assert compute_max_steps(5, 2, 1.0, 0, 100, 10, False) == 25
+
+
+def test_config_overrides(tmp_path):
+    cfg = {"model": {"lr": 1.0, "nested": {"a": 1}}, "mode": "train"}
+    save_config(cfg, tmp_path / "c.yaml")
+    loaded = load_config(tmp_path / "c.yaml", overrides=["model.lr=1e-3", "model.nested.a=7", "mode=test"])
+    assert loaded["model"]["lr"] == 1e-3
+    assert loaded["model"]["nested"]["a"] == 7
+    assert loaded["mode"] == "test"
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["notanoverride"])
+
+
+@pytest.fixture(scope="module")
+def loaders(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_data")
+    create_dataset(root, n_files=2, slices=4, coils=4, h=32, w=32)
+    tfm = MRIDataTransforms(
+        mask_func=[create_masker("random1d", [0.16], [3])],
+        normalize_inputs=True,
+        normalization_type="max",
+        fft_centered=True,
+        fft_normalization="ortho",
+    )
+    ds = ReconstructionMRIDataset(root=root, transform=tfm)
+    train = BatchLoader(ds, batch_size=8, shuffle=True, seed=0)
+    val = BatchLoader(ds, batch_size=8)
+    return train, val
+
+
+def test_fit_unet_multidevice_loss_decreases(loaders, tmp_path):
+    train, val = loaders
+    cfg = {
+        "model_name": "UNet",
+        "channels": 8,
+        "pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    mesh = make_mesh()  # 8 virtual CPU devices
+    assert mesh.shape["data"] == 8
+    trainer = Trainer(
+        model,
+        optim_cfg={"name": "adam", "lr": 3e-3},
+        trainer_cfg={"max_epochs": 6},
+        loss_type="l1",
+        mesh=mesh,
+    )
+    history = trainer.fit(train, val_loader=val, max_epochs=6, log_every_n_steps=100)
+    first, last = history[0], history[-1]
+    assert last["train_loss"] < first["train_loss"]
+    assert "val_SSIM" in last and 0 <= last["val_SSIM"] <= 1
+
+
+def test_cirim_trains_and_ssdu_mask_path(loaders):
+    train, _ = loaders
+    cfg = {
+        "model_name": "CIRIM",
+        "num_cascades": 1,
+        "time_steps": 8,
+        "conv_filters": [8, 8, 2],
+        "recurrent_filters": [8, 8, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, loss_type="l1")
+    batch = next(iter(train))
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    m1 = trainer.training_batch(batch)
+    m2 = trainer.training_batch(batch)
+    assert float(m2["loss"]) < float(m1["loss"]) * 1.5  # finite and sane
+    assert np.isfinite(float(m1["grad_norm"]))
+
+
+def test_archive_roundtrip(tmp_path, loaders):
+    train, _ = loaders
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    model = build_model(cfg)
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3})
+    batch = next(iter(train))
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    path = save_archive(tmp_path / "model.mridc", cfg, trainer.state.params)
+    rcfg, _ = load_archive(path)
+    assert rcfg["model_name"] == "UNet"
+    model2, params2, cfg2 = restore_model(path)
+    y, sens, mask, init_pred = Trainer._model_inputs(batch)
+    out1 = model.apply({"params": trainer.state.params}, y, sens, mask, init_pred)
+    out2 = model2.apply({"params": params2}, y, sens, mask, init_pred)
+    np.testing.assert_allclose(np.asarray(out1.prediction), np.asarray(out2.prediction), rtol=1e-6)
