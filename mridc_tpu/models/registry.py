@@ -49,12 +49,16 @@ def _ensure_defaults():
 
 
 def build_model(cfg: Dict[str, Any]):
-    """Build a model module from a config dict with a ``model_name`` key."""
+    """Build a model module from a config dict with a ``model_name`` key.
+    ``use_sens_net: true`` wraps the model with a learned sensitivity estimator."""
     _ensure_defaults()
     name = str(cfg.get("model_name", "")).upper()
     if name not in MODEL_REGISTRY:
         raise ValueError(f"Unknown model_name {name!r}. Available: {sorted(MODEL_REGISTRY)}")
-    return MODEL_REGISTRY[name](cfg)
+    model = MODEL_REGISTRY[name](cfg)
+    from mridc_tpu.models.sens_wrapper import maybe_wrap_sens_net
+
+    return maybe_wrap_sens_net(model, cfg)
 
 
 def available_models():

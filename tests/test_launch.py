@@ -1,0 +1,124 @@
+"""CLI entry-point tests (reference style: subprocess config runs,
+tests/hydra/test_hydra_runner.py:13-77) plus use_sens_net wrapping."""
+
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from fixtures import create_dataset
+from mridc_tpu.models import build_model
+
+
+def _write_cfg(tmp_path, data_dir, model_extra=None, mode="train"):
+    model = {
+        "model_name": "UNet",
+        "channels": 4,
+        "pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+        "coil_combination_method": "SENSE",
+        "train_loss_fn": "l1",
+        "optim": {"name": "adam", "lr": 1e-3},
+        "train_ds": {
+            "data_path": str(data_dir),
+            "batch_size": 4,
+            "shuffle": True,
+            "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        },
+        "test_ds": {
+            "data_path": str(data_dir),
+            "batch_size": 4,
+            "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        },
+    }
+    model.update(model_extra or {})
+    cfg = {
+        "mode": mode,
+        "model": model,
+        "trainer": {"max_epochs": 1},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "t"},
+    }
+    path = tmp_path / "conf.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    create_dataset(root, n_files=1, slices=2, coils=4, h=32, w=32)
+    return root
+
+
+def test_run_from_config_train(tmp_path, data_dir):
+    from mridc_tpu.launch import run_from_config
+    from mridc_tpu.train.config import load_config
+
+    cfg_path = _write_cfg(tmp_path, data_dir)
+    cfg = load_config(cfg_path)
+    trainer, history = run_from_config(cfg)
+    assert np.isfinite(history[-1]["train_loss"])
+    run_dirs = list((tmp_path / "exp" / "t").iterdir())
+    assert run_dirs
+    contents = {p.name for p in run_dirs[0].iterdir()}
+    assert "config.yaml" in contents
+    assert "checkpoints" in contents or "t.mridc" in contents
+
+
+def test_run_from_config_test_mode(tmp_path, data_dir):
+    from mridc_tpu.launch import run_from_config
+    from mridc_tpu.train.config import load_config
+
+    cfg = load_config(_write_cfg(tmp_path, data_dir, mode="test"))
+    trainer, means = run_from_config(cfg)
+    assert "SSIM" in means
+    run_dirs = list((tmp_path / "exp" / "t").iterdir())
+    recon_files = list((run_dirs[0] / "reconstructions").glob("*.h5"))
+    assert recon_files
+
+
+def test_cli_subprocess_invalid_config(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("mode: train\nmodel: {model_name: NOPE}\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mridc_tpu.launch", "--config-path", str(tmp_path), "--config-name", "bad.yaml"],
+        capture_output=True,
+        text=True,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        timeout=180,
+    )
+    assert proc.returncode != 0
+    assert "Unknown model_name" in proc.stderr
+
+
+def test_use_sens_net_wrapping():
+    cfg = {
+        "model_name": "VN",
+        "num_cascades": 1,
+        "channels": 4,
+        "pooling_layers": 2,
+        "use_sens_net": True,
+        "sens_chans": 4,
+        "sens_pools": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((1, 3, 32, 32, 2)).astype(np.float32)
+    sens = rng.standard_normal((1, 3, 32, 32, 2)).astype(np.float32)
+    mask = np.ones((1, 1, 32, 32), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+    out = model.apply(variables, y, sens, mask)
+    assert out.prediction.shape == (1, 32, 32, 2)
+    # sens net params exist
+    assert any("SensitivityModel" in k for k in variables["params"])
