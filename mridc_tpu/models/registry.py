@@ -32,6 +32,18 @@ def _register_defaults():
         (("CRNNET", "CRNN"), recon.CRNNet),
         (("CIRIM",), recon.CIRIM),
         (("VN", "VARNET", "E2EVN"), recon.VarNet),
+        (("CS",), recon.CS),
+        (("PICS",), recon.PICS),
+        (("JOINTICNET",), recon.JointICNet),
+        (("PROXIMALGRADIENT", "PG"), recon.ProximalGradient),
+        (("RESNET",), recon.ResNet),
+        (("RVN", "RECURRENTVARNET"), recon.RecurrentVarNet),
+        (("KIKINET",), recon.KIKINet),
+        (("LPDNET", "LPD"), recon.LPDNet),
+        (("MULTIDOMAINNET", "MULTIDOMAIN"), recon.MultiDomainNet),
+        (("XPDNET",), recon.XPDNet),
+        (("VSNET",), recon.VSNet),
+        (("DUNET",), recon.DUNet),
     ]
     for names, cls in entries:
         for n in names:

@@ -1,0 +1,123 @@
+"""DIDN: Deep Iterative Down-up CNN (k-space regularizer for KIKINet/XPDNet).
+
+Functional parity with reference:
+mridc/collections/reconstruction/nn/didn/didn.py (``Subpixel`` :11, ``DUB``
+:104, ``ReconBlock``, ``DIDN`` :242): strided-conv downsamples, pixel-shuffle
+upsamples, per-DUB reconstruction blocks aggregated by 1x1 conv.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ["Subpixel", "DUB", "ReconBlock", "DIDN"]
+
+
+def _prelu(x, alpha):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+class _PConv(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, act: bool = True):
+        x = nn.Conv(self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride), padding="SAME")(x)
+        if act:
+            alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
+            x = _prelu(x, alpha)
+        return x
+
+
+class Subpixel(nn.Module):
+    """Conv + pixel shuffle (NHWC depth-to-space)."""
+
+    features: int
+    upscale: int = 2
+    kernel: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features * self.upscale**2, (self.kernel, self.kernel), padding="SAME")(x)
+        b, h, w, c = x.shape
+        r = self.upscale
+        x = x.reshape(b, h, w, r, r, c // (r * r))
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h * r, w * r, c // (r * r))
+
+
+class ReconBlock(nn.Module):
+    num_convs: int = 9
+
+    @nn.compact
+    def __call__(self, x):
+        out = x
+        for i in range(self.num_convs):
+            out = _PConv(x.shape[-1])(out, act=i < self.num_convs - 1)
+        return x + out
+
+
+class DUB(nn.Module):
+    """Down-Up Block (reference :104-241)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.channels
+        # pad odd spatial sizes
+        ph = x.shape[1] % 2
+        pw = x.shape[2] % 2
+        x1 = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect") if (ph or pw) else x
+
+        def seq(inp, feats, n):
+            out = inp
+            for _ in range(n):
+                out = _PConv(feats)(out)
+            return out
+
+        x1 = x1 + seq(x1, c, 2)
+        x2 = _PConv(2 * c, stride=2)(x1, act=False)
+        x2 = x2 + seq(x2, 2 * c, 1)
+        out = _PConv(4 * c, stride=2)(x2, act=False)
+        out = out + seq(out, 4 * c, 1)
+        out = Subpixel(2 * c, 2, 1)(out)
+        out = out[:, : x2.shape[1], : x2.shape[2]]
+        out = nn.Conv(2 * c, (1, 1))(jnp.concatenate([x2, out], -1))
+        out = out + seq(out, 2 * c, 1)
+        out = Subpixel(c, 2, 1)(out)
+        out = out[:, : x1.shape[1], : x1.shape[2]]
+        out = nn.Conv(c, (1, 1))(jnp.concatenate([x1, out], -1))
+        out = out + seq(out, c, 2)
+        out = seq(out, c, 1)
+        return x + out[:, : x.shape[1], : x.shape[2]]
+
+
+class DIDN(nn.Module):
+    out_channels: int = 2
+    hidden_channels: int = 128
+    num_dubs: int = 6
+    num_convs_recon: int = 9
+    skip_connection: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        h_in, w_in = x.shape[1], x.shape[2]
+        out = _PConv(self.hidden_channels)(x)
+        out = _PConv(self.hidden_channels, stride=2)(out, act=False)
+        dub_outs = []
+        for _ in range(self.num_dubs):
+            out = DUB(self.hidden_channels)(out)
+            dub_outs.append(out)
+        recon = [ReconBlock(self.num_convs_recon)(d) for d in dub_outs]
+        out = nn.Conv(self.hidden_channels, (1, 1))(jnp.concatenate(recon, -1))
+        out = _PConv(self.hidden_channels)(out)
+        out = Subpixel(self.hidden_channels, 2, 1)(out)
+        out = _PConv(self.out_channels)(out, act=False)
+        out = out[:, :h_in, :w_in]
+        if self.skip_connection:
+            out = x[..., : self.out_channels] + out
+        return out

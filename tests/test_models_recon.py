@@ -51,6 +51,50 @@ CONFIGS = [
         **COMMON,
     },
     {"model_name": "VN", "num_cascades": 2, "channels": 4, "pooling_layers": 2, **COMMON},
+    {"model_name": "CS", "num_iters": 5, **COMMON},
+    {"model_name": "PICS", "num_iters": 5, **COMMON},
+    {"model_name": "PG", "conjugate_gradient_iterations": 3, **COMMON},
+    {
+        "model_name": "RESNET", "unrolled_iterations": 2, "residual_blocks": 2, "channels": 8,
+        "conjugate_gradient_dc": True, "conjugate_gradient_iterations": 2, **COMMON,
+    },
+    {
+        "model_name": "RVN", "num_steps": 8, "recurrent_hidden_channels": 8,
+        "recurrent_num_layers": 2, **COMMON,
+    },
+    {
+        "model_name": "JOINTICNET", "num_iter": 1, "kspace_unet_num_filters": 4,
+        "kspace_unet_num_pool_layers": 2, "imspace_unet_num_filters": 4,
+        "imspace_unet_num_pool_layers": 2, "sens_unet_num_filters": 4,
+        "sens_unet_num_pool_layers": 2, **COMMON,
+    },
+    {
+        "model_name": "KIKINET", "num_iter": 1, "kspace_model_architecture": "CONV",
+        "kspace_conv_hidden_channels": 4, "kspace_conv_n_convs": 2,
+        "imspace_model_architecture": "MWCNN", "image_mwcnn_hidden_channels": 4,
+        "image_mwcnn_num_scales": 2, **COMMON,
+    },
+    {
+        "model_name": "LPD", "num_iter": 1, "num_primal": 2, "num_dual": 2,
+        "primal_model_architecture": "UNET", "primal_unet_num_filters": 4,
+        "primal_unet_num_pool_layers": 2, "dual_model_architecture": "UNET",
+        "dual_unet_num_filters": 4, "dual_unet_num_pool_layers": 2, **COMMON,
+    },
+    {"model_name": "MULTIDOMAINNET", "num_filters": 4, "num_pool_layers": 2, **COMMON},
+    {
+        "model_name": "XPDNET", "num_iter": 1, "num_primal": 2, "use_primal_only": True,
+        "image_model_architecture": "MWCNN", "mwcnn_hidden_channels": 4,
+        "mwcnn_num_scales": 2, **COMMON,
+    },
+    {
+        "model_name": "VSNET", "num_cascades": 2, "imspace_model_architecture": "CONV",
+        "imspace_conv_hidden_channels": 4, "imspace_conv_n_convs": 2, **COMMON,
+    },
+    {
+        "model_name": "DUNET", "num_iter": 1, "reg_model_architecture": "UNET",
+        "unet_num_filters": 4, "unet_num_pool_layers": 2,
+        "data_consistency_term": "VS", **COMMON,
+    },
 ]
 
 
