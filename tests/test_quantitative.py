@@ -1,0 +1,112 @@
+"""Quantitative collection tests: signal model physics, map fitting recovery,
+qCIRIM/qVarNet forward shapes (reference: mridc/collections/quantitative)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mridc_tpu.data.qtransforms import fit_quantitative_maps, unwrap_phase_2d
+from mridc_tpu.models import build_model
+from mridc_tpu.models.quantitative.signal_model import SCALING, megre_signal, rescale_by_max
+
+B, E, C, H, W = 1, 4, 2, 16, 16
+TES = [3.0, 11.5, 20.0, 28.5]
+
+
+def test_megre_signal_physics():
+    r2s = jnp.full((B, H, W), 30.0)
+    s0 = jnp.full((B, H, W), 1.0)
+    b0 = jnp.zeros((B, H, W))
+    phi = jnp.zeros((B, H, W))
+    sig = megre_signal(r2s, s0, b0, phi, TES)
+    assert sig.shape == (B, E, H, W, 2)
+    # monotonic decay across echoes, zero imaginary without B0/phi
+    mags = np.asarray(jnp.abs(sig[..., 0]))
+    assert (np.diff(mags[:, :, 8, 8], axis=1) < 0).all()
+    np.testing.assert_allclose(np.asarray(sig[..., 1]), 0, atol=1e-6)
+    # exact exponential at echo 0
+    want = np.exp(-TES[0] * SCALING * 30.0)
+    assert mags[0, 0, 8, 8] == pytest.approx(want, rel=1e-5)
+
+
+def test_unwrap_phase_recovers_linear_ramp():
+    h, w = 32, 32
+    yy = np.linspace(0, 6 * np.pi, h)[:, None] * np.ones((1, w))
+    wrapped = np.angle(np.exp(1j * yy))
+    unwrapped = unwrap_phase_2d(wrapped)
+    # unwrapping recovers the ramp up to a constant offset
+    diff = unwrapped - yy
+    assert np.std(diff) < 0.1
+
+
+def test_fit_quantitative_maps_recovers_truth():
+    rng = np.random.default_rng(0)
+    r2s_true = 25.0 + 10 * rng.random((H, W))
+    s0_true = 1.0 + rng.random((H, W))
+    b0_true = 20.0 * np.ones((H, W))
+    echoes = np.stack(
+        [
+            s0_true * np.exp(-te * SCALING * r2s_true) * np.exp(-1j * te * SCALING * b0_true)
+            for te in TES
+        ]
+    ).astype(np.complex64)
+    maps = fit_quantitative_maps(echoes, TES)
+    np.testing.assert_allclose(maps["R2star_map"], r2s_true, rtol=0.05, atol=0.5)
+    np.testing.assert_allclose(maps["B0_map"], b0_true, rtol=0.05, atol=1.0)
+
+
+def _q_inputs():
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal((B, E, C, H, W, 2)).astype(np.float32)
+    sens = rng.standard_normal((B, C, H, W, 2)).astype(np.float32)
+    sens /= np.sqrt((sens**2).sum(-1, keepdims=True).sum(1, keepdims=True))
+    mask = np.ones((B, 1, H, W), np.float32)
+    maps_init = np.abs(rng.standard_normal((B, H, W, 4))).astype(np.float32)
+    tes = jnp.asarray(TES)
+    return (jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask), jnp.asarray(maps_init), tes)
+
+
+def test_qcirim_forward():
+    cfg = {
+        "model_name": "qCIRIM",
+        "quantitative_module_num_cascades": 1,
+        "quantitative_module_time_steps": 8,
+        "quantitative_module_conv_filters": [8, 8, 4],
+        "quantitative_module_recurrent_filters": [8, 8, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    y, sens, mask, maps_init, tes = _q_inputs()
+    v = model.init(jax.random.PRNGKey(0), y, sens, mask, maps_init, tes)
+    out = model.apply(v, y, sens, mask, maps_init, tes)
+    assert out.prediction.shape == (B, H, W, 4)
+    assert out.intermediates.shape == (1, 8, B, H, W, 4)
+    assert bool(jnp.isfinite(out.prediction).all())
+    # R2* clamped non-negative
+    assert float(out.intermediates[..., 0].min()) >= 0.0
+
+
+def test_qvarnet_forward():
+    cfg = {
+        "model_name": "qVN",
+        "quantitative_module_num_cascades": 2,
+        "quantitative_module_channels": 4,
+        "quantitative_module_pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    y, sens, mask, maps_init, tes = _q_inputs()
+    v = model.init(jax.random.PRNGKey(0), y, sens, mask, maps_init, tes)
+    out = model.apply(v, y, sens, mask, maps_init, tes)
+    assert out.prediction.shape == (B, H, W, 4)
+    assert bool(jnp.isfinite(out.prediction).all())
+
+
+def test_rescale_by_max():
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 4, 8, 8)).astype(np.float32)) * 10
+    scaled, gamma = rescale_by_max(x)
+    assert float(jnp.abs(scaled).max()) <= 1.0 + 1e-5
+    np.testing.assert_allclose(np.asarray(scaled * gamma), np.asarray(x), rtol=1e-5)
