@@ -51,6 +51,17 @@ def _register_defaults():
         (("QCIRIM", "QRIM"), quant.qCIRIM),
         (("QVN", "QVARNET"), quant.qVarNet),
     ]
+    from mridc_tpu.models import segmentation as seg
+
+    entries += [
+        (("SEGMENTATIONUNET", "SEGMENTATION2DUNET"), seg.SegmentationUNet),
+        (("SEGMENTATION3DUNET",), seg.Segmentation3DUNet),
+        (("SEGMENTATIONATTENTIONUNET",), seg.SegmentationAttentionUNet),
+        (("SEGMENTATIONLAMBDAUNET",), seg.SegmentationLambdaUNet),
+        (("SEGMENTATIONVNET",), seg.SegmentationVNet),
+        (("SEGMENTATIONDYNUNET",), seg.SegmentationDYNUNet),
+        (("SEGMENTATIONUNETR",), seg.SegmentationUNetR),
+    ]
     for names, cls in entries:
         for n in names:
             MODEL_REGISTRY[n.upper()] = cls.from_config

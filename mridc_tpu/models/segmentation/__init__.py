@@ -1,0 +1,151 @@
+"""Segmentation model zoo.
+
+Functional parity with reference: mridc/collections/segmentation/nn/
+(``SegmentationUNet`` unet.py:17, ``Segmentation3DUNet`` unet3d.py:17,
+``SegmentationAttentionUNet`` attention_unet.py:17, ``SegmentationLambdaUNet``
+lambda_unet.py:17, ``SegmentationVNet`` vnet.py:19, ``SegmentationDYNUNet``
+dynunet.py:17, ``SegmentationUNetR`` unetr.py:17).
+
+Contract: ``model.apply(vars, image, train=...)`` with image [B, H, W, C_in]
+(magnitude 1ch or complex rv 2ch; reference nn/base.py:46-52) -> logits
+[B, H, W, n_classes]; class axis last. Softmax/normalization is applied by the
+loss/eval side (reference normalize_segmentation_output).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mridc_tpu.nn.seg_blocks import (
+    AttentionUnet,
+    DynUNet,
+    LambdaUnet,
+    UNETR,
+    UNet3D,
+    VNet,
+)
+from mridc_tpu.nn.unet import Unet
+
+__all__ = [
+    "SegmentationUNet",
+    "Segmentation3DUNet",
+    "SegmentationAttentionUNet",
+    "SegmentationLambdaUNet",
+    "SegmentationVNet",
+    "SegmentationDYNUNet",
+    "SegmentationUNetR",
+]
+
+
+def _seg_cfg(cfg):
+    return dict(
+        classes=cfg.get("segmentation_module_output_channels", 2),
+        chans=cfg.get("segmentation_module_channels", 32),
+        pools=cfg.get("segmentation_module_pooling_layers", 4),
+    )
+
+
+class _SegBase(nn.Module):
+    classes: int = 2
+    chans: int = 32
+    pools: int = 4
+    normalize_output: bool = False
+
+    def _maybe_norm(self, logits):
+        if self.normalize_output:
+            return jax.nn.softmax(logits, axis=-1)
+        return logits
+
+
+class SegmentationUNet(_SegBase):
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(**_seg_cfg(cfg))
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        return Unet(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+
+
+class Segmentation3DUNet(_SegBase):
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(**_seg_cfg(cfg))
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        return UNet3D(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+
+
+class SegmentationAttentionUNet(_SegBase):
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(**_seg_cfg(cfg))
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        return AttentionUnet(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+
+
+class SegmentationLambdaUNet(_SegBase):
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(**_seg_cfg(cfg))
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        return LambdaUnet(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+
+
+class SegmentationVNet(_SegBase):
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(**_seg_cfg(cfg))
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        return VNet(out_chans=self.classes, chans=self.chans, num_stages=self.pools)(image, train)
+
+
+class SegmentationDYNUNet(_SegBase):
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(**_seg_cfg(cfg))
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        return DynUNet(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+
+
+class SegmentationUNetR(_SegBase):
+    patch_size: int = 16
+    hidden_size: int = 64
+    mlp_dim: int = 256
+    num_layers: int = 8
+    num_heads: int = 4
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(
+            **_seg_cfg(cfg),
+            patch_size=cfg.get("segmentation_module_patch_size", 16),
+            hidden_size=cfg.get("segmentation_module_hidden_size", 64),
+            mlp_dim=cfg.get("segmentation_module_mlp_dim", 256),
+            num_layers=cfg.get("segmentation_module_num_layers", 8),
+            num_heads=cfg.get("segmentation_module_num_heads", 4),
+        )
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        return UNETR(
+            out_chans=self.classes,
+            patch_size=self.patch_size,
+            hidden_size=self.hidden_size,
+            mlp_dim=self.mlp_dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            feature_size=max(self.chans // 2, 4),
+        )(image, train)
+

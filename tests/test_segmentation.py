@@ -1,0 +1,92 @@
+"""Segmentation model + loss tests (reference:
+tests/collections/segmentation/models/test_*.py style)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mridc_tpu.losses.segmentation import Dice, CrossEntropyLoss, cross_entropy_loss, dice_loss, one_hot
+from mridc_tpu.models import build_model
+
+B, H, W, CLS = 1, 32, 32, 3
+
+
+SEG_CONFIGS = [
+    {"model_name": "SegmentationUNet", "segmentation_module_channels": 4, "segmentation_module_pooling_layers": 2},
+    {"model_name": "SegmentationAttentionUNet", "segmentation_module_channels": 4, "segmentation_module_pooling_layers": 2},
+    {"model_name": "SegmentationLambdaUNet", "segmentation_module_channels": 4, "segmentation_module_pooling_layers": 2},
+    {"model_name": "SegmentationVNet", "segmentation_module_channels": 4, "segmentation_module_pooling_layers": 2},
+    {"model_name": "SegmentationDYNUNet", "segmentation_module_channels": 4, "segmentation_module_pooling_layers": 2},
+    {
+        "model_name": "SegmentationUNetR",
+        "segmentation_module_channels": 8,
+        "segmentation_module_patch_size": 8,
+        "segmentation_module_hidden_size": 32,
+        "segmentation_module_mlp_dim": 64,
+        "segmentation_module_num_layers": 4,
+        "segmentation_module_num_heads": 2,
+    },
+]
+
+
+@pytest.mark.parametrize("cfg", SEG_CONFIGS, ids=lambda c: c["model_name"])
+def test_seg_forward_shapes(cfg):
+    cfg = dict(cfg, segmentation_module_output_channels=CLS)
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, W, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, mutable=["batch_stats"])
+    logits = out[0] if isinstance(out, tuple) else out
+    assert logits.shape == (B, H, W, CLS)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_seg_3d_unet():
+    cfg = {
+        "model_name": "Segmentation3DUNet",
+        "segmentation_module_output_channels": CLS,
+        "segmentation_module_channels": 4,
+        "segmentation_module_pooling_layers": 2,
+    }
+    model = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, 4, H, W, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    logits, _ = model.apply(variables, x, mutable=["batch_stats"])
+    assert logits.shape == (B, 4, H, W, CLS)
+
+
+def test_dice_perfect_prediction():
+    labels = np.random.default_rng(0).integers(0, CLS, (B, H, W))
+    target = np.asarray(one_hot(jnp.asarray(labels), CLS))
+    # logits that softmax to ~the target
+    logits = 20.0 * target
+    score, loss = dice_loss(jnp.asarray(target), jnp.asarray(logits), sigmoid=False, softmax=True)
+    assert float(score) > 0.99
+    assert float(loss) < 0.01
+
+
+def test_dice_worst_prediction():
+    target = np.zeros((B, H, W, 2), np.float32)
+    target[..., 0] = 1
+    logits = np.zeros((B, H, W, 2), np.float32)
+    logits[..., 1] = 20.0
+    score, loss = dice_loss(jnp.asarray(target), jnp.asarray(logits), sigmoid=False, softmax=True,
+                            include_background=True)
+    assert float(score) < 0.05
+
+
+def test_cross_entropy_matches_perfect():
+    labels = jnp.asarray(np.random.default_rng(1).integers(0, CLS, (B, H, W)))
+    logits = 20.0 * one_hot(labels, CLS)
+    assert float(cross_entropy_loss(labels, logits)) < 1e-3
+    ce = CrossEntropyLoss(weight=[1.0, 2.0, 1.0])
+    assert float(ce(labels, logits)) < 1e-3
+
+
+def test_dice_class_api():
+    d = Dice(include_background=False, softmax=True, sigmoid=False)
+    labels = jnp.asarray(np.random.default_rng(2).integers(0, CLS, (B, H, W)))
+    target = one_hot(labels, CLS)
+    _, loss = d(target, 20.0 * target)
+    assert float(loss) < 0.01
