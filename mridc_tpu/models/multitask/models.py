@@ -1,0 +1,416 @@
+"""Joint reconstruction + segmentation models.
+
+Functional parity with reference (mridc/collections/multitask/rs/nn/):
+  - ``MTLRS`` mtlrs.py:20 + mtlrs_base/mtlrs_block.py:20 — rs_cascades of
+    (CIRIM reconstruction + segmentation module) with multi-task feature
+    sharing: |recon x seg| tiled into the next cascade's RIM hidden states.
+  - ``IDSLR`` idslr.py:19 / ``IDSLRUNet`` idslr_unet.py:20 — shared UNet
+    encoder, separate recon/seg decoders, weighted k-space DC per iteration.
+  - ``SegNet`` segnet.py:21 — per-iteration encoder/decoder/seg-decoder stacks
+    + final 1x1 over concatenated segmentations.
+  - ``RecSegUNet`` recseg_unet.py:18 — recon UNet -> (no-grad groupnorm) ->
+    seg UNet.
+  - ``SERANet`` seranet.py:27 — recon module, then a recurrent
+    segmentation-aware refinement with DC (ConvLSTM-free equivalent using the
+    ConvGRU cell, documented deviation).
+
+Contract: ``__call__(y, sens, mask, init_pred=None, train=False) ->
+(ModelOutput, seg_logits [B, H, W, classes])``. Seg inputs are group-normed
+under stop_gradient exactly like the reference's ``torch.no_grad`` group_norm
+(seg loss does not backprop into the recon trunk).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
+from mridc_tpu.models.multitask.blocks import KSpaceDC, UnetDecoder, UnetEncoder
+from mridc_tpu.nn.dc import sens_expand, sens_reduce
+from mridc_tpu.nn.rim import RIMBlock
+from mridc_tpu.nn.rnn_cells import ConvGRUCell
+from mridc_tpu.nn.seg_blocks import AttentionUnet, LambdaUnet, VNet
+from mridc_tpu.nn.unet import Unet
+from mridc_tpu.ops.cplx import cabs, ccombine
+from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
+
+__all__ = ["MTLRS", "IDSLR", "IDSLRUNet", "SegNet", "RecSegUNet", "SERANet"]
+
+
+def _group_norm_nograd(x: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    """torch.no_grad F.group_norm equivalent: normalize + stop_gradient."""
+    b = x.shape[0]
+    flat = x.reshape(b, groups, -1)
+    mean = flat.mean(-1, keepdims=True)
+    var = flat.var(-1, keepdims=True)
+    normed = ((flat - mean) / jnp.sqrt(var + 1e-5)).reshape(x.shape)
+    return jax.lax.stop_gradient(normed)
+
+
+def _make_seg_module(kind: str, classes: int, chans: int, pools: int):
+    kind = str(kind).lower()
+    if kind == "unet":
+        return Unet(out_chans=classes, chans=chans, num_pool_layers=pools)
+    if kind == "attentionunet":
+        return AttentionUnet(out_chans=classes, chans=chans, num_pool_layers=pools)
+    if kind == "lambdaunet":
+        return LambdaUnet(out_chans=classes, chans=chans, num_pool_layers=pools)
+    if kind == "vnet":
+        return VNet(out_chans=classes, chans=chans, num_stages=pools)
+    raise ValueError(f"Unknown segmentation module {kind!r}")
+
+
+class MTLRS(BaseReconModel):
+    rs_cascades: int = 5
+    recon_num_cascades: int = 1
+    recon_time_steps: int = 8
+    recon_recurrent_layer: str = "IndRNN"
+    recon_conv_filters: Sequence[int] = (64, 64, 2)
+    recon_recurrent_filters: Sequence[int] = (64, 64, 0)
+    seg_module: str = "attentionunet"
+    seg_classes: int = 2
+    seg_channels: int = 32
+    seg_pools: int = 2
+    input_channels: int = 2
+    magnitude_input: bool = False
+    normalize_segmentation_output: bool = True
+    task_adaption_type: str = "multi_task_learning"
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(
+            rs_cascades=cfg.get("joint_reconstruction_segmentation_module_cascades", 5),
+            recon_num_cascades=cfg.get("reconstruction_module_num_cascades", 1),
+            recon_time_steps=cfg.get("reconstruction_module_time_steps", 8),
+            recon_recurrent_layer=cfg.get("reconstruction_module_recurrent_layer", "IndRNN"),
+            recon_conv_filters=tuple(cfg.get("reconstruction_module_conv_filters", (64, 64, 2))),
+            recon_recurrent_filters=tuple(cfg.get("reconstruction_module_recurrent_filters", (64, 64, 0))),
+            seg_module=cfg.get("segmentation_module", "attentionunet"),
+            seg_classes=cfg.get("segmentation_module_output_channels", 2),
+            seg_channels=cfg.get("segmentation_module_channels", 32),
+            seg_pools=cfg.get("segmentation_module_pooling_layers", 2),
+            input_channels=cfg.get("segmentation_module_input_channels", 2),
+            magnitude_input=cfg.get("magnitude_input", False),
+            normalize_segmentation_output=cfg.get("normalize_segmentation_output", True),
+            task_adaption_type=cfg.get("task_adaption_type", "multi_task_learning"),
+            fft_centered=cfg.get("fft_centered", False),
+            fft_normalization=cfg.get("fft_normalization", "backward"),
+            spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
+            coil_dim=cfg.get("coil_dim", 1),
+            coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
+        )
+
+    @nn.compact
+    def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
+        mask = expand_mask(mask)
+        eta = init_pred if (init_pred is not None and init_pred.ndim >= 4) else None
+        hx = None
+        all_recons = []
+        seg = None
+        for _ in range(self.rs_cascades):
+            # reconstruction trunk: CIRIM cascades with threaded hidden state
+            cascade_etas = []
+            for c in range(self.recon_num_cascades):
+                block = RIMBlock(
+                    recurrent_layer=self.recon_recurrent_layer,
+                    conv_filters=self.recon_conv_filters,
+                    recurrent_filters=self.recon_recurrent_filters,
+                    time_steps=self.recon_time_steps,
+                    no_dc=True,
+                    fft_centered=self.fft_centered,
+                    fft_normalization=self.fft_normalization,
+                    spatial_dims=self.spatial_dims,
+                    coil_dim=self.coil_dim,
+                )
+                etas, eta, hx = block(y, sens, mask, eta=eta, hx=hx, return_hx=True)
+                cascade_etas.append(etas)
+            all_recons.append(jnp.stack(cascade_etas, 0))  # [C, T, B, H, W, 2]
+
+            # segmentation head on the (no-grad group-normed) reconstruction
+            if self.input_channels == 1 or self.magnitude_input:
+                seg_in = cabs(eta)[..., None]
+            else:
+                seg_in = eta
+            seg_in = _group_norm_nograd(seg_in)
+            seg = _make_seg_module(self.seg_module, self.seg_classes, self.seg_channels, self.seg_pools)(
+                seg_in, train
+            )
+            seg = jnp.abs(seg)
+            if self.normalize_segmentation_output:
+                seg = seg / jnp.maximum(seg.max(), 1e-12)
+
+            # task adaption: feed |recon * seg| into the next cascade's hidden state
+            if self.task_adaption_type == "multi_task_learning" and hx is not None:
+                recon_mag = cabs(eta)[..., None]  # [B, H, W, 1]
+                shared = jnp.abs(recon_mag * seg)  # [B, H, W, classes]
+                new_hx = []
+                for h in hx:
+                    reps = h.shape[-1] // self.seg_classes
+                    tiled = jnp.tile(shared, (1, 1, 1, max(reps, 1)))
+                    if tiled.shape[-1] < h.shape[-1]:
+                        tiled = jnp.pad(tiled, ((0, 0),) * 3 + ((0, h.shape[-1] - tiled.shape[-1]),))
+                    new_hx.append(h + tiled[..., : h.shape[-1]])
+                hx = tuple(new_hx)
+
+        intermediates = jnp.concatenate(all_recons, 0)
+        return ModelOutput(prediction=eta, intermediates=intermediates), seg
+
+
+class IDSLR(BaseReconModel):
+    """Shared encoder; recon decoder + seg decoder; k-space DC per iteration."""
+
+    num_iters: int = 5
+    chans: int = 32
+    num_pools: int = 4
+    seg_classes: int = 2
+    use_seg_unet_decoder_only: bool = False
+    magnitude_input: bool = False
+    norm_groups: int = 2
+    normalize_segmentation_output: bool = True
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(
+            num_iters=cfg.get("num_iters", 5),
+            chans=cfg.get("segmentation_module_channels", cfg.get("channels", 32)),
+            num_pools=cfg.get("segmentation_module_pooling_layers", cfg.get("pooling_layers", 4)),
+            seg_classes=cfg.get("segmentation_module_output_channels", 2),
+            magnitude_input=cfg.get("magnitude_input", False),
+            normalize_segmentation_output=cfg.get("normalize_segmentation_output", True),
+            fft_centered=cfg.get("fft_centered", False),
+            fft_normalization=cfg.get("fft_normalization", "backward"),
+            spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
+            coil_dim=cfg.get("coil_dim", 1),
+            coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
+        )
+
+    def _coils_to_channels(self, img):
+        b, c, h, w, _ = img.shape
+        return img.transpose(0, 2, 3, 1, 4).reshape(b, h, w, 2 * c)
+
+    def _channels_to_coils(self, x, coils):
+        b, h, w, _ = x.shape
+        return x.reshape(b, h, w, coils, 2).transpose(0, 3, 1, 2, 4)
+
+    @nn.compact
+    def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
+        del init_pred
+        mask = expand_mask(mask)
+        coils = y.shape[1]
+        encoder = UnetEncoder(chans=self.chans, num_pools=self.num_pools)
+        recon_decoder = UnetDecoder(out_chans=2 * coils, chans=self.chans, num_pools=self.num_pools)
+        seg_decoder = (
+            Unet(out_chans=self.seg_classes, chans=self.chans, num_pool_layers=self.num_pools)
+            if self.use_seg_unet_decoder_only
+            else UnetDecoder(out_chans=self.seg_classes, chans=self.chans, num_pools=self.num_pools)
+        )
+        dc = KSpaceDC()
+
+        y_pred = y
+        stack = None
+        for _ in range(self.num_iters):
+            img = ifft2_rv(y_pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
+            x = self._coils_to_channels(img)
+            stack = encoder(x, train)
+            delta = recon_decoder(stack, train)
+            recon = self._channels_to_coils(delta, coils) + img
+            pred_k = fft2_rv(recon, self.fft_centered, self.fft_normalization, self.spatial_dims)
+            y_pred = dc(pred_k, y, mask)
+
+        image = ifft2_rv(y_pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        prediction = ccombine(image, sens, self.coil_combination_method, self.coil_dim)
+
+        seg_stack = [_group_norm_nograd(s, self.norm_groups) for s in stack]
+        if self.magnitude_input:
+            seg_stack = [jnp.abs(s) for s in seg_stack]
+        if self.use_seg_unet_decoder_only:
+            seg = seg_decoder(seg_stack[0], train)
+        else:
+            seg = seg_decoder(seg_stack, train)
+        seg = jnp.abs(seg)
+        if self.normalize_segmentation_output:
+            seg = seg / jnp.maximum(seg.max(), 1e-12)
+        return ModelOutput(prediction=prediction), seg
+
+
+class IDSLRUNet(IDSLR):
+    """IDSLR variant with a full UNet as the segmentation head
+    (reference idslr_unet.py:20)."""
+
+    use_seg_unet_decoder_only: bool = True
+
+
+class SegNet(BaseReconModel):
+    """Per-iteration encoders/decoders/seg-decoders + final 1x1 over the
+    concatenated segmentations (reference segnet.py:21)."""
+
+    num_iters: int = 2
+    chans: int = 32
+    num_pools: int = 4
+    seg_classes: int = 2
+    norm_groups: int = 2
+    magnitude_input: bool = False
+    normalize_segmentation_output: bool = True
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(
+            num_iters=cfg.get("num_iters", 2),
+            chans=cfg.get("segmentation_module_channels", cfg.get("channels", 32)),
+            num_pools=cfg.get("segmentation_module_pooling_layers", cfg.get("pooling_layers", 4)),
+            seg_classes=cfg.get("segmentation_module_output_channels", 2),
+            magnitude_input=cfg.get("magnitude_input", False),
+            normalize_segmentation_output=cfg.get("normalize_segmentation_output", True),
+            fft_centered=cfg.get("fft_centered", False),
+            fft_normalization=cfg.get("fft_normalization", "backward"),
+            spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
+            coil_dim=cfg.get("coil_dim", 1),
+            coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
+        )
+
+    @nn.compact
+    def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
+        del init_pred
+        mask = expand_mask(mask)
+        coils = y.shape[1]
+        helper = IDSLR  # reuse coil<->channel reshapes
+        y_pred = y
+        segs = []
+        for _ in range(self.num_iters):
+            img = ifft2_rv(y_pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
+            x = helper._coils_to_channels(self, img)
+            stack = UnetEncoder(chans=self.chans, num_pools=self.num_pools)(x, train)
+            seg_stack = [_group_norm_nograd(s, self.norm_groups) for s in stack]
+            if self.magnitude_input:
+                seg_stack = [jnp.abs(s) for s in seg_stack]
+            segs.append(
+                UnetDecoder(out_chans=self.seg_classes, chans=self.chans, num_pools=self.num_pools)(
+                    seg_stack, train
+                )
+            )
+            delta = UnetDecoder(out_chans=2 * coils, chans=self.chans, num_pools=self.num_pools)(stack, train)
+            recon = helper._channels_to_coils(self, delta, coils) + img
+            pred_k = fft2_rv(recon, self.fft_centered, self.fft_normalization, self.spatial_dims)
+            y_pred = KSpaceDC()(pred_k, y, mask)
+
+        image = ifft2_rv(y_pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
+        prediction = ccombine(image, sens, self.coil_combination_method, self.coil_dim)
+        seg = nn.Conv(self.seg_classes, (1, 1))(jnp.concatenate(segs, axis=-1))
+        if self.normalize_segmentation_output:
+            seg = seg / jnp.maximum(seg.max(), 1e-12)
+        return ModelOutput(prediction=prediction), seg
+
+
+class RecSegUNet(BaseReconModel):
+    """Recon UNet -> (no-grad norm) -> Seg UNet (reference recseg_unet.py:18)."""
+
+    recon_chans: int = 64
+    recon_pools: int = 2
+    seg_chans: int = 64
+    seg_pools: int = 2
+    seg_classes: int = 2
+    input_channels: int = 1
+    normalize_segmentation_output: bool = True
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(
+            recon_chans=cfg.get("reconstruction_module_channels", 64),
+            recon_pools=cfg.get("reconstruction_module_pooling_layers", 2),
+            seg_chans=cfg.get("segmentation_module_channels", 64),
+            seg_pools=cfg.get("segmentation_module_pooling_layers", 2),
+            seg_classes=cfg.get("segmentation_module_output_channels", 2),
+            input_channels=cfg.get("segmentation_module_input_channels", 1),
+            normalize_segmentation_output=cfg.get("normalize_segmentation_output", True),
+            fft_centered=cfg.get("fft_centered", False),
+            fft_normalization=cfg.get("fft_normalization", "backward"),
+            spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
+            coil_dim=cfg.get("coil_dim", 1),
+            coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
+        )
+
+    @nn.compact
+    def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
+        del mask
+        if init_pred is None or init_pred.ndim < 4:
+            init_pred = self.zero_filled(y, sens)
+        x = cabs(init_pred)[..., None] if self.input_channels == 1 else init_pred
+        recon = Unet(out_chans=x.shape[-1], chans=self.recon_chans, num_pool_layers=self.recon_pools)(x, train)
+        seg_in = _group_norm_nograd(recon)
+        seg = Unet(out_chans=self.seg_classes, chans=self.seg_chans, num_pool_layers=self.seg_pools)(seg_in, train)
+        seg = jnp.abs(seg)
+        if self.normalize_segmentation_output:
+            seg = seg / jnp.maximum(seg.max(), 1e-12)
+        pred = recon[..., 0] if recon.shape[-1] == 1 else recon
+        if pred.ndim == 3:
+            pred = jnp.stack([pred, jnp.zeros_like(pred)], -1)
+        return ModelOutput(prediction=pred), seg
+
+
+class SERANet(BaseReconModel):
+    """Segmentation-aware recurrent reconstruction (reference seranet.py:27:
+    recon conv module -> seg module -> recurrent refinement over
+    (recon, seg) with DC; the reference's ConvLSTM is replaced by the shared
+    ConvGRU cell — same role, one less gate)."""
+
+    num_iterations: int = 3
+    recon_chans: int = 32
+    recon_pools: int = 2
+    seg_chans: int = 32
+    seg_pools: int = 2
+    seg_classes: int = 2
+    hidden_channels: int = 32
+    normalize_segmentation_output: bool = True
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(
+            num_iterations=cfg.get("num_iterations", 3),
+            recon_chans=cfg.get("reconstruction_module_channels", 32),
+            recon_pools=cfg.get("reconstruction_module_pooling_layers", 2),
+            seg_chans=cfg.get("segmentation_module_channels", 32),
+            seg_pools=cfg.get("segmentation_module_pooling_layers", 2),
+            seg_classes=cfg.get("segmentation_module_output_channels", 2),
+            hidden_channels=cfg.get("recurrent_hidden_channels", 32),
+            normalize_segmentation_output=cfg.get("normalize_segmentation_output", True),
+            fft_centered=cfg.get("fft_centered", False),
+            fft_normalization=cfg.get("fft_normalization", "backward"),
+            spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
+            coil_dim=cfg.get("coil_dim", 1),
+            coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
+        )
+
+    @nn.compact
+    def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
+        mask = expand_mask(mask)
+        m = mask[..., None]
+        recon = self.sense_init(y, sens)  # [B, H, W, 2]
+        recon = recon + Unet(out_chans=2, chans=self.recon_chans, num_pool_layers=self.recon_pools)(recon, train)
+        seg = Unet(out_chans=self.seg_classes, chans=self.seg_chans, num_pool_layers=self.seg_pools)(
+            _group_norm_nograd(recon), train
+        )
+
+        cell = ConvGRUCell(hidden_size=self.hidden_channels, kernel_size=3)
+        to_img = nn.Conv(2, (3, 3), padding="SAME")
+        h = jnp.zeros(recon.shape[:3] + (self.hidden_channels,), jnp.float32)
+        for _ in range(self.num_iterations):
+            inp = jnp.concatenate([recon, seg], axis=-1)
+            h = cell(inp, h)
+            recon = recon + to_img(h)
+            # data consistency back through the coils
+            pred_k = sens_expand(recon, sens, self.fft_centered, self.fft_normalization, self.spatial_dims)
+            pred_k = jnp.where(m.astype(bool), y, pred_k)
+            recon = sens_reduce(
+                pred_k, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
+            )
+        seg = Unet(out_chans=self.seg_classes, chans=self.seg_chans, num_pool_layers=self.seg_pools)(
+            _group_norm_nograd(jnp.concatenate([recon, seg], -1)), train
+        )
+        seg = jnp.abs(seg)
+        if self.normalize_segmentation_output:
+            seg = seg / jnp.maximum(seg.max(), 1e-12)
+        return ModelOutput(prediction=recon), seg

@@ -62,6 +62,16 @@ def _register_defaults():
         (("SEGMENTATIONDYNUNET",), seg.SegmentationDYNUNet),
         (("SEGMENTATIONUNETR",), seg.SegmentationUNetR),
     ]
+    from mridc_tpu.models import multitask as mt
+
+    entries += [
+        (("MTLRS",), mt.MTLRS),
+        (("IDSLR",), mt.IDSLR),
+        (("IDSLRUNET",), mt.IDSLRUNet),
+        (("SEGNET",), mt.SegNet),
+        (("RECSEGNET", "RECSEGUNET"), mt.RecSegUNet),
+        (("SERANET",), mt.SERANet),
+    ]
     for names, cls in entries:
         for n in names:
             MODEL_REGISTRY[n.upper()] = cls.from_config

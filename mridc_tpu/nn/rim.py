@@ -112,16 +112,21 @@ class RIMBlock(nn.Module):
         mask: jnp.ndarray,
         eta: Optional[jnp.ndarray] = None,
         sigma: float = 1.0,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (etas [T, B, H, W, 2], final_eta [B, H, W, 2]) real views."""
+        hx: Optional[Tuple[jnp.ndarray, ...]] = None,
+        return_hx: bool = False,
+    ):
+        """Returns (etas [T, B, H, W, 2], final_eta [B, H, W, 2]) real views,
+        plus the final hidden states when ``return_hx`` (MTLRS feature sharing,
+        reference multitask/rs/nn/mtlrs.py hx threading)."""
         if eta is None:
             eta = sens_reduce(
                 y, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
             )
         b, h, w = eta.shape[0], eta.shape[1], eta.shape[2]
-        hx = tuple(
-            jnp.zeros((b, h, w, f), jnp.float32) for f in self.recurrent_filters if f != 0
-        )
+        if hx is None:
+            hx = tuple(
+                jnp.zeros((b, h, w, f), jnp.float32) for f in self.recurrent_filters if f != 0
+            )
 
         scan = nn.scan(
             _RIMStep,
@@ -145,9 +150,11 @@ class RIMBlock(nn.Module):
             spatial_dims=self.spatial_dims,
             coil_dim=self.coil_dim,
         )
-        (eta, _), etas = scan((eta, hx), None, y, sens, mask, sigma)
+        (eta, hx_out), etas = scan((eta, hx), None, y, sens, mask, sigma)
 
         if self.no_dc:
+            if return_hx:
+                return etas, eta, hx_out
             return etas, eta
 
         # soft-DC variant: project each eta back to k-space with learned weight
@@ -157,4 +164,6 @@ class RIMBlock(nn.Module):
         eta_dc = sens_reduce(
             current_kspace, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
         )
+        if return_hx:
+            return etas, eta_dc, hx_out
         return etas, eta_dc

@@ -1,0 +1,98 @@
+"""Multitask (joint reconstruction+segmentation) model tests (reference:
+tests/collections/multitask/rs/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mridc_tpu.models import build_model
+
+B, C, H, W, CLS = 1, 2, 32, 32, 3
+
+COMMON = {
+    "fft_centered": True,
+    "fft_normalization": "ortho",
+    "segmentation_module_output_channels": CLS,
+    "segmentation_module_channels": 4,
+    "segmentation_module_pooling_layers": 2,
+}
+
+CONFIGS = [
+    {
+        "model_name": "MTLRS",
+        "joint_reconstruction_segmentation_module_cascades": 2,
+        "reconstruction_module_num_cascades": 1,
+        "reconstruction_module_time_steps": 8,
+        "reconstruction_module_conv_filters": [8, 8, 2],
+        "reconstruction_module_recurrent_filters": [8, 8, 0],
+        "segmentation_module": "attentionunet",
+        **COMMON,
+    },
+    {"model_name": "IDSLR", "num_iters": 2, **COMMON},
+    {"model_name": "IDSLRUNET", "num_iters": 2, **COMMON},
+    {"model_name": "SEGNET", "num_iters": 2, **COMMON},
+    {
+        "model_name": "RECSEGNET",
+        "reconstruction_module_channels": 4,
+        "reconstruction_module_pooling_layers": 2,
+        **COMMON,
+    },
+    {
+        "model_name": "SERANET",
+        "num_iterations": 2,
+        "reconstruction_module_channels": 4,
+        "reconstruction_module_pooling_layers": 2,
+        "recurrent_hidden_channels": 8,
+        **COMMON,
+    },
+]
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    y = jnp.asarray(rng.standard_normal((B, C, H, W, 2)).astype(np.float32))
+    sens = jnp.asarray(rng.standard_normal((B, C, H, W, 2)).astype(np.float32))
+    mask = jnp.asarray((rng.random((B, 1, H, W)) < 0.4).astype(np.float32))
+    return y, sens, mask
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: c["model_name"])
+def test_multitask_forward(cfg):
+    model = build_model(cfg)
+    y, sens, mask = _inputs()
+    variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+    out, seg = model.apply(variables, y, sens, mask)
+    assert out.prediction.shape == (B, H, W, 2)
+    assert seg.shape == (B, H, W, CLS)
+    assert bool(jnp.isfinite(out.prediction).all())
+    assert bool(jnp.isfinite(seg).all())
+
+
+def test_mtlrs_returns_intermediates():
+    model = build_model(CONFIGS[0])
+    y, sens, mask = _inputs()
+    variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+    out, seg = model.apply(variables, y, sens, mask)
+    # rs_cascades(2) x recon cascades(1) stacked on axis 0, 8 time steps
+    assert out.intermediates.shape == (2, 8, B, H, W, 2)
+
+
+def test_seg_path_does_not_backprop_to_recon():
+    """The reference computes the seg input under no_grad; the seg loss must
+    not produce gradients in the reconstruction trunk."""
+    cfg = CONFIGS[4]  # RecSegUNet: clean separation
+    model = build_model(cfg)
+    y, sens, mask = _inputs()
+    variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+
+    def seg_loss(params):
+        _, seg = model.apply({"params": params}, y, sens, mask)
+        return (seg**2).mean()
+
+    grads = jax.grad(seg_loss)(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    recon_norms = [jnp.abs(g).max() for p, g in flat if "Unet_0" in str(p)]
+    seg_norms = [jnp.abs(g).max() for p, g in flat if "Unet_1" in str(p)]
+    assert max(float(x) for x in recon_norms) == 0.0
+    assert max(float(x) for x in seg_norms) > 0.0
