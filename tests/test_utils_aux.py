@@ -1,0 +1,101 @@
+"""Auxiliary-subsystem tests: timers, env parsing, run context, export, sweep,
+debug stats (reference: mridc/utils/*, core/utils/process_launcher, core/classes/export)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mridc_tpu.utils.debug import intermediate_stats, tree_stats
+from mridc_tpu.utils.env import (
+    CoercionError,
+    RequiredSettingMissingError,
+    get_envbool,
+    get_envfloat,
+    get_envint,
+    get_envlist,
+)
+from mridc_tpu.utils.export import export_model, verify_runtime
+from mridc_tpu.utils.run_context import RunContext, get_run_context
+from mridc_tpu.utils.sweep import expand_sweep
+from mridc_tpu.utils.timers import NamedTimer
+
+
+def test_named_timer():
+    t = NamedTimer()
+    t.start("a")
+    t.stop("a")
+    assert t.get("a") >= 0
+    t.start("b")
+    assert "b" in t.active_timers
+    t.stop("b")
+    assert t.export().keys() == {"a", "b"}
+    with pytest.raises(RuntimeError):
+        t.stop("nope")
+    t2 = NamedTimer(buffer_size=2)
+    for _ in range(4):
+        t2.start()
+        t2.stop()
+    assert t2.get() >= 0
+
+
+def test_env_parsing(monkeypatch):
+    monkeypatch.setenv("MRIDC_T_INT", "42")
+    monkeypatch.setenv("MRIDC_T_BOOL", "false")
+    monkeypatch.setenv("MRIDC_T_FLOAT", "1.5")
+    monkeypatch.setenv("MRIDC_T_LIST", "a,b,c")
+    assert get_envint("MRIDC_T_INT") == 42
+    assert get_envbool("MRIDC_T_BOOL") is False
+    assert get_envfloat("MRIDC_T_FLOAT") == 1.5
+    assert get_envlist("MRIDC_T_LIST") == ["a", "b", "c"]
+    assert get_envint("MRIDC_T_MISSING", 7) == 7
+    with pytest.raises(RequiredSettingMissingError):
+        get_envint("MRIDC_T_MISSING2")
+    monkeypatch.setenv("MRIDC_T_BAD", "notanint")
+    with pytest.raises(CoercionError):
+        get_envint("MRIDC_T_BAD")
+
+
+def test_run_context():
+    ctx = get_run_context()
+    assert ctx.process_index == 0
+    assert ctx.world_size >= 1
+    ctx2 = RunContext(exp_name="x")
+    assert ctx2.data_parallel_size >= 1
+
+
+def test_export_roundtrip(tmp_path):
+    def fn(x, w):
+        return jnp.tanh(x @ w)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)).astype(np.float32))
+    w = jnp.asarray(np.random.default_rng(1).standard_normal((8, 2)).astype(np.float32))
+    path = export_model(fn, (x, w), tmp_path / "model.stablehlo")
+    assert path.exists() and path.stat().st_size > 0
+    assert verify_runtime(fn, (x, w), path)
+
+
+def test_expand_sweep():
+    jobs = expand_sweep({"model.lr": [1e-3, 1e-4], "model.n": [2, 4]})
+    assert len(jobs) == 4
+    assert ["model.lr=0.001", "model.n=2"] in jobs
+
+
+def test_debug_stats():
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4)(nn.relu(nn.Dense(8)(x)))
+
+    m = M()
+    x = jnp.ones((2, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    stats = intermediate_stats(m, v, x)
+    assert stats  # captured something
+    g = jax.grad(lambda p: (m.apply({"params": p}, x) ** 2).mean())(v["params"])
+    gs = tree_stats(g)
+    assert any("Dense" in k for k in gs)
