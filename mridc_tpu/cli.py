@@ -1,0 +1,82 @@
+"""Console interface: ``python -m mridc_tpu <subcommand>``.
+
+Functional parity with reference: mridc/cli/ (``mridc run -c config``
+cli/launch.py:48-61; the Streamlit ``mridc app`` GUI is out of scope in this
+environment — ``app`` prints a pointer instead). Adds ``models`` (registry
+listing) and ``sweep`` (multirun, replacing the hydra -m ProcessLauncher).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+__all__ = ["main"]
+
+
+def _cmd_run(args):
+    from mridc_tpu.launch import run_from_config
+    from mridc_tpu.train.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+    run_from_config(cfg)
+
+
+def _cmd_models(_args):
+    from mridc_tpu.models import available_models
+
+    for name in available_models():
+        print(name)
+
+
+def _cmd_sweep(args):
+    from mridc_tpu.utils.sweep import launch_sweep
+
+    sweep = {}
+    for item in args.set or []:
+        key, _, values = item.partition("=")
+        sweep[key] = values.split(",")
+    cfg_path = Path(args.config)
+    codes = launch_sweep(
+        str(cfg_path.parent), cfg_path.name, sweep, num_slots=args.num_slots, jobs_per_slot=args.jobs_per_slot
+    )
+    sys.exit(max(codes) if codes else 0)
+
+
+def _cmd_app(_args):
+    print(
+        "The interactive GUI is not bundled in this environment. Use "
+        "`python -m mridc_tpu run -c <config.yaml>` or the python API "
+        "(mridc_tpu.launch.run_from_config)."
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="mridc_tpu", description="TPU-native MRI analysis framework")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run_p = sub.add_parser("run", help="Train or evaluate a model from a YAML config")
+    run_p.add_argument("-c", "--config", required=True)
+    run_p.add_argument("overrides", nargs="*", help="key=value dotlist overrides")
+    run_p.set_defaults(func=_cmd_run)
+
+    models_p = sub.add_parser("models", help="List registered model names")
+    models_p.set_defaults(func=_cmd_models)
+
+    sweep_p = sub.add_parser("sweep", help="Multirun over config overrides")
+    sweep_p.add_argument("-c", "--config", required=True)
+    sweep_p.add_argument("--set", action="append", help="key=v1,v2,... (repeatable)")
+    sweep_p.add_argument("--num-slots", type=int, default=1)
+    sweep_p.add_argument("--jobs-per-slot", type=int, default=1)
+    sweep_p.set_defaults(func=_cmd_sweep)
+
+    app_p = sub.add_parser("app", help="Interactive GUI (pointer only in this build)")
+    app_p.set_defaults(func=_cmd_app)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

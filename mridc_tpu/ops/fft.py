@@ -126,20 +126,34 @@ def _dft_mats(n: int, inverse: bool, centered: bool, normalization: str):
     return mat.real.astype(_np.float32), mat.imag.astype(_np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _dft_mats_gauss(n: int, inverse: bool, centered: bool, normalization: str):
+    """(Mr, Mr+Mi, Mi-Mr) — the three constant matrices of the Gauss
+    3-multiplication complex product."""
+    mr, mi = _dft_mats(n, inverse, centered, normalization)
+    return mr, mr + mi, mi - mr
+
+
 def _matmul_dft_rv(x, inverse: bool, centered: bool, normalization: str):
+    """Complex 2D DFT as 6 real matmuls (Gauss trick, 3 per axis):
+      k1 = Mr(xr+xi); k2 = (Mr+Mi)xi; k3 = (Mi-Mr)xr; re = k1-k2; im = k1+k3.
+    """
     h, w = x.shape[-3], x.shape[-2]
-    hr, hi = _dft_mats(h, inverse, centered, normalization)
-    wr, wi = _dft_mats(w, inverse, centered, normalization)
+    h_r, h_sum, h_dif = _dft_mats_gauss(h, inverse, centered, normalization)
+    w_r, w_sum, w_dif = _dft_mats_gauss(w, inverse, centered, normalization)
     xr, xi = x[..., 0], x[..., 1]
-    prec = jax.lax.Precision.HIGHEST
-    ein = functools.partial(jnp.einsum, precision=prec)
-    # transform along h: t[..., h, w] = sum_k M_h[h, k] x[..., k, w]
-    tr = ein("hk,...kw->...hw", hr, xr) - ein("hk,...kw->...hw", hi, xi)
-    ti = ein("hk,...kw->...hw", hr, xi) + ein("hk,...kw->...hw", hi, xr)
-    # transform along w: y[..., h, w] = sum_k t[..., h, k] M_w[w, k]
-    yr = ein("...hk,wk->...hw", tr, wr) - ein("...hk,wk->...hw", ti, wi)
-    yi = ein("...hk,wk->...hw", tr, wi) + ein("...hk,wk->...hw", ti, wr)
-    return jnp.stack([yr, yi], axis=-1)
+    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+    # transform along h: y[..., h, w] = sum_k M[h, k] x[..., k, w]
+    k1 = ein("hk,...kw->...hw", h_r, xr + xi)
+    k2 = ein("hk,...kw->...hw", h_sum, xi)
+    k3 = ein("hk,...kw->...hw", h_dif, xr)
+    tr, ti = k1 - k2, k1 + k3
+    # transform along w: y[..., h, w] = sum_k t[..., h, k] M[w, k]
+    k1 = ein("...hk,wk->...hw", tr + ti, w_r)
+    k2 = ein("...hk,wk->...hw", ti, w_sum)
+    k3 = ein("...hk,wk->...hw", tr, w_dif)
+    return jnp.stack([k1 - k2, k1 + k3], axis=-1)
 
 
 def _native_rv(x, inverse: bool, centered: bool, normalization: str):
