@@ -24,9 +24,9 @@ import time
 import numpy as np
 
 COILS, H, W = 15, 320, 320
-BATCH = 4
+BATCH = 16
 WARMUP = 2
-ITERS = 25  # ITERS * BATCH = 100 slices
+ITERS = 7  # ITERS * BATCH = 112 slices
 CASCADES, TIME_STEPS, FILTERS = 5, 8, 64
 
 

@@ -302,6 +302,9 @@ class BatchLoader:
             n2r_pair = (masked_kspace[1], mask[1])
             masked_kspace, mask = masked_kspace[0], mask[0]
 
+        if n2r_pair is not None and isinstance(prediction, list) and len(prediction) == 2:
+            prediction = prediction[0]  # [clean, noise] -> clean (n2r transform layout)
+
         if isinstance(masked_kspace, list):
             if len(masked_kspace) > 1 and self.select_acceleration == "random":
                 r = int(self.rng.randint(len(masked_kspace)))
@@ -310,10 +313,11 @@ class BatchLoader:
             masked_kspace = masked_kspace[r]
             mask = mask[r]
             acc = acc[r] if isinstance(acc, (list, tuple)) else acc
-            if isinstance(prediction, list) and len(prediction) and isinstance(prediction[0], np.ndarray):
-                prediction = prediction[r] if len(prediction) > r else prediction[0]
         else:
             r = 0
+        # unwrap per-acceleration prediction lists down to a single array
+        while isinstance(prediction, list) and len(prediction):
+            prediction = prediction[min(r, len(prediction) - 1)]
         return masked_kspace, mask, acc, prediction, r, n2r_pair
 
     def __iter__(self):
@@ -331,9 +335,14 @@ class BatchLoader:
 
     def _collate(self, samples):
         ks, mks, sens, msks, preds, tgts, fnames, sidx, accs, attrs = [], [], [], [], [], [], [], [], [], []
+        n2r_ks, n2r_ms = [], []
         for s in samples:
             kspace, masked_kspace, sensitivity_map, mask, prediction, target, fname, slice_idx, acc, attr = s
-            masked_kspace, mask, acc, prediction, r, _ = self._select(masked_kspace, mask, acc, prediction)
+            masked_kspace, mask, acc, prediction, r, n2r_pair = self._select(masked_kspace, mask, acc, prediction)
+            if n2r_pair is not None:
+                n2r_masked, n2r_mask = n2r_pair
+                n2r_ks.append(n2r_masked[r] if isinstance(n2r_masked, list) else n2r_masked)
+                n2r_ms.append(np.asarray(n2r_mask[r] if isinstance(n2r_mask, list) else n2r_mask, np.float32))
             if isinstance(kspace, list):
                 kspace = kspace[r]
             # SSDU: mask entry is [train, loss]
@@ -378,7 +387,7 @@ class BatchLoader:
             return _pad_to(m, target)
 
         masks = np.stack([pad_mask(m) for m in msks], 0)
-        return {
+        out_batch = {
             "kspace": stack_c(ks),
             "masked_kspace": stack_c(mks),
             "sensitivity_maps": stack_c(sens),
@@ -390,3 +399,7 @@ class BatchLoader:
             "acceleration": np.asarray(accs, np.float32),
             "attrs": attrs,
         }
+        if n2r_ks:
+            out_batch["n2r_masked_kspace"] = stack_c(n2r_ks)
+            out_batch["n2r_mask"] = np.stack([pad_mask(m) for m in n2r_ms], 0)
+        return out_batch

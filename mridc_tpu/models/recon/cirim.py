@@ -41,6 +41,7 @@ class CIRIM(BaseReconModel):
     num_cascades: int = 5
     no_dc: bool = True
     keep_prediction: bool = True
+    compute_dtype: str = None
 
     @classmethod
     def from_config(cls, cfg):
@@ -60,6 +61,7 @@ class CIRIM(BaseReconModel):
             num_cascades=cfg.get("num_cascades", 5),
             no_dc=cfg.get("no_dc", True),
             keep_prediction=cfg.get("keep_prediction", cfg.get("keep_eta", True)),
+            compute_dtype=cfg.get("compute_dtype", None),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -87,6 +89,7 @@ class CIRIM(BaseReconModel):
             fft_normalization=self.fft_normalization,
             spatial_dims=self.spatial_dims,
             coil_dim=self.coil_dim,
+            compute_dtype=self.compute_dtype,
         )
         if init_pred is not None and init_pred.ndim >= 4:
             eta0 = init_pred

@@ -66,13 +66,15 @@ class InstanceNorm(nn.Module):
 class ConvNonlinear(nn.Module):
     """Replication-padded conv + nonlinearity (reference:
     mridc/collections/reconstruction/nn/rim/conv_layers.py:44 ``ConvNonlinear``
-    — ReplicationPad2d then VALID Conv2d)."""
+    — ReplicationPad2d then VALID Conv2d). ``dtype`` selects the compute dtype
+    (bf16 feeds the MXU at full rate; params stay f32)."""
 
     features: int
     kernel_size: int = 3
     dilation: int = 1
     use_bias: bool = True
     nonlinear: Optional[str] = "relu"
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -86,6 +88,7 @@ class ConvNonlinear(nn.Module):
             padding="VALID",
             use_bias=self.use_bias,
             kernel_init=nn.initializers.kaiming_normal(),
+            dtype=self.dtype,
         )(x)
         if self.nonlinear is None or self.nonlinear.lower() == "none":
             return x

@@ -41,6 +41,7 @@ class _RIMStep(nn.Module):
     fft_normalization: str = "backward"
     spatial_dims: Sequence[int] = (-2, -1)
     coil_dim: int = 1
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, carry, _, y, sens, mask, sigma):
@@ -56,6 +57,8 @@ class _RIMStep(nn.Module):
             spatial_dims=self.spatial_dims,
             coil_dim=self.coil_dim,
         )
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         new_hx = []
         nonlinears = ["relu", "relu", None]
         h_idx = 0
@@ -71,16 +74,16 @@ class _RIMStep(nn.Module):
             self.recurrent_bias,
             nonlinears,
         ):
-            conv = ConvNonlinear(cf, ck, cd, cb, nl) if cf != 0 else None
+            conv = ConvNonlinear(cf, ck, cd, cb, nl, dtype=self.compute_dtype) if cf != 0 else None
             if rf != 0 and nl is not None:
                 x = conv(x)
-                cell = make_cell(self.recurrent_layer, rf, rk, rd, rb)
-                x = cell(x, hx[h_idx])
+                cell = make_cell(self.recurrent_layer, rf, rk, rd, rb, dtype=self.compute_dtype)
+                x = cell(x, hx[h_idx]).astype(hx[h_idx].dtype)
                 new_hx.append(x)
                 h_idx += 1
             else:
                 final = conv
-        dx = final(x)  # [B, H, W, 2]
+        dx = final(x).astype(eta.dtype)  # [B, H, W, 2]
         eta = eta + dx
         return (eta, tuple(new_hx)), eta
 
@@ -103,6 +106,7 @@ class RIMBlock(nn.Module):
     fft_normalization: str = "backward"
     spatial_dims: Sequence[int] = (-2, -1)
     coil_dim: int = 1
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -123,10 +127,13 @@ class RIMBlock(nn.Module):
                 y, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
             )
         b, h, w = eta.shape[0], eta.shape[1], eta.shape[2]
+        hx_dtype = self.compute_dtype or jnp.float32
         if hx is None:
             hx = tuple(
-                jnp.zeros((b, h, w, f), jnp.float32) for f in self.recurrent_filters if f != 0
+                jnp.zeros((b, h, w, f), hx_dtype) for f in self.recurrent_filters if f != 0
             )
+        else:
+            hx = tuple(h_.astype(hx_dtype) for h_ in hx)
 
         scan = nn.scan(
             _RIMStep,
@@ -149,6 +156,7 @@ class RIMBlock(nn.Module):
             fft_normalization=self.fft_normalization,
             spatial_dims=self.spatial_dims,
             coil_dim=self.coil_dim,
+            compute_dtype=self.compute_dtype,
         )
         (eta, hx_out), etas = scan((eta, hx), None, y, sens, mask, sigma)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 __all__ = ["ConvGRUCell", "ConvMGUCell", "IndRNNCell", "make_cell"]
 
 
-def _gate_conv(features: int, kernel_size: int, dilation: int, use_bias: bool):
+def _gate_conv(features: int, kernel_size: int, dilation: int, use_bias: bool, dtype=None):
     return nn.Conv(
         features,
         (kernel_size, kernel_size),
@@ -24,6 +24,7 @@ def _gate_conv(features: int, kernel_size: int, dilation: int, use_bias: bool):
         padding="SAME",
         use_bias=use_bias,
         kernel_init=nn.initializers.orthogonal(),
+        dtype=dtype,
     )
 
 
@@ -32,11 +33,12 @@ class ConvGRUCell(nn.Module):
     kernel_size: int = 1
     dilation: int = 1
     use_bias: bool = True
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-        ih = _gate_conv(3 * self.hidden_size, self.kernel_size, self.dilation, self.use_bias)(x)
-        hh = _gate_conv(3 * self.hidden_size, self.kernel_size, self.dilation, False)(h)
+        ih = _gate_conv(3 * self.hidden_size, self.kernel_size, self.dilation, self.use_bias, self.dtype)(x)
+        hh = _gate_conv(3 * self.hidden_size, self.kernel_size, self.dilation, False, self.dtype)(h)
         ih_r, ih_z, ih_n = jnp.split(ih, 3, axis=-1)
         hh_r, hh_z, hh_n = jnp.split(hh, 3, axis=-1)
         r = nn.sigmoid(ih_r + hh_r)
@@ -50,11 +52,12 @@ class ConvMGUCell(nn.Module):
     kernel_size: int = 1
     dilation: int = 1
     use_bias: bool = True
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-        ih = _gate_conv(2 * self.hidden_size, self.kernel_size, self.dilation, self.use_bias)(x)
-        hh = _gate_conv(2 * self.hidden_size, self.kernel_size, self.dilation, False)(h)
+        ih = _gate_conv(2 * self.hidden_size, self.kernel_size, self.dilation, self.use_bias, self.dtype)(x)
+        hh = _gate_conv(2 * self.hidden_size, self.kernel_size, self.dilation, False, self.dtype)(h)
         ih_f, ih_c = jnp.split(ih, 2, axis=-1)
         hh_f, hh_c = jnp.split(hh, 2, axis=-1)
         f = nn.sigmoid(ih_f + hh_f)
@@ -67,6 +70,7 @@ class IndRNNCell(nn.Module):
     kernel_size: int = 1
     dilation: int = 1
     use_bias: bool = True
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
@@ -78,6 +82,7 @@ class IndRNNCell(nn.Module):
             padding="SAME",
             use_bias=self.use_bias,
             kernel_init=nn.initializers.normal(stddev=std),
+            dtype=self.dtype,
         )(x)
         hh = self.param("hh", nn.initializers.normal(stddev=std), (1, 1, 1, self.hidden_size))
         return nn.relu(ih + hh * h)
@@ -86,10 +91,10 @@ class IndRNNCell(nn.Module):
 _CELLS = {"GRU": ConvGRUCell, "MGU": ConvMGUCell, "INDRNN": IndRNNCell}
 
 
-def make_cell(kind: str, hidden_size: int, kernel_size: int, dilation: int, use_bias: bool):
+def make_cell(kind: str, hidden_size: int, kernel_size: int, dilation: int, use_bias: bool, dtype=None):
     kind = kind.upper()
     if kind not in _CELLS:
         raise ValueError(f"Unknown recurrent layer {kind!r}; choose from {sorted(_CELLS)}")
     return _CELLS[kind](
-        hidden_size=hidden_size, kernel_size=kernel_size, dilation=dilation, use_bias=use_bias
+        hidden_size=hidden_size, kernel_size=kernel_size, dilation=dilation, use_bias=use_bias, dtype=dtype
     )

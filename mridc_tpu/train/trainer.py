@@ -135,9 +135,18 @@ class Trainer:
         return self.state
 
     @staticmethod
+    def _fold_slices(x):
+        """[B, S, C, H, W, 2] consecutive-slice batches fold S into B (the
+        reference folds slices into batch inside the model,
+        rim_block.py:197-211; here it happens once at the step boundary)."""
+        if x is not None and x.ndim == 6:
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+        return x
+
+    @staticmethod
     def _model_inputs(batch: Dict):
-        y = jnp.asarray(batch["masked_kspace"])
-        sens = jnp.asarray(batch["sensitivity_maps"])
+        y = Trainer._fold_slices(jnp.asarray(batch["masked_kspace"]))
+        sens = Trainer._fold_slices(jnp.asarray(batch["sensitivity_maps"]))
         mask = jnp.asarray(batch["mask"])
         if mask.ndim == 5 and mask.shape[1] == 2:  # SSDU [B, 2, 1, H, W]: train mask
             mask = mask[:, 0]
@@ -154,10 +163,23 @@ class Trainer:
         ema_decay = self.ema_decay
         use_ema = self.use_ema
 
-        def train_step(state: TrainState, y, sens, mask, init_pred, target, loss_mask):
+        n2r_weight = self.trainer_cfg.get("n2r_loss_weight", 1.0)
+
+        def train_step(state: TrainState, y, sens, mask, init_pred, target, loss_mask, n2r_y=None, n2r_mask=None):
             def loss_fn(params):
                 out: ModelOutput = model.apply({"params": params}, y, sens, mask, init_pred, train=True)
-                return process_reconstruction_loss(out, target, loss_type, reg, loss_mask)
+                loss = process_reconstruction_loss(out, target, loss_type, reg, loss_mask)
+                if n2r_y is not None:
+                    # Noise-to-Reconstruction consistency: recon of the extra
+                    # noise-masked k-space must match the clean recon
+                    # (reference reconstruction/nn/base.py n2r branch).
+                    out_n = model.apply({"params": params}, n2r_y, sens, n2r_mask, init_pred, train=True)
+                    loss = loss + n2r_weight * process_reconstruction_loss(
+                        ModelOutput(prediction=out_n.prediction),
+                        jax.lax.stop_gradient(out.prediction),
+                        loss_type,
+                    )
+                return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -197,7 +219,11 @@ class Trainer:
         raw_mask = jnp.asarray(b["mask"])
         if raw_mask.ndim >= 4 and raw_mask.shape[1] == 2:  # SSDU loss mask
             loss_mask = raw_mask[:, 1, 0] if raw_mask.ndim == 5 else raw_mask[:, 1]
-        self.state, metrics = self._train_step(self.state, y, sens, mask, init_pred, target, loss_mask)
+        n2r_y = jnp.asarray(b["n2r_masked_kspace"]) if "n2r_masked_kspace" in b else None
+        n2r_mask = jnp.asarray(b["n2r_mask"]) if "n2r_mask" in b else None
+        self.state, metrics = self._train_step(
+            self.state, y, sens, mask, init_pred, target, loss_mask, n2r_y, n2r_mask
+        )
         return metrics
 
     def predict_batch(self, batch: Dict, use_ema: bool = False) -> np.ndarray:

@@ -82,3 +82,13 @@ def test_batch_loader_pad_shape(dataset_dir):
     batch = next(iter(loader))
     assert batch["masked_kspace"].shape == (2, 4, 80, 80, 2)
     assert batch["target"].shape == (2, 80, 80, 2)
+
+
+def test_batch_loader_n2r(dataset_dir):
+    tfm = _transform(n2r=True, n2r_probability=1.0, n2r_std_devs=(0.1, 0.2), n2r_rhos=(0.4, 0.8))
+    ds = ReconstructionMRIDataset(root=dataset_dir, transform=tfm)
+    loader = BatchLoader(ds, batch_size=2)
+    batch = next(iter(loader))
+    assert "n2r_masked_kspace" in batch
+    assert batch["n2r_masked_kspace"].shape == batch["masked_kspace"].shape
+    assert batch["n2r_mask"].shape[0] == 2
