@@ -80,6 +80,21 @@ class ExpManager:
         if self.writer is not None:
             self.writer.scalar(tag, value, step)
 
+    def log_image_triplet(self, tag: str, target, prediction, step: int):
+        """target/recon/|error| triplet (reference common/nn/base.py:150-176
+        ``log_image``)."""
+        if self.writer is None:
+            return
+        import numpy as np
+
+        t = np.abs(np.asarray(target))
+        p = np.abs(np.asarray(prediction))
+        t = t / max(t.max(), 1e-12)
+        p = p / max(p.max(), 1e-12)
+        err = np.abs(t - p)
+        panel = np.concatenate([t, p, err], axis=-1)[..., None]
+        self.writer.image(tag, panel, step)
+
     def on_validation_end(self, trainer, metrics: Dict[str, float], step: int):
         self.checkpointer.save(step, trainer.state, metrics)
         for k, v in metrics.items():

@@ -278,7 +278,16 @@ class Trainer:
                 val = self.validate(val_loader)
                 epoch_metrics.update(val)
                 if self.plateau is not None:
+                    old_lr = self.plateau.lr
                     self.plateau.update(val["val_loss"])
+                    if self.plateau.lr != old_lr:
+                        # the jitted step baked the old lr in as a constant —
+                        # rebuild the optimizer chain and step at the new lr
+                        logger.info(f"ReduceLROnPlateau: lr {old_lr:.2e} -> {self.plateau.lr:.2e}")
+                        opt_state = self.state.opt_state
+                        self.setup_optimization()
+                        self.state = self.state.replace(opt_state=opt_state)
+                        self._train_step = None
                 if self.exp_manager is not None:
                     self.exp_manager.on_validation_end(self, val, step)
             logger.info(
