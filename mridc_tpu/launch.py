@@ -22,6 +22,70 @@ from mridc_tpu.utils.logging import get_logger
 
 logger = get_logger()
 
+SEGMENTATION_MODELS = {
+    "SEGMENTATIONUNET", "SEGMENTATION2DUNET", "SEGMENTATION3DUNET",
+    "SEGMENTATIONATTENTIONUNET", "SEGMENTATIONLAMBDAUNET", "SEGMENTATIONVNET",
+    "SEGMENTATIONDYNUNET", "SEGMENTATIONUNETR",
+}
+MULTITASK_MODELS = {"MTLRS", "IDSLR", "IDSLRUNET", "SEGNET", "RECSEGNET", "RECSEGUNET", "SERANET"}
+
+
+def model_task(model_name: str) -> str:
+    name = str(model_name).upper()
+    if name in SEGMENTATION_MODELS:
+        return "segmentation"
+    if name in MULTITASK_MODELS:
+        return "multitask"
+    if name.startswith("Q"):
+        return "quantitative"
+    return "reconstruction"
+
+
+def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
+    if task == "segmentation":
+        from mridc_tpu.data.seg_pipeline import SegBatchLoader, SegmentationDataTransforms
+        from mridc_tpu.data.task_loaders import SegmentationMRIDataset
+
+        tfm = SegmentationDataTransforms(
+            complex_data=ds_cfg.get("complex_data", True),
+            magnitude_input=model_cfg.get("magnitude_input", True),
+            input_channels=model_cfg.get("segmentation_module_input_channels", 1),
+            output_classes=model_cfg.get("segmentation_module_output_channels"),
+            fft_centered=ds_cfg.get("fft_centered", model_cfg.get("fft_centered", False)),
+            fft_normalization=ds_cfg.get("fft_normalization", model_cfg.get("fft_normalization", "backward")),
+            coil_combination_method=ds_cfg.get("coil_combination_method", "RSS"),
+        )
+        ds = SegmentationMRIDataset(
+            root=ds_cfg["data_path"],
+            segmentations_root=ds_cfg.get("segmentations_path"),
+            complex_data=ds_cfg.get("complex_data", True),
+            sample_rate=ds_cfg.get("sample_rate"),
+            consecutive_slices=ds_cfg.get("consecutive_slices", 1),
+            transform=tfm,
+        )
+        return SegBatchLoader(ds, batch_size=ds_cfg.get("batch_size", 1), shuffle=shuffle)
+    if task == "multitask":
+        from mridc_tpu.data.factory import build_transforms
+        from mridc_tpu.data.seg_pipeline import RSBatchLoader, RSMRIDataTransforms
+        from mridc_tpu.data.task_loaders import RSMRIDataset
+
+        base_tfm = build_transforms(ds_cfg, model_cfg)
+        tfm = RSMRIDataTransforms(
+            output_classes=model_cfg.get("segmentation_module_output_channels"),
+            mask_func=base_tfm.masking.mask_func,
+            fft_centered=model_cfg.get("fft_centered", False),
+            fft_normalization=model_cfg.get("fft_normalization", "backward"),
+        )
+        ds = RSMRIDataset(
+            root=ds_cfg["data_path"],
+            segmentations_root=ds_cfg.get("segmentations_path"),
+            sample_rate=ds_cfg.get("sample_rate"),
+            consecutive_slices=ds_cfg.get("consecutive_slices", 1),
+            transform=tfm,
+        )
+        return RSBatchLoader(ds, batch_size=ds_cfg.get("batch_size", 1), shuffle=shuffle)
+    return build_dataloader(ds_cfg, model_cfg, shuffle=shuffle)
+
 
 def run_from_config(cfg: dict):
     model_cfg = dict(cfg.get("model") or {})
@@ -43,19 +107,31 @@ def run_from_config(cfg: dict):
     )
     save_config(cfg, exp.log_dir / "config.yaml")
 
-    trainer = Trainer(
+    task = model_task(model_cfg.get("model_name", ""))
+    use_ema = bool(exp_cfg.get("ema", {}).get("enable", False)) if isinstance(exp_cfg.get("ema"), dict) else False
+    if task == "segmentation":
+        from mridc_tpu.train.task_trainers import SegmentationTrainer
+
+        trainer_cls = SegmentationTrainer
+    elif task == "multitask":
+        from mridc_tpu.train.task_trainers import MultitaskTrainer
+
+        trainer_cls = MultitaskTrainer
+    else:
+        trainer_cls = Trainer
+    trainer = trainer_cls(
         model,
         optim_cfg=model_cfg.get("optim"),
         trainer_cfg=trainer_cfg,
         loss_type=model_cfg.get("train_loss_fn", "l1"),
-        use_ema=bool(exp_cfg.get("ema", {}).get("enable", False)) if isinstance(exp_cfg.get("ema"), dict) else False,
+        use_ema=use_ema,
         exp_manager=exp,
     )
 
     if mode == "train":
-        train_loader = build_dataloader(model_cfg["train_ds"], model_cfg, shuffle=True)
+        train_loader = _build_task_loader(task, model_cfg["train_ds"], model_cfg, True)
         val_loader = (
-            build_dataloader(model_cfg["validation_ds"], model_cfg, shuffle=False)
+            _build_task_loader(task, model_cfg["validation_ds"], model_cfg, False)
             if model_cfg.get("validation_ds") and model_cfg["validation_ds"].get("data_path")
             else None
         )
@@ -65,7 +141,7 @@ def run_from_config(cfg: dict):
         history = trainer.fit(train_loader, val_loader, max_epochs=trainer_cfg.get("max_epochs", 1))
         return trainer, history
     # test / eval
-    test_loader = build_dataloader(model_cfg["test_ds"], model_cfg, shuffle=False)
+    test_loader = _build_task_loader(task, model_cfg["test_ds"], model_cfg, False)
     if trainer.state is None:
         first = next(iter(test_loader))
         trainer.setup_optimization()

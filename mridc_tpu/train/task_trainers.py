@@ -21,7 +21,7 @@ from mridc_tpu.metrics.segmentation import SegmentationMetrics
 from mridc_tpu.train.losses import process_reconstruction_loss
 from mridc_tpu.train.trainer import Trainer, _host_mag
 
-__all__ = ["SegmentationTrainer", "MultitaskTrainer", "segmentation_loss_fn"]
+__all__ = ["SegmentationTrainer", "MultitaskTrainer", "QuantitativeTrainer", "segmentation_loss_fn"]
 
 
 def segmentation_loss_fn(
@@ -199,3 +199,76 @@ class MultitaskTrainer(Trainer):
             "val_SSIM": float(np.mean(ssims)),
             "val_DICE": float(np.mean(dices)),
         }
+
+
+class QuantitativeTrainer(Trainer):
+    """qMRI training: logspace-weighted l1 over the 4 map channels, optionally
+    gated by the brain mask (reference quantitative/nn/base.py:134
+    ``process_quantitative_loss``).
+
+    Batches: {"kspace" [B, E, C, H, W, 2], "sensitivity_maps", "mask" [B,1,H,W],
+    "maps_init" [B, H, W, 4], "maps_target" [B, H, W, 4], "TEs" [E],
+    optional "mask_brain" [B, H, W]}.
+    """
+
+    def _build_train_step(self):
+        model = self.model
+        tx = self._tx
+        loss_type = self.loss_type
+
+        def train_step(state, y, sens, mask, maps_init, tes, maps_target, mask_brain):
+            def loss_fn(params):
+                out = model.apply({"params": params}, y, sens, mask, maps_init, tes, train=True)
+                pred = out.prediction
+                target = maps_target
+                if mask_brain is not None:
+                    pred = pred * mask_brain[..., None]
+                    target = target * mask_brain[..., None]
+                # per-map normalization so R2*/B0 scales don't dominate
+                scale = jnp.maximum(jnp.abs(target).max(axis=(0, 1, 2), keepdims=True), 1e-12)
+                diff = (pred - target) / scale
+                if str(loss_type).lower() in ("l2", "mse"):
+                    return (diff**2).mean()
+                return jnp.abs(diff).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+            return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def init_state(self, rng, sample_batch):
+        b = sample_batch
+        variables = self.model.init(
+            rng,
+            jnp.asarray(b["kspace"]),
+            jnp.asarray(b["sensitivity_maps"]),
+            jnp.asarray(b["mask"]),
+            jnp.asarray(b["maps_init"]),
+            jnp.asarray(b["TEs"]),
+        )
+        if self._tx is None:
+            self.setup_optimization()
+        from mridc_tpu.train.trainer import TrainState
+
+        self.state = TrainState.create(variables["params"], self._tx, ema=self.use_ema)
+        return self.state
+
+    def training_batch(self, batch):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        b = self._device_batch(batch)
+        mask_brain = jnp.asarray(b["mask_brain"]) if "mask_brain" in b else None
+        self.state, metrics = self._train_step(
+            self.state,
+            jnp.asarray(b["kspace"]),
+            jnp.asarray(b["sensitivity_maps"]),
+            jnp.asarray(b["mask"]),
+            jnp.asarray(b["maps_init"]),
+            jnp.asarray(b["TEs"]),
+            jnp.asarray(b["maps_target"]),
+            mask_brain,
+        )
+        return metrics

@@ -38,7 +38,9 @@ def make_phantom_volume(rng, slices=3, coils=4, h=64, w=64):
     return kspace, np.tile(sens[None], (slices, 1, 1, 1)), rss
 
 
-def create_dataset(root: Path, n_files=2, slices=3, coils=4, h=64, w=64, with_sens=True, seed=0):
+def create_dataset(
+    root: Path, n_files=2, slices=3, coils=4, h=64, w=64, with_sens=True, seed=0, with_segmentation=False, classes=2
+):
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -51,6 +53,13 @@ def create_dataset(root: Path, n_files=2, slices=3, coils=4, h=64, w=64, with_se
             if with_sens:
                 hf.create_dataset("sensitivity_map", data=sens)
             hf.create_dataset("reconstruction_rss", data=rss)
+            if with_segmentation:
+                # classes from thresholding the phantom magnitude
+                labels = (rss > 0.5 * rss.max()).astype(np.int64)
+                if classes > 2:
+                    labels += (rss > 0.8 * rss.max()).astype(np.int64)
+                seg = np.eye(max(classes, 2), dtype=np.float32)[labels]  # [S, H, W, C]
+                hf.create_dataset("segmentation", data=np.moveaxis(seg, -1, 1))  # [S, C, H, W]
             hf.attrs["max"] = float(rss.max())
             hf.attrs["norm"] = float(np.linalg.norm(rss))
         files.append(fname)

@@ -1,0 +1,71 @@
+"""End-to-end CLI runs for segmentation and multitask tasks on the fixture."""
+
+import numpy as np
+import pytest
+import yaml
+
+from fixtures import create_dataset
+from mridc_tpu.launch import model_task, run_from_config
+
+
+@pytest.fixture(scope="module")
+def seg_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("seg_data")
+    create_dataset(root, n_files=1, slices=2, coils=3, h=32, w=32, with_segmentation=True)
+    return root
+
+
+def test_model_task_dispatch():
+    assert model_task("CIRIM") == "reconstruction"
+    assert model_task("SegmentationUNet") == "segmentation"
+    assert model_task("MTLRS") == "multitask"
+    assert model_task("qCIRIM") == "quantitative"
+
+
+def test_run_segmentation_from_config(tmp_path, seg_data):
+    cfg = {
+        "mode": "train",
+        "model": {
+            "model_name": "SegmentationUNet",
+            "segmentation_module_output_channels": 2,
+            "segmentation_module_channels": 4,
+            "segmentation_module_pooling_layers": 2,
+            "magnitude_input": True,
+            "optim": {"name": "adam", "lr": 1e-3},
+            "train_ds": {"data_path": str(seg_data), "batch_size": 2, "fft_centered": True,
+                         "fft_normalization": "ortho", "coil_combination_method": "RSS"},
+            "validation_ds": {"data_path": str(seg_data), "batch_size": 2, "fft_centered": True,
+                              "fft_normalization": "ortho", "coil_combination_method": "RSS"},
+        },
+        "trainer": {"max_epochs": 1},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "seg"},
+    }
+    trainer, history = run_from_config(cfg)
+    assert np.isfinite(history[-1]["train_loss"])
+    assert "val_DICE" in history[-1]
+
+
+def test_run_multitask_from_config(tmp_path, seg_data):
+    cfg = {
+        "mode": "train",
+        "model": {
+            "model_name": "RECSEGNET",
+            "reconstruction_module_channels": 4,
+            "reconstruction_module_pooling_layers": 2,
+            "segmentation_module_channels": 4,
+            "segmentation_module_pooling_layers": 2,
+            "segmentation_module_output_channels": 2,
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+            "optim": {"name": "adam", "lr": 1e-3},
+            "train_ds": {
+                "data_path": str(seg_data), "batch_size": 2,
+                "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+                "fft_centered": True, "fft_normalization": "ortho",
+            },
+        },
+        "trainer": {"max_epochs": 1},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "mt"},
+    }
+    trainer, history = run_from_config(cfg)
+    assert np.isfinite(history[-1]["train_loss"])

@@ -108,3 +108,34 @@ def test_segmentation_metric_functions():
     pred = np.stack([~p, p])
     out = m(target, pred)
     assert out["DICE"] > 0.5 and out["HD95"] <= 2.0
+
+
+def test_quantitative_trainer_step():
+    from mridc_tpu.train.task_trainers import QuantitativeTrainer
+
+    cfg = {
+        "model_name": "qVN",
+        "quantitative_module_num_cascades": 1,
+        "quantitative_module_channels": 4,
+        "quantitative_module_pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b, e, c, h, w = 1, 4, 2, 16, 16
+    batch = {
+        "kspace": rng.standard_normal((b, e, c, h, w, 2)).astype(np.float32),
+        "sensitivity_maps": rng.standard_normal((b, c, h, w, 2)).astype(np.float32),
+        "mask": np.ones((b, 1, h, w), np.float32),
+        "maps_init": np.abs(rng.standard_normal((b, h, w, 4))).astype(np.float32),
+        "maps_target": np.abs(rng.standard_normal((b, h, w, 4))).astype(np.float32),
+        "TEs": np.asarray([3.0, 11.5, 20.0, 28.5], np.float32),
+        "mask_brain": np.ones((b, h, w), np.float32),
+    }
+    trainer = QuantitativeTrainer(model, optim_cfg={"name": "adam", "lr": 1e-3})
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    m1 = trainer.training_batch(batch)
+    m2 = trainer.training_batch(batch)
+    assert np.isfinite(float(m1["loss"])) and float(m2["loss"]) <= float(m1["loss"]) * 1.5
