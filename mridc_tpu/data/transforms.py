@@ -381,6 +381,26 @@ class Masker:
         mask_funcs = self.mask_func if isinstance(self.mask_func, list) else [self.mask_func]
         masked_data, masks, accs = [], [], []
         for mf in mask_funcs:
+            if self.dimensionality == 3 and data.ndim >= 4:
+                # per-slice masks over the leading slice axis; remask=False
+                # reuses the first slice's mask (reference Masker :889-933)
+                slice_masks, slice_masked, slice_accs = [], [], []
+                m = None
+                for j in range(data.shape[0]):
+                    if m is None or self.remask:
+                        shape = np.array(data[j].shape + (2,))
+                        shape[:-3] = 1
+                        m_raw, acc = mf(
+                            shape, seed, half_scan_percentage=self.half_scan_percentage, scale=self.center_scale
+                        )
+                        m = self._finish_mask(np.asarray(m_raw), padding)
+                    slice_masked.append((data[j] * m).astype(np.complex64))
+                    slice_masks.append(m)
+                    slice_accs.append(acc)
+                masked_data.append(np.stack(slice_masked, 0))
+                masks.append(np.stack(slice_masks, 0))
+                accs.append(float(np.mean(slice_accs)))
+                continue
             shape = np.array(data.shape + (2,))
             shape[:-3] = 1
             m, acc = mf(

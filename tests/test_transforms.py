@@ -166,3 +166,18 @@ def test_transform_ssdu_path():
     assert isinstance(m[0], list) and len(m[0]) == 2
     train, loss = m[0]
     assert train.shape[-2:] == (32, 32)
+
+
+def test_masker_3d_per_slice():
+    rng = np.random.default_rng(7)
+    data = (rng.standard_normal((3, 4, 32, 32)) + 1j * rng.standard_normal((3, 4, 32, 32))).astype(np.complex64)
+    masker = Masker(mask_func=[RandomMaskFunc([0.08], [4])], dimensionality=3, remask=True)
+    masked, masks, accs = masker(data, None, (0, 0), seed=None)
+    assert masked[0].shape == (3, 4, 32, 32)
+    assert masks[0].shape[0] == 3
+    # remask=True -> per-slice masks differ (unseeded)
+    assert not np.array_equal(masks[0][0], masks[0][1]) or not np.array_equal(masks[0][1], masks[0][2])
+    # remask=False -> identical masks
+    masker2 = Masker(mask_func=[RandomMaskFunc([0.08], [4])], dimensionality=3, remask=False)
+    _, masks2, _ = masker2(data, None, (0, 0), seed=None)
+    np.testing.assert_array_equal(masks2[0][0], masks2[0][1])
