@@ -113,8 +113,11 @@ class CIRIM(BaseReconModel):
                     next_eta = eta
                 return next_eta, etas
 
+        # remat each cascade as well: the time-step scan's carries (large
+        # hidden states) are then only stored for the cascade being
+        # re-executed in backward, not all cascades at once.
         scan = nn.scan(
-            _Cascade,
+            nn.remat(_Cascade, prevent_cse=False),
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),

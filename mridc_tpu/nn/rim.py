@@ -107,6 +107,8 @@ class RIMBlock(nn.Module):
     spatial_dims: Sequence[int] = (-2, -1)
     coil_dim: int = 1
     compute_dtype: Optional[str] = None
+    remat: bool = True  # rematerialize each time step: backward through the
+    # scan recomputes activations instead of storing T x (conv stack) in HBM
 
     @nn.compact
     def __call__(
@@ -135,8 +137,9 @@ class RIMBlock(nn.Module):
         else:
             hx = tuple(h_.astype(hx_dtype) for h_ in hx)
 
+        step_cls = nn.remat(_RIMStep, prevent_cse=False) if self.remat else _RIMStep
         scan = nn.scan(
-            _RIMStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),

@@ -54,9 +54,9 @@ def import_cirim_params(state: Dict[str, np.ndarray], num_cascades: int) -> Dict
         return np.stack([convert(state[key_fmt.format(i=i)]) for i in range(num_cascades)], 0)
 
     params = {
-        "Scan_Cascade_0": {
+        "ScanCheckpoint_Cascade_0": {
             "RIMBlock_0": {
-                "Scan_RIMStep_0": {
+                "ScanCheckpoint_RIMStep_0": {
                     "ConvNonlinear_0": {
                         "Conv_0": {
                             "kernel": stack("cirim.{i}.layers.0.convs.conv_layer.weight", oihw_to_hwio),
