@@ -129,3 +129,95 @@ class RSBatchLoader(BatchLoader):
         base = super()._collate([s[:-1] for s in samples])
         base["segmentation"] = np.stack(segs, 0)
         return base
+
+
+class QBatchLoader:
+    """Batches qMRIDataset samples into QuantitativeTrainer-format dicts:
+    masks each echo's k-space, fits initial maps, stacks real views."""
+
+    def __init__(self, dataset, tes, mask_func=None, batch_size: int = 1, shuffle: bool = False, seed: int = 0,
+                 fft_centered: bool = True, fft_normalization: str = "ortho"):
+        from mridc_tpu.data.qtransforms import fit_quantitative_maps
+
+        self.dataset = dataset
+        self.tes = np.asarray(tes, np.float32)
+        self.mask_func = mask_func
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.fft_centered = fft_centered
+        self.fft_normalization = fft_normalization
+        self._fit = fit_quantitative_maps
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _prep(self, sample):
+        kspace, sens, qmaps, mask, mask_brain, mask_head, target, attrs, fname, sidx = sample
+        e, c, h, w = kspace.shape
+        if self.mask_func is not None:
+            m, _ = self.mask_func(np.array([1, h, w, 2]), tuple(map(ord, fname)))
+            m = np.asarray(m, np.float32)
+            if m.ndim >= 3 and m.shape[-1] == 1:
+                m = m[..., 0]
+            while m.ndim < 3:
+                m = m[None]
+            m2d = np.broadcast_to(m, (1, h, w)).astype(np.float32)
+        else:
+            m2d = np.ones((1, h, w), np.float32)
+        masked = kspace * m2d[None, None, 0]
+        imgs = _np_ifft2(masked, self.fft_centered, self.fft_normalization)
+        combined = (imgs * np.conj(sens)[None]).sum(1)
+        fitted = self._fit(combined, self.tes)
+        maps_init = np.stack(
+            [fitted["R2star_map"], fitted["S0_map"], fitted["B0_map"], fitted["phi_map"]], -1
+        )
+        def tgt(name, fallback):
+            v = np.asarray(qmaps.get(name, np.empty([])))
+            return v if v.size > 1 else fallback
+
+        maps_target = np.stack(
+            [
+                tgt("R2star_map_target", fitted["R2star_map"]),
+                tgt("S0_map_target", fitted["S0_map"]),
+                tgt("B0_map_target", fitted["B0_map"]),
+                tgt("phi_map_target", fitted["phi_map"]),
+            ],
+            -1,
+        ).astype(np.float32)
+        rv = lambda x: np.stack([x.real, x.imag], -1).astype(np.float32)  # noqa: E731
+        brain = np.asarray(mask_brain, np.float32) if np.size(mask_brain) else np.ones((h, w), np.float32)
+        return {
+            "kspace": rv(masked),
+            "sensitivity_maps": rv(sens),
+            "mask": m2d,
+            "maps_init": maps_init.astype(np.float32),
+            "maps_target": maps_target,
+            "mask_brain": brain,
+            "TEs": self.tes,
+            "fname": fname,
+            "slice_idx": sidx,
+        }
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batch = []
+        for idx in order:
+            batch.append(self._prep(self.dataset[int(idx)]))
+            if len(batch) == self.batch_size:
+                yield self._collate(batch)
+                batch = []
+        if batch:
+            yield self._collate(batch)
+
+    @staticmethod
+    def _collate(samples):
+        out = {k: np.stack([s[k] for s in samples], 0) for k in
+               ("kspace", "sensitivity_maps", "mask", "maps_init", "maps_target", "mask_brain")}
+        out["TEs"] = samples[0]["TEs"]
+        out["fname"] = [s["fname"] for s in samples]
+        out["slice_idx"] = np.asarray([s["slice_idx"] for s in samples], np.int32)
+        return out

@@ -84,6 +84,31 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
             transform=tfm,
         )
         return RSBatchLoader(ds, batch_size=ds_cfg.get("batch_size", 1), shuffle=shuffle)
+    if task == "quantitative":
+        from mridc_tpu.data.seg_pipeline import QBatchLoader
+        from mridc_tpu.data.subsample import create_masker
+        from mridc_tpu.data.task_loaders import qMRIDataset
+
+        mask_args = ds_cfg.get("mask_args") or {}
+        mask_func = None
+        if mask_args.get("type"):
+            mask_func = create_masker(
+                mask_args["type"], mask_args.get("center_fractions", [0.08]), mask_args.get("accelerations", [4])
+            )
+        ds = qMRIDataset(
+            root=ds_cfg["data_path"],
+            sample_rate=ds_cfg.get("sample_rate"),
+            consecutive_slices=ds_cfg.get("consecutive_slices", 1),
+        )
+        return QBatchLoader(
+            ds,
+            tes=model_cfg.get("TEs", [3.0, 11.5, 20.0, 28.5]),
+            mask_func=mask_func,
+            batch_size=ds_cfg.get("batch_size", 1),
+            shuffle=shuffle,
+            fft_centered=model_cfg.get("fft_centered", True),
+            fft_normalization=model_cfg.get("fft_normalization", "ortho"),
+        )
     return build_dataloader(ds_cfg, model_cfg, shuffle=shuffle)
 
 
@@ -117,6 +142,10 @@ def run_from_config(cfg: dict):
         from mridc_tpu.train.task_trainers import MultitaskTrainer
 
         trainer_cls = MultitaskTrainer
+    elif task == "quantitative":
+        from mridc_tpu.train.task_trainers import QuantitativeTrainer
+
+        trainer_cls = QuantitativeTrainer
     else:
         trainer_cls = Trainer
     trainer = trainer_cls(

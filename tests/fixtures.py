@@ -64,3 +64,40 @@ def create_dataset(
             hf.attrs["norm"] = float(np.linalg.norm(rss))
         files.append(fname)
     return files
+
+
+def create_qmri_dataset(root, n_files=1, slices=2, echoes=4, coils=2, h=32, w=32, seed=0):
+    """AHEAD-like multi-echo fixture: kspace [S, E, C, H, W], brain mask, map targets."""
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    tes = np.array([3.0, 11.5, 20.0, 28.5][:echoes])
+    files = []
+    for i in range(n_files):
+        yy, xx = np.mgrid[:h, :w]
+        r2s = 20 + 15 * np.exp(-((yy - h / 2) ** 2 + (xx - w / 2) ** 2) / (0.1 * h * w))
+        s0 = 1.0 + 0.5 * np.exp(-((yy - h / 3) ** 2 + (xx - w / 3) ** 2) / (0.1 * h * w))
+        b0 = 10.0 * np.ones((h, w))
+        sens = np.stack([np.exp(1j * 2 * np.pi * c * xx / w) for c in range(coils)]).astype(np.complex64)
+        sens /= np.sqrt((np.abs(sens) ** 2).sum(0, keepdims=True))
+        kspace = np.zeros((slices, echoes, coils, h, w), np.complex64)
+        for s in range(slices):
+            for e, te in enumerate(tes):
+                img = s0 * np.exp(-te * 1e-3 * r2s) * np.exp(-1j * te * 1e-3 * b0)
+                coil_imgs = img[None] * sens
+                kspace[s, e] = np.fft.fftshift(
+                    np.fft.fftn(np.fft.ifftshift(coil_imgs, axes=(-2, -1)), axes=(-2, -1), norm="ortho"),
+                    axes=(-2, -1),
+                )
+        fname = root / f"qfile_{i}.h5"
+        with h5py.File(fname, "w") as hf:
+            hf.create_dataset("kspace", data=kspace)
+            hf.create_dataset("sensitivity_map", data=np.tile(sens[None], (slices, 1, 1, 1)))
+            hf.create_dataset("mask_brain", data=np.ones((slices, h, w), np.float32))
+            hf.create_dataset("R2star_map_target", data=np.tile(r2s[None], (slices, 1, 1)).astype(np.float32))
+            hf.create_dataset("S0_map_target", data=np.tile(s0[None], (slices, 1, 1)).astype(np.float32))
+            hf.create_dataset("B0_map_target", data=np.tile(b0[None], (slices, 1, 1)).astype(np.float32))
+            hf.create_dataset("phi_map_target", data=np.zeros((slices, h, w), np.float32))
+            hf.attrs["TEs"] = tes
+        files.append(fname)
+    return files

@@ -69,3 +69,28 @@ def test_run_multitask_from_config(tmp_path, seg_data):
     }
     trainer, history = run_from_config(cfg)
     assert np.isfinite(history[-1]["train_loss"])
+
+
+def test_run_quantitative_from_config(tmp_path, tmp_path_factory):
+    from fixtures import create_qmri_dataset
+
+    qroot = tmp_path_factory.mktemp("q_data")
+    create_qmri_dataset(qroot, n_files=1, slices=2, echoes=4, coils=2, h=16, w=16)
+    cfg = {
+        "mode": "train",
+        "model": {
+            "model_name": "qVN",
+            "quantitative_module_num_cascades": 1,
+            "quantitative_module_channels": 4,
+            "quantitative_module_pooling_layers": 2,
+            "TEs": [3.0, 11.5, 20.0, 28.5],
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+            "optim": {"name": "adam", "lr": 1e-3},
+            "train_ds": {"data_path": str(qroot), "batch_size": 2},
+        },
+        "trainer": {"max_epochs": 1},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "q"},
+    }
+    trainer, history = run_from_config(cfg)
+    assert np.isfinite(history[-1]["train_loss"])
