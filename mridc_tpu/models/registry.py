@@ -30,7 +30,7 @@ def _register_defaults():
         (("UNET", "UNet"), recon.UNet),
         (("CASCADENET", "CCNN"), recon.CascadeNet),
         (("CRNNET", "CRNN"), recon.CRNNet),
-        (("CIRIM",), recon.CIRIM),
+        (("CIRIM", "RIM"), recon.CIRIM),
         (("VN", "VARNET", "E2EVN"), recon.VarNet),
         (("CS",), recon.CS),
         (("PICS",), recon.PICS),

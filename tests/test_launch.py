@@ -122,3 +122,51 @@ def test_use_sens_net_wrapping():
     assert out.prediction.shape == (1, 32, 32, 2)
     # sens net params exist
     assert any("SensitivityModel" in k for k in variables["params"])
+
+
+def test_checkpoint_resume(tmp_path, data_dir):
+    """ExpManager.maybe_resume restores the latest orbax checkpoint
+    (reference exp_manager resume_if_exists, exp_manager.py:401-471)."""
+    import jax
+
+    from mridc_tpu.models import build_model as bm
+    from mridc_tpu.train.exp_manager import ExpManager
+    from mridc_tpu.train.trainer import Trainer
+
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    model = bm(cfg)
+    exp = ExpManager(exp_dir=str(tmp_path / "exp"), name="resume_test", version="v1", model_config=cfg)
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, exp_manager=exp)
+
+    from mridc_tpu.data.factory import build_dataloader
+
+    loader = build_dataloader(
+        {"data_path": str(data_dir), "batch_size": 4,
+         "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+         "fft_centered": True, "fft_normalization": "ortho"},
+        cfg,
+    )
+    batch = next(iter(loader))
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    trainer.training_batch(batch)
+    trainer.training_batch(batch)
+    exp.checkpointer.save(int(trainer.state.step), trainer.state, {"val_loss": 0.5})
+    saved_step = int(trainer.state.step)
+    saved_params = jax.device_get(trainer.state.params)
+
+    # fresh trainer + resume
+    exp2 = ExpManager(exp_dir=str(tmp_path / "exp"), name="resume_test", version="v1",
+                      resume_if_exists=True, model_config=cfg)
+    trainer2 = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, exp_manager=exp2)
+    trainer2.setup_optimization()
+    trainer2.init_state(jax.random.PRNGKey(1), batch)
+    assert exp2.maybe_resume(trainer2)
+    assert int(trainer2.state.step) == saved_step
+    import numpy as np
+
+    leaves1 = jax.tree_util.tree_leaves(saved_params)
+    leaves2 = jax.tree_util.tree_leaves(jax.device_get(trainer2.state.params))
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(a, b)
