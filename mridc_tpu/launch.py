@@ -112,12 +112,30 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
     return build_dataloader(ds_cfg, model_cfg, shuffle=shuffle)
 
 
+def maybe_init_distributed(trainer_cfg: dict):
+    """Multi-host init (reference utils/distributed.py:13-52 NCCL TCP
+    rendezvous -> jax.distributed coordinator). Triggered by trainer.num_nodes>1
+    or the standard coordinator env vars."""
+    import os
+
+    num_nodes = trainer_cfg.get("num_nodes", 1)
+    if num_nodes and num_nodes > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+            logger.info(
+                f"jax.distributed initialized: process {jax.process_index()}/{jax.process_count()}"
+            )
+        except Exception as e:  # already initialized or single-process
+            logger.warning(f"jax.distributed.initialize skipped: {e}")
+
+
 def run_from_config(cfg: dict):
     model_cfg = dict(cfg.get("model") or {})
     trainer_cfg = dict(cfg.get("trainer") or {})
     exp_cfg = dict(cfg.get("exp_manager") or {})
     mode = cfg.get("mode", "train")
 
+    maybe_init_distributed(trainer_cfg)
     model = build_model(model_cfg)
 
     exp = ExpManager(
