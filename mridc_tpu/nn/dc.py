@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from mridc_tpu.ops.cplx import cmul, cmul_conj
 from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
+from mridc_tpu.utils.typecheck import check_rv
 
 __all__ = ["sens_expand", "sens_reduce", "soft_dc", "log_likelihood_gradient", "expand_rv_mask"]
 
@@ -37,6 +38,8 @@ def sens_expand(
     spatial_dims: Sequence[int] = (-2, -1),
 ) -> jnp.ndarray:
     """Coil-combined image [B, H, W, 2] -> multicoil k-space [B, C, H, W, 2]."""
+    check_rv(image, "sens_expand.image")
+    check_rv(sens, "sens_expand.sens")
     if image.ndim == sens.ndim - 1:
         image = image[:, None]
     return fft2_rv(cmul(image, sens), fft_centered, fft_normalization, spatial_dims)
@@ -52,6 +55,7 @@ def sens_reduce(
     keepdims: bool = False,
 ) -> jnp.ndarray:
     """Multicoil k-space [B, C, H, W, 2] -> SENSE-combined image [B, H, W, 2]."""
+    check_rv(kspace, "sens_reduce.kspace")
     img = ifft2_rv(kspace, fft_centered, fft_normalization, spatial_dims)
     return cmul_conj(img, sens).sum(axis=coil_dim, keepdims=keepdims)
 

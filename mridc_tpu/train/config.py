@@ -15,7 +15,7 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 
 import yaml
 
-__all__ = ["load_config", "merge_dicts", "apply_overrides", "parse_value", "save_config"]
+__all__ = ["load_config", "merge_dicts", "apply_overrides", "parse_value", "save_config", "maybe_update_config_version"]
 
 
 def merge_dicts(base: Dict, update: Dict) -> Dict:
@@ -61,9 +61,33 @@ def apply_overrides(cfg: Dict, overrides: Optional[Sequence[str]]) -> Dict:
     return cfg
 
 
+def maybe_update_config_version(cfg: Any) -> Any:
+    """Recursively migrate legacy (Hydra 0.x-era) config layouts to the
+    current schema: ``cls`` -> ``_target_``, and the contents of a nested
+    ``params`` block are hoisted into the parent.
+
+    Parity: reference ``mridc/utils/model_utils.py:437`` (``maybe_update_config_version``,
+    via ``_convert_config`` :412) — same two rewrites, applied to plain dicts
+    instead of OmegaConf nodes.
+    """
+    if not isinstance(cfg, dict):
+        return cfg
+    out = dict(cfg)
+    if "cls" in out and "_target_" not in out:
+        out["_target_"] = out.pop("cls")
+    params = out.pop("params", None)
+    if isinstance(params, dict):
+        for k, v in params.items():
+            out.setdefault(k, v)
+    elif params is not None:
+        out["params"] = params  # non-dict params: leave untouched
+    return {k: maybe_update_config_version(v) if isinstance(v, dict) else v for k, v in out.items()}
+
+
 def load_config(path: Union[str, Path], overrides: Optional[Sequence[str]] = None) -> Dict:
     with open(path, "r", encoding="utf-8") as f:
         cfg = yaml.safe_load(f) or {}
+    cfg = maybe_update_config_version(cfg)
     return apply_overrides(cfg, overrides)
 
 

@@ -120,6 +120,10 @@ class Trainer:
         clip = self.trainer_cfg.get("gradient_clip_val", 0)
         if clip:
             tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+        accum = self.trainer_cfg.get("accumulate_grad_batches", 1)
+        if accum and accum > 1:
+            # gradient accumulation (reference trainer.accumulate_grad_batches)
+            tx = optax.MultiSteps(tx, every_k_schedule=int(accum))
         self._tx = tx
         return tx
 

@@ -85,3 +85,29 @@ def test_running_metrics():
     assert 0 < means["SSIM"] < 1
     assert means["MSE"] > 0
     assert "SSIM" in repr(m)
+
+
+def test_aggregator_loss():
+    """Reference common/losses/aggregator.py:19 — weighted sum of N losses."""
+    from mridc_tpu.losses import AggregatorLoss
+
+    agg = AggregatorLoss(num_inputs=2, weights=[0.5, 2.0])
+    total = agg(jnp.asarray(1.0), jnp.asarray(3.0))
+    assert float(total) == pytest.approx(0.5 * 1.0 + 2.0 * 3.0)
+    unweighted = AggregatorLoss(num_inputs=3)
+    assert float(unweighted(jnp.asarray(1.0), jnp.asarray(2.0), jnp.asarray(3.0))) == pytest.approx(6.0)
+    with pytest.raises(ValueError):
+        AggregatorLoss(num_inputs=2, weights=[1.0])
+
+
+def test_config_version_migration():
+    """Reference utils/model_utils.py:437 — cls->_target_, params hoisted."""
+    from mridc_tpu.train.config import maybe_update_config_version
+
+    legacy = {"model": {"cls": "some.path.Model", "params": {"lr": 1e-3, "depth": 4}},
+              "sched": {"params": {"warmup": 10}, "name": "cosine"}}
+    new = maybe_update_config_version(legacy)
+    assert new["model"]["_target_"] == "some.path.Model"
+    assert new["model"]["lr"] == 1e-3 and new["model"]["depth"] == 4
+    assert "params" not in new["model"] and "cls" not in new["model"]
+    assert new["sched"] == {"warmup": 10, "name": "cosine"}

@@ -151,3 +151,22 @@ def test_archive_roundtrip(tmp_path, loaders):
     out1 = model.apply({"params": trainer.state.params}, y, sens, mask, init_pred)
     out2 = model2.apply({"params": params2}, y, sens, mask, init_pred)
     np.testing.assert_allclose(np.asarray(out1.prediction), np.asarray(out2.prediction), rtol=1e-6)
+
+
+def test_gradient_accumulation(loaders):
+    train, _ = loaders
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    model = build_model(cfg)
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3},
+                      trainer_cfg={"accumulate_grad_batches": 2})
+    batch = next(iter(train))
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    p0 = jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    trainer.training_batch(batch)  # accumulating: params unchanged
+    p1 = jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    np.testing.assert_allclose(p0, p1)
+    trainer.training_batch(batch)  # second micro-batch applies the update
+    p2 = jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    assert np.abs(p2 - p0).max() > 0

@@ -99,3 +99,57 @@ def test_debug_stats():
     g = jax.grad(lambda p: (m.apply({"params": p}, x) ** 2).mean())(v["params"])
     gs = tree_stats(g)
     assert any("Dense" in k for k in gs)
+
+
+def test_shape_contracts():
+    """typecheck replacement for the neural-type lattice (reference
+    core/classes/common.py:718, core/neural_types/neural_type.py:1-210)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mridc_tpu.utils.typecheck import ShapeError, check_rv, check_shape
+
+    y = np.zeros((2, 4, 8, 8, 2), np.float32)
+    env = check_shape(y, "kspace", ("B", "C", "H", "W", 2))
+    assert env == {"B": 2, "C": 4, "H": 8, "W": 8}
+    # named-axis consistency within a call
+    with _pytest.raises(ShapeError):
+        check_shape(np.zeros((2, 3)), "x", ("B", "B"))
+    # seeding bindings
+    with _pytest.raises(ShapeError):
+        check_shape(y, "kspace", ("B", "C", "H", "W", 2), B=3)
+    check_rv(y, "kspace")
+    with _pytest.raises(ShapeError):
+        check_rv(np.zeros((2, 3), np.float32))
+    with _pytest.raises(ShapeError):
+        check_rv(np.zeros((2, 2), np.complex64))
+
+
+def test_deprecated_and_experimental_decorators(caplog):
+    """Reference utils/decorators/{deprecated,experimental}.py."""
+    from mridc_tpu.utils.decorators import deprecated, experimental
+
+    calls = []
+
+    @deprecated(version="9.9", explanation="use new_fn")
+    def old_fn(x):
+        calls.append(x)
+        return x * 2
+
+    assert old_fn(3) == 6 and old_fn(4) == 8
+    assert calls == [3, 4]
+
+    @experimental
+    class Thing:
+        def __init__(self, v):
+            self.v = v
+
+    assert Thing(5).v == 5
+
+
+def test_framework_exceptions():
+    from mridc_tpu.utils.exceptions import CheckpointCompatibilityError, MRIDCBaseException
+
+    assert issubclass(CheckpointCompatibilityError, MRIDCBaseException)
+    with pytest.raises(MRIDCBaseException):
+        raise CheckpointCompatibilityError("bad ckpt")
