@@ -42,6 +42,8 @@ class CIRIM(BaseReconModel):
     no_dc: bool = True
     keep_prediction: bool = True
     compute_dtype: str = None
+    stack_intermediates: bool = True  # False: inference fast path — skip
+    # stacking cascades x T per-step predictions (saves HBM traffic/footprint)
 
     @classmethod
     def from_config(cls, cfg):
@@ -62,6 +64,7 @@ class CIRIM(BaseReconModel):
             no_dc=cfg.get("no_dc", True),
             keep_prediction=cfg.get("keep_prediction", cfg.get("keep_eta", True)),
             compute_dtype=cfg.get("compute_dtype", None),
+            stack_intermediates=cfg.get("stack_intermediates", True),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -90,6 +93,7 @@ class CIRIM(BaseReconModel):
             spatial_dims=self.spatial_dims,
             coil_dim=self.coil_dim,
             compute_dtype=self.compute_dtype,
+            stack_etas=self.stack_intermediates,
         )
         if init_pred is not None and init_pred.ndim >= 4:
             eta0 = init_pred
@@ -125,5 +129,7 @@ class CIRIM(BaseReconModel):
             length=self.num_cascades,
         )()
         eta_last, intermediates = scan(eta0, None, y, sens, mask)
+        if not self.stack_intermediates:
+            return ModelOutput(prediction=eta_last, intermediates=None)
         # intermediates: [cascades, T, B, H, W, 2]
         return ModelOutput(prediction=intermediates[-1, -1], intermediates=intermediates)

@@ -42,6 +42,8 @@ class _RIMStep(nn.Module):
     spatial_dims: Sequence[int] = (-2, -1)
     coil_dim: int = 1
     compute_dtype: Optional[str] = None
+    stack_etas: bool = True  # False: skip stacking per-step etas (inference —
+    # saves T x [B, H, W, 2] HBM writes; training needs them for step weighting)
 
     @nn.compact
     def __call__(self, carry, _, y, sens, mask, sigma):
@@ -85,7 +87,7 @@ class _RIMStep(nn.Module):
                 final = conv
         dx = final(x).astype(eta.dtype)  # [B, H, W, 2]
         eta = eta + dx
-        return (eta, tuple(new_hx)), eta
+        return (eta, tuple(new_hx)), (eta if self.stack_etas else None)
 
 
 class RIMBlock(nn.Module):
@@ -109,6 +111,7 @@ class RIMBlock(nn.Module):
     compute_dtype: Optional[str] = None
     remat: bool = True  # rematerialize each time step: backward through the
     # scan recomputes activations instead of storing T x (conv stack) in HBM
+    stack_etas: bool = True  # False: etas output is None (inference fast path)
 
     @nn.compact
     def __call__(
@@ -160,6 +163,7 @@ class RIMBlock(nn.Module):
             spatial_dims=self.spatial_dims,
             coil_dim=self.coil_dim,
             compute_dtype=self.compute_dtype,
+            stack_etas=self.stack_etas,
         )
         (eta, hx_out), etas = scan((eta, hx), None, y, sens, mask, sigma)
 

@@ -63,7 +63,9 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
-            ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema else None,
+            # real copies, not aliases: params/ema_params must be distinct buffers
+            # or donation in the jitted train step donates the same buffer twice
+            ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
         )
 
 

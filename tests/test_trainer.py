@@ -170,3 +170,25 @@ def test_gradient_accumulation(loaders):
     trainer.training_batch(batch)  # second micro-batch applies the update
     p2 = jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
     assert np.abs(p2 - p0).max() > 0
+
+
+def test_ema_params_track_weights(loaders):
+    """EMA pytree average (reference common/callbacks/ema.py:19)."""
+    train, _ = loaders
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    model = build_model(cfg)
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-2},
+                      use_ema=True, ema_decay=0.5)
+    batch = next(iter(train))
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    trainer.training_batch(batch)
+    trainer.training_batch(batch)
+    p = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))[0]
+    e = jax.tree_util.tree_leaves(jax.device_get(trainer.state.ema_params))[0]
+    assert np.abs(p - e).max() > 0      # EMA lags the live params
+    assert np.isfinite(e).all()
+    # eval can run on the averaged weights
+    pred = trainer.predict_batch(batch, use_ema=True)
+    assert np.isfinite(pred).all()
