@@ -1,0 +1,136 @@
+"""Golden-value parity against the ACTUAL reference implementation.
+
+Loads the reference's own torch modules from /root/reference (leaf files only,
+via reference_loader — no PTL/hydra needed), runs them on fixed inputs, and
+checks our TPU-native graphs reproduce the numbers with converted weights.
+This is stronger than the reimplemented-graph test in test_torch_parity.py:
+any divergence in layer semantics, gate order, DC arithmetic, or FFT
+conventions shows up here.
+
+Reference: mridc/collections/reconstruction/nn/rim/rim_block.py (RIMBlock),
+rim/rim_utils.py (log_likelihood_gradient), common/parts/fft.py (fft2/ifft2).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import reference_loader
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    mods = {}
+    mods["fft"] = reference_loader.load("mridc.collections.common.parts.fft")
+    mods["rim_utils"] = reference_loader.load("mridc.collections.reconstruction.nn.rim.rim_utils")
+    mods["rim_block"] = reference_loader.load("mridc.collections.reconstruction.nn.rim.rim_block")
+    return mods
+
+
+def _inputs(b=1, c=3, h=16, w=16, seed=7):
+    rng = np.random.default_rng(seed)
+    y = rng.standard_normal((b, c, h, w, 2)).astype(np.float32) * 0.1
+    sens = rng.standard_normal((b, c, h, w, 2)).astype(np.float32)
+    sens /= np.sqrt((sens**2).sum(-1, keepdims=True).sum(1, keepdims=True)) + 1e-8
+    mask = (rng.random((1, 1, h, w, 1)) > 0.4).astype(np.float32)
+    mask[..., :, w // 2 - 2 : w // 2 + 2, :] = 1.0
+    y = y * mask
+    return y, sens, mask
+
+
+def test_fft2_matches_reference(ref):
+    """Our fft2 (real-view) vs reference common/parts/fft.py:13 on the same data."""
+    from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
+
+    y, _, _ = _inputs(h=16, w=16)
+    for centered in (True, False):
+        for norm in ("ortho", "backward"):
+            want = ref["fft"].fft2(
+                torch.from_numpy(y), centered=centered, normalization=norm, spatial_dims=[-2, -1]
+            ).numpy()
+            got = np.asarray(fft2_rv(jnp.asarray(y), centered, norm, (-2, -1)))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+            want_i = ref["fft"].ifft2(
+                torch.from_numpy(y), centered=centered, normalization=norm, spatial_dims=[-2, -1]
+            ).numpy()
+            got_i = np.asarray(ifft2_rv(jnp.asarray(y), centered, norm, (-2, -1)))
+            np.testing.assert_allclose(got_i, want_i, rtol=1e-4, atol=1e-5)
+
+
+def test_log_likelihood_gradient_matches_reference(ref):
+    """Our LLG vs reference rim/rim_utils.py:11 (DC gradient, 4-channel output)."""
+    from mridc_tpu.nn.dc import log_likelihood_gradient
+
+    y, sens, mask = _inputs()
+    eta = np.random.default_rng(3).standard_normal((1, 16, 16, 2)).astype(np.float32)
+    want = ref["rim_utils"].log_likelihood_gradient(
+        torch.from_numpy(eta),
+        torch.from_numpy(y),
+        torch.from_numpy(sens),
+        torch.from_numpy(mask),
+        sigma=1.0,
+        fft_centered=True,
+        fft_normalization="ortho",
+        spatial_dims=[-2, -1],
+        coil_dim=1,
+    ).numpy()  # [B, 4, H, W]
+    got = np.asarray(
+        log_likelihood_gradient(
+            jnp.asarray(eta), jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0]),
+            sigma=1.0, fft_centered=True, fft_normalization="ortho",
+            spatial_dims=(-2, -1), coil_dim=1,
+        )
+    )  # ours: [B, H, W, 4] NHWC
+    np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, rtol=1e-3, atol=1e-4)
+
+
+def test_cirim_block_matches_reference_weights(ref):
+    """End-to-end: the reference's real RIMBlock graph vs our scan-based CIRIM
+    with its weights imported (utils/torch_import.py mapping)."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_cirim_params
+
+    torch.manual_seed(0)
+    blk = ref["rim_block"].RIMBlock(
+        recurrent_layer="IndRNN",
+        conv_filters=[8, 8, 2], conv_kernels=[5, 3, 3], conv_dilations=[1, 2, 1],
+        conv_bias=[True, True, False],
+        recurrent_filters=[8, 8, 0], recurrent_kernels=[1, 1, 0],
+        recurrent_dilations=[1, 1, 0], recurrent_bias=[True, True, False],
+        depth=2, time_steps=8, no_dc=True,
+        fft_centered=True, fft_normalization="ortho", spatial_dims=[-2, -1], coil_dim=1,
+    ).eval()
+
+    y, sens, mask = _inputs()
+    with torch.no_grad():
+        preds, _ = blk(
+            torch.from_numpy(y),
+            torch.from_numpy(y),
+            torch.from_numpy(sens),
+            torch.from_numpy(mask),
+            prediction=None,
+            hx=None,
+            sigma=1.0,
+            keep_prediction=False,
+        )
+    want = preds[-1].numpy()  # [B, H, W, 2] real view, final time step
+
+    state = {f"cirim.0.{k}": v.numpy() for k, v in blk.state_dict().items()}
+    params = import_cirim_params(state, num_cascades=1)
+    model = build_model(
+        {
+            "model_name": "CIRIM", "num_cascades": 1, "time_steps": 8,
+            "conv_filters": [8, 8, 2], "recurrent_filters": [8, 8, 0],
+            "fft_centered": True, "fft_normalization": "ortho",
+        }
+    )
+    out = model.apply(
+        {"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])
+    )
+    got = np.asarray(out.prediction)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
