@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "import_cirim_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -93,3 +93,49 @@ def import_cirim_params(state: Dict[str, np.ndarray], num_cascades: int) -> Dict
         }
     }
     return params
+
+
+def iohw_to_hwio_flipped(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kH, kW) -> flax ConvTranspose
+    (kH, kW, in, out) with spatial flip (flax's transpose_kernel=False
+    convention applies the kernel un-flipped to the dilated input)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def import_normunet_params(state: Dict[str, np.ndarray], chans: int, num_pools: int,
+                           prefix: str = "unet.") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.unet.NormUnet` from a reference
+    fastMRI-style NormUnet state dict (reference
+    mridc/collections/reconstruction/nn/unet_base/unet_block.py:11 ``NormUnet``,
+    :145 ``Unet`` — ConvBlock convs at layers.0/layers.4, transpose convs at
+    up_transpose_conv.{i}.layers.0, final 1x1 at up_conv.{last}.1)."""
+
+    def conv(key):
+        return {"kernel": oihw_to_hwio(state[prefix + key])}
+
+    tree: Dict = {}
+    blocks = 0
+    for i in range(num_pools):
+        tree[f"ConvBlock_{blocks}"] = {
+            "Conv_0": conv(f"down_sample_layers.{i}.layers.0.weight"),
+            "Conv_1": conv(f"down_sample_layers.{i}.layers.4.weight"),
+        }
+        blocks += 1
+    tree[f"ConvBlock_{blocks}"] = {
+        "Conv_0": conv("conv.layers.0.weight"),
+        "Conv_1": conv("conv.layers.4.weight"),
+    }
+    blocks += 1
+    for i in range(num_pools):
+        tree[f"TransposeConvBlock_{i}"] = {
+            "ConvTranspose_0": {"kernel": iohw_to_hwio_flipped(state[prefix + f"up_transpose_conv.{i}.layers.0.weight"])}
+        }
+        key0 = f"up_conv.{i}.layers.0.weight" if i < num_pools - 1 else f"up_conv.{i}.0.layers.0.weight"
+        key1 = f"up_conv.{i}.layers.4.weight" if i < num_pools - 1 else f"up_conv.{i}.0.layers.4.weight"
+        tree[f"ConvBlock_{blocks}"] = {"Conv_0": conv(key0), "Conv_1": conv(key1)}
+        blocks += 1
+    tree["Conv_0"] = {
+        "kernel": oihw_to_hwio(state[prefix + f"up_conv.{num_pools - 1}.1.weight"]),
+        "bias": state[prefix + f"up_conv.{num_pools - 1}.1.bias"],
+    }
+    return {"Unet_0": tree}

@@ -134,3 +134,51 @@ def test_cirim_block_matches_reference_weights(ref):
     got = np.asarray(out.prediction)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["GRU", "MGU"])
+def test_rnn_cells_match_reference(ref, kind):
+    """Gate order + update equations vs reference rim/rnn_cells.py
+    (ConvGRUCell :115, ConvMGUCell :280)."""
+    from mridc_tpu.nn.rnn_cells import make_cell
+    from mridc_tpu.utils.torch_import import oihw_to_hwio
+
+    rc = reference_loader.load("mridc.collections.reconstruction.nn.rim.rnn_cells")
+    torch.manual_seed(1)
+    tcell = getattr(rc, f"Conv{kind}Cell")(4, 8, conv_dim=2, kernel_size=1, dilation=1, bias=True)
+    x = np.random.default_rng(2).standard_normal((1, 4, 8, 8)).astype(np.float32)
+    h = np.random.default_rng(3).standard_normal((1, 8, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = tcell(torch.from_numpy(x), torch.from_numpy(h)).numpy()
+
+    sd = {k: v.numpy() for k, v in tcell.state_dict().items()}
+    params = {
+        "Conv_0": {"kernel": oihw_to_hwio(sd["ih.weight"]), "bias": sd["ih.bias"]},
+        "Conv_1": {"kernel": oihw_to_hwio(sd["hh.weight"])},
+    }
+    cell = make_cell(kind, 8, 1, 1, True)
+    got = cell.apply(
+        {"params": params}, jnp.asarray(np.moveaxis(x, 1, -1)), jnp.asarray(np.moveaxis(h, 1, -1))
+    )
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), want, rtol=1e-5, atol=1e-6)
+
+
+def test_normunet_matches_reference(ref):
+    """Full NormUnet graph (norm -> pad -> unet -> unpad -> unnorm) vs
+    reference unet_base/unet_block.py:11 with imported weights."""
+    from mridc_tpu.nn.unet import NormUnet
+    from mridc_tpu.utils.torch_import import import_normunet_params
+
+    ub = reference_loader.load("mridc.collections.reconstruction.nn.unet_base.unet_block")
+    torch.manual_seed(5)
+    tnet = ub.NormUnet(chans=4, num_pools=2, in_chans=2, out_chans=2).eval()
+    x = np.random.default_rng(11).standard_normal((1, 12, 20, 2)).astype(np.float32)
+    with torch.no_grad():  # reference wants [b, coils, h, w, 2]
+        want = tnet(torch.from_numpy(x[:, None])).numpy()[:, 0]
+
+    params = import_normunet_params(
+        {k: v.numpy() for k, v in tnet.state_dict().items()}, chans=4, num_pools=2
+    )
+    net = NormUnet(chans=4, num_pools=2)
+    got = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
