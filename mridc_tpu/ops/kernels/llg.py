@@ -45,7 +45,11 @@ def _kernel(eta_ref, y_ref, sens_ref, mask_ref, fh_ref, fw_ref, out_ref):
     xr = er * sr - ei * si
     xi = er * si + ei * sr
 
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    # HIGHEST: full-f32 MXU passes — default bf16 multiplies give ~8e-2
+    # error on the DFT matrices (measured on v5e), far beyond tolerance
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
     fhr, fhi = fh_ref[0], fh_ref[1]
     fwr, fwi = fw_ref[0], fw_ref[1]
 

@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -139,3 +139,20 @@ def import_normunet_params(state: Dict[str, np.ndarray], chans: int, num_pools: 
         "bias": state[prefix + f"up_conv.{num_pools - 1}.1.bias"],
     }
     return {"Unet_0": tree}
+
+
+def import_varnet_params(state: Dict[str, np.ndarray], num_cascades: int, chans: int,
+                         num_pools: int) -> Dict:
+    """Flax param tree for :class:`mridc_tpu.models.recon.VarNet` from a
+    reference E2EVN state dict (reference mridc/collections/reconstruction/nn/
+    vn.py:39 ``cascades`` ModuleList of varnet/vn_block.py:11 ``VarNetBlock``:
+    keys ``cascades.{i}.model.unet...`` + ``cascades.{i}.dc_weight``)."""
+    tree: Dict = {}
+    for i in range(num_cascades):
+        sub = {k[len(f"cascades.{i}.model."):]: v for k, v in state.items()
+               if k.startswith(f"cascades.{i}.model.")}
+        tree[f"_VarNetBlock_{i}"] = {
+            "dc_weight": state[f"cascades.{i}.dc_weight"],
+            "NormUnet_0": import_normunet_params(sub, chans=chans, num_pools=num_pools),
+        }
+    return tree

@@ -182,3 +182,48 @@ def test_normunet_matches_reference(ref):
     net = NormUnet(chans=4, num_pools=2)
     got = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_varnet_matches_reference(ref):
+    """Full E2E VarNet (2 cascades of soft-DC + NormUnet, final RSS/SENSE
+    combine) vs the reference's real vn_block graph with imported weights
+    (reference nn/vn.py:19, varnet/vn_block.py:11)."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_varnet_params
+
+    ub = reference_loader.load("mridc.collections.reconstruction.nn.unet_base.unet_block")
+    vb = reference_loader.load("mridc.collections.reconstruction.nn.varnet.vn_block")
+    futils = reference_loader.load("mridc.collections.common.parts.utils")
+
+    torch.manual_seed(9)
+    cascades = torch.nn.ModuleList(
+        [
+            vb.VarNetBlock(
+                ub.NormUnet(chans=4, num_pools=2, in_chans=2, out_chans=2),
+                fft_centered=True, fft_normalization="ortho",
+                spatial_dims=[-2, -1], coil_dim=1, no_dc=False,
+            )
+            for _ in range(2)
+        ]
+    ).eval()
+
+    y, sens, mask = _inputs()
+    ty, tsens, tmask = map(torch.from_numpy, (y, sens, mask))
+    with torch.no_grad():
+        pred = ty.clone()
+        for cascade in cascades:
+            pred = cascade(pred, ty, tsens, tmask)
+        image = ref["fft"].ifft2(pred, centered=True, normalization="ortho", spatial_dims=[-2, -1])
+        want = futils.complex_mul(image, futils.complex_conj(tsens)).sum(1).numpy()
+
+    state = {f"cascades.{i}.{k}": v.numpy() for i, c in enumerate(cascades)
+             for k, v in c.state_dict().items()}
+    params = import_varnet_params(state, num_cascades=2, chans=4, num_pools=2)
+    model = build_model(
+        {"model_name": "VN", "num_cascades": 2, "channels": 4, "pooling_layers": 2,
+         "fft_centered": True, "fft_normalization": "ortho", "coil_combination_method": "SENSE"}
+    )
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])).prediction
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
