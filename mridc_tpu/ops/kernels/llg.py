@@ -109,4 +109,7 @@ def llg_fused(
         ],
         out_specs=pl.BlockSpec((1, h, w, 2), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, 2), jnp.float32),
+        # the default scoped-vmem budget is 16MB; the HIGHEST-precision DFT
+        # matmul temporaries need ~2MB per 64x64 tile and grow ~quadratically
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(eta, y4, s4, mask.reshape(b, h, w), fh, fw)

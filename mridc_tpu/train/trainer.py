@@ -17,6 +17,7 @@ mridc/collections/reconstruction/nn/base.py training/validation/test steps
 
 from __future__ import annotations
 
+import signal
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
@@ -263,10 +264,45 @@ class Trainer:
 
         step = int(self.state.step)
         history = []
+
+        # preemption-aware save: on SIGTERM (TPU maintenance / SLURM requeue)
+        # checkpoint the current state before exiting so resume_if_exists can
+        # pick the run back up (reference relies on exp_manager resume +
+        # StatelessTimer, exp_manager.py:401-471/:991-1000; on TPU we hook the
+        # signal directly).
+        preempted = {"flag": False}
+        prev_handler = None
+
+        def _on_sigterm(signum, frame):  # noqa: ARG001
+            preempted["flag"] = True
+            logger.warning("SIGTERM received: checkpointing before exit")
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            prev_handler = None  # not in the main thread; skip the hook
+
+        # profiling (reference step-timing via NamedTimer, utils/timers.py:14;
+        # here additionally a real device trace): trainer.profile_dir captures
+        # steps [profile_start_step, +profile_steps) as a TensorBoard-readable
+        # XPlane trace
+        profile_dir = self.trainer_cfg.get("profile_dir")
+        profile_start = int(self.trainer_cfg.get("profile_start_step", 3))
+        profile_len = int(self.trainer_cfg.get("profile_steps", 5))
+        profiling = False
+
         for epoch in range(max_epochs):
             epoch_start = time.perf_counter()
             losses = []
             for batch in train_loader:
+                if profile_dir is not None:
+                    if not profiling and step == profile_start:
+                        jax.profiler.start_trace(str(profile_dir))
+                        profiling = True
+                    elif profiling and step >= profile_start + profile_len:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logger.info(f"Wrote profiler trace to {profile_dir}")
                 t0 = time.perf_counter()
                 metrics = self.training_batch(batch)
                 loss = float(metrics["loss"])
@@ -277,8 +313,12 @@ class Trainer:
                     logger.info(f"epoch {epoch} step {step} loss {loss:.5f} step_time {dt:.3f}s")
                 if self.exp_manager is not None:
                     self.exp_manager.log_scalar("train_loss", loss, step)
-                if step >= max_steps:
+                if step >= max_steps or preempted["flag"]:
                     break
+            if preempted["flag"]:
+                if self.exp_manager is not None:
+                    self.exp_manager.checkpointer.save(step, self.state, {"val_loss": float("inf")})
+                break
             epoch_metrics = {"epoch": epoch, "train_loss": float(np.mean(losses)) if losses else float("nan")}
             if val_loader is not None:
                 val = self.validate(val_loader)
@@ -303,6 +343,10 @@ class Trainer:
             history.append(epoch_metrics)
             if step >= max_steps:
                 break
+        if profiling:
+            jax.profiler.stop_trace()
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         if self.exp_manager is not None:
             self.exp_manager.on_train_end(self)
         return history

@@ -192,3 +192,58 @@ def test_ema_params_track_weights(loaders):
     # eval can run on the averaged weights
     pred = trainer.predict_batch(batch, use_ema=True)
     assert np.isfinite(pred).all()
+
+
+def test_sigterm_preemption_checkpoint(loaders, tmp_path):
+    """SIGTERM mid-fit saves a resumable checkpoint (TPU preemption story;
+    reference analog: exp_manager resume_if_exists, exp_manager.py:401-471)."""
+    import os
+    import signal as _signal
+    import threading
+
+    from mridc_tpu.train.exp_manager import ExpManager
+
+    train, _ = loaders
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    model = build_model(cfg)
+    exp = ExpManager(exp_dir=str(tmp_path / "exp"), name="preempt", version="v1", model_config=cfg)
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, exp_manager=exp)
+    # warm the jit outside fit so the handler is installed long before the
+    # signal lands (SIGTERM before installation would kill pytest itself)
+    batch = next(iter(train))
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    trainer.training_batch(batch)
+    timer = threading.Timer(1.0, lambda: os.kill(os.getpid(), _signal.SIGTERM))
+    timer.start()
+    try:
+        trainer.fit(train, max_epochs=100000, log_every_n_steps=100000)
+    finally:
+        timer.cancel()
+    ckpts = list((tmp_path / "exp" / "preempt" / "v1" / "checkpoints").glob("*"))
+    assert ckpts, "no checkpoint written on SIGTERM"
+    # a fresh trainer resumes from it
+    exp2 = ExpManager(exp_dir=str(tmp_path / "exp"), name="preempt", version="v1",
+                      resume_if_exists=True, model_config=cfg)
+    trainer2 = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, exp_manager=exp2)
+    batch = next(iter(train))
+    trainer2.setup_optimization()
+    trainer2.init_state(jax.random.PRNGKey(1), batch)
+    assert exp2.maybe_resume(trainer2)
+    assert int(trainer2.state.step) > 0
+
+
+def test_profiler_trace_capture(loaders, tmp_path):
+    """trainer.profile_dir writes a TB-readable XPlane trace of a step window."""
+    train, _ = loaders
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    model = build_model(cfg)
+    pdir = tmp_path / "prof"
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3},
+                      trainer_cfg={"profile_dir": str(pdir), "profile_start_step": 1,
+                                   "profile_steps": 1})
+    trainer.fit(train, max_epochs=4, log_every_n_steps=1000)
+    traces = list(pdir.rglob("*.xplane.pb"))
+    assert traces, f"no xplane trace under {pdir}"
