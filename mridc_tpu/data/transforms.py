@@ -131,12 +131,17 @@ class NoisePreWhitening(_Transform):
         else:
             raise ValueError("No patch size defined and find_patch_size is False for noise prewhitening.")
 
-        noise = data[:, patch[0] : patch[1], patch[2] : patch[3]]
+        # the reference works on the real view ([C, H, W, 2], reference :134-157):
+        # covariance and psi are REAL matrices applied to re/im jointly, not a
+        # complex covariance — match that exactly
+        rv = np.stack([data.real, data.imag], -1).astype(np.float32)
+        noise = rv[:, patch[0] : patch[1], patch[2] : patch[3]]
         noise_int = noise.reshape(noise.shape[0], -1)
-        cov = (1.0 / (noise_int.shape[1] - 1)) * (noise_int @ np.conj(noise_int).T)
+        cov = (1.0 / (noise_int.shape[1] - 1)) * (noise_int @ noise_int.T)
         cov = cov + np.eye(cov.shape[0]) * 1e-6
         psi = np.linalg.inv(np.linalg.cholesky(cov)) * np.sqrt(2.0) * np.sqrt(self.scale_factor)
-        data = (psi @ data.reshape(data.shape[0], -1)).reshape(data.shape).astype(np.complex64)
+        rv = (psi @ rv.reshape(rv.shape[0], -1)).reshape(rv.shape)
+        data = (rv[..., 0] + 1j * rv[..., 1]).astype(np.complex64)
 
         if apply_forward_transform:
             data = _np_ifft2(data, self.fft_centered, self.fft_normalization, tuple(self.spatial_dims))
@@ -188,67 +193,98 @@ class GeometricDecompositionCoilCompression(_Transform):
             return data
         return self.forward(data)
 
+    @staticmethod
+    def _crop_slices(shape, wanted):
+        """The reference's centered-crop index arithmetic (reference :336-345):
+        per-dim slice [|d//2 + ceil(-s/2)| : |d//2 + ceil(s/2)| + 1 - 1)."""
+        out = []
+        for dim, s in zip(shape, wanted):
+            a = abs(int(dim // 2 + np.ceil(-s / 2)))
+            b = abs(int(dim // 2 + np.ceil(s / 2)) + 1)
+            out.append(slice(a, b - 1))
+        return tuple(out)
+
+    def _fft1(self, x, axis=0, inverse=False):
+        fn = np.fft.ifft if inverse else np.fft.fft
+        norm = None if self.fft_normalization in (None, "none") else self.fft_normalization
+        if self.fft_centered:
+            x = np.fft.ifftshift(x, axes=axis)
+        x = fn(x, axis=axis, norm=norm)
+        if self.fft_centered:
+            x = np.fft.fftshift(x, axes=axis)
+        return x.astype(np.complex64)
+
     def forward(self, data: np.ndarray) -> np.ndarray:
+        """Mirrors the reference's MATLAB-derived sequence exactly
+        (reference :295-477): decomposition runs along the LAST spatial axis
+        (width) with the center ``calib_lines`` rows as calibration; one
+        compression matrix per width position (sliding-window SVD, Procrustes
+        alignment outward from the center); compress in hybrid space; then
+        per-coil ifft2 -> flip along width -> fft2 back to k-space."""
         if not self.virtual_coils:
             raise ValueError("Number of virtual coils must be defined for GCC.")
+        vc = self.virtual_coils
         nc = data.shape[0]
-        if nc < self.virtual_coils:
-            raise ValueError(f"Tried to compress from {nc} to {self.virtual_coils} coils.")
-        if self.virtual_coils == 1:
-            calib_lines = data.shape[-1]
-        else:
-            calib_lines = self.calib_lines or data.shape[-2]
+        if nc < vc:
+            raise ValueError(f"Tried to compress from {nc} to {vc} coils.")
 
-        # [coils, h, w] -> [h, w, coils]; readout = axis 0
-        x = np.transpose(data, (1, 2, 0))
-        nx, ny, _ = x.shape
+        x = np.transpose(np.asarray(data, np.complex64), (1, 2, 0))  # [H, W, C]
+        hh, ww, _ = x.shape
+        calib_lines = nc if vc == 1 else (self.calib_lines or hh)
 
-        # calibration: center calib_lines along readout
-        c0 = max((nx - calib_lines) // 2, 0)
-        calib = x[c0 : c0 + calib_lines]
+        # calibration crop: center calib_lines along H, then axis order
+        # [W, calib, 1, C] so the width is the decomposition axis (reference
+        # crop() :330-346 permutes the same way)
+        cal = x[self._crop_slices((hh, ww, nc), (calib_lines, ww, nc))]
+        cal = cal[:, :, None, :].transpose(1, 0, 2, 3)
+        nx, ny, nz, _ = cal.shape
 
-        # hybrid space: ifft along readout only
-        im = np.fft.ifft(np.fft.ifftshift(calib, axes=0), axis=0, norm=None)
-        im = np.fft.fftshift(im, axes=0)
+        im = self._fft1(cal, axis=0, inverse=True)
+        ws = (vc // 2) * 2 + 1
+        zp = np.zeros((nx + ws - 1, ny, nz, nc), np.complex64)
+        zp[self._crop_slices((nx, ny, nz, nc), (nx + ws - 1, ny, nz, nc))[0]] = im
 
-        ws = (self.virtual_coils // 2) * 2 + 1
-        ncalib = im.shape[0]
-        # zero-pad readout for the sliding window
-        zp = np.zeros((ncalib + ws - 1, ny, nc), dtype=np.complex64)
-        off = (ws - 1) // 2
-        zp[off : off + ncalib] = im
-
-        mats = np.zeros((ncalib, nc, nc), dtype=np.complex64)
-        for n in range(ncalib):
+        mats = np.zeros((nx, nc, vc), np.complex64)
+        for n in range(nx):
             block = zp[n : n + ws].reshape(-1, nc)
             _, _, vh = np.linalg.svd(block, full_matrices=True)
-            mats[n] = vh.conj().T  # columns are compression directions
-
-        mats = mats[:, :, : self.virtual_coils]
+            mats[n] = vh.conj().T[:, :vc]  # right singular vectors
 
         if self.align_data:
-            n0 = ncalib // 2
-            for n in range(n0 - 1, -1, -1):
-                c = mats[n].conj().T @ mats[n + 1]
-                u, _, vh = np.linalg.svd(c, full_matrices=False)
-                p = u @ vh
-                mats[n] = mats[n] @ p
-            for n in range(n0 + 1, ncalib):
-                c = mats[n].conj().T @ mats[n - 1]
-                u, _, vh = np.linalg.svd(c, full_matrices=False)
-                p = u @ vh
-                mats[n] = mats[n] @ p
+            # Procrustes alignment outward from the center matrix
+            # (reference align_compressed_coils :348-398, n0 = W//2)
+            n0 = nx // 2
+            a0 = mats[n0 - 1].copy()
+            ref = a0
+            for n in range(n0, 0, -1):
+                a1 = mats[n - 1]
+                u, _, vh = np.linalg.svd(a1.conj().T @ ref, full_matrices=False)
+                mats[n - 1] = a1 @ (u @ vh)
+                ref = mats[n - 1]
+            ref = a0
+            for n in range(n0, nx):
+                a1 = mats[n]
+                u, _, vh = np.linalg.svd(a1.conj().T @ ref, full_matrices=False)
+                mats[n] = a1 @ (u @ vh)
+                ref = mats[n]
 
-        # full data to hybrid space along readout
-        imf = np.fft.fftshift(np.fft.ifft(np.fft.ifftshift(x, axes=0), axis=0), axes=0)
-        # nearest calibration matrix per readout position
-        idx = np.clip(np.round(np.linspace(0, ncalib - 1, nx)).astype(int), 0, ncalib - 1)
-        out = np.empty((nx, ny, self.virtual_coils), dtype=np.complex64)
+        # compress the FULL data: hybrid space along width, one matrix per
+        # width position (reference rotate_and_compress :400-477)
+        full = x.transpose(1, 0, 2)[:, :, None, :]  # [W, H, 1, C]
+        imf = self._fft1(full, axis=0, inverse=True)
+        cc = np.empty((nx, hh, 1, vc), np.complex64)
         for n in range(nx):
-            out[n] = imf[n] @ mats[idx[n]]
-        # back to k-space along readout
-        k = np.fft.fftshift(np.fft.fft(np.fft.ifftshift(out, axes=0), axis=0), axes=0)
-        return np.ascontiguousarray(np.transpose(k, (2, 0, 1))).astype(np.complex64)
+            cc[n] = (imf[n].reshape(hh * 1, nc) @ mats[n]).reshape(hh, 1, vc)
+        cck = self._fft1(cc, axis=0).transpose(1, 0, 2, 3)[:, :, 0, :]  # [H, W, vc]
+
+        dims = tuple(self.spatial_dims)
+        img = np.stack(
+            [_np_ifft2(cck[:, :, n], self.fft_centered, self.fft_normalization, dims) for n in range(vc)],
+            axis=-1,
+        )
+        img = np.flip(img, axis=1)  # reference flips along width (:135)
+        out = img.transpose(2, 0, 1)  # [vc, H, W]
+        return _np_fft2(out, self.fft_centered, self.fft_normalization, dims).astype(np.complex64)
 
 
 class ZeroFilling(_Transform):

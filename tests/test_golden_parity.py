@@ -227,3 +227,45 @@ def test_varnet_matches_reference(ref):
         model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])).prediction
     )
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_noise_prewhitening_matches_reference(ref):
+    """NPW real-view covariance + Cholesky whitening vs reference
+    common/parts/transforms.py:32 (exact)."""
+    from mridc_tpu.data.transforms import NoisePreWhitening
+
+    rt = reference_loader.load("mridc.collections.common.parts.transforms")
+    rng = np.random.default_rng(0)
+    k = (rng.standard_normal((6, 24, 24)) + 1j * rng.standard_normal((6, 24, 24))).astype(np.complex64)
+    ref_npw = rt.NoisePreWhitening(find_patch_size=False, patch_size=[0, 6, 0, 6], scale_factor=1.3)
+    want = torch.view_as_complex(ref_npw(torch.view_as_real(torch.from_numpy(k)))).numpy()
+    got = NoisePreWhitening(find_patch_size=False, patch_size=[0, 6, 0, 6], scale_factor=1.3)(k)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # auto patch search agrees too
+    ref_auto = rt.NoisePreWhitening(find_patch_size=True, patch_size=[0, 6, 0, 6])
+    want2 = torch.view_as_complex(ref_auto(torch.view_as_real(torch.from_numpy(k)))).numpy()
+    got2 = NoisePreWhitening(find_patch_size=True)(k)
+    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-5)
+
+
+def test_gcc_matches_reference(ref):
+    """GCC coil compression vs reference common/parts/transforms.py:214.
+    Virtual coils are defined up to a per-coil phase (SVD convention), so
+    magnitudes and the RSS image must match; phases may rotate."""
+    from mridc_tpu.data.transforms import GeometricDecompositionCoilCompression as GCC
+
+    rt = reference_loader.load("mridc.collections.common.parts.transforms")
+    rng = np.random.default_rng(0)
+    k = (rng.standard_normal((6, 24, 24)) + 1j * rng.standard_normal((6, 24, 24))).astype(np.complex64)
+    ref_gcc = rt.GeometricDecompositionCoilCompression(virtual_coils=4, calib_lines=12, align_data=True)
+    want = torch.view_as_complex(ref_gcc(torch.view_as_real(torch.from_numpy(k)))).numpy()
+    got = GCC(virtual_coils=4, calib_lines=12, align_data=True)(k)
+    assert got.shape == want.shape == (4, 24, 24)
+    np.testing.assert_allclose(np.abs(got), np.abs(want), rtol=1e-3, atol=1e-4)
+    # RSS image (the downstream-visible quantity) matches exactly
+    img_got = np.fft.ifft2(got)
+    img_want = np.fft.ifft2(want)
+    np.testing.assert_allclose(
+        np.sqrt((np.abs(img_got) ** 2).sum(0)), np.sqrt((np.abs(img_want) ** 2).sum(0)),
+        rtol=1e-3, atol=1e-5,
+    )
