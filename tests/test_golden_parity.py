@@ -269,3 +269,58 @@ def test_gcc_matches_reference(ref):
         np.sqrt((np.abs(img_got) ** 2).sum(0)), np.sqrt((np.abs(img_want) ** 2).sum(0)),
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_mask_generators_match_reference(ref):
+    """Mask generators vs reference reconstruction/data/subsample.py.
+    random1d/equispaced1d/equispaced2d are bit-identical under the same seed;
+    gaussian2d is bit-identical when the global np.random state is aligned
+    (the reference draws gaussian/poisson samples from the GLOBAL RNG,
+    subsample.py Gaussian*.gaussian_coordinates — ours uses the seeded
+    instance RNG with the same call sequence); poisson2d matches in
+    sampling density."""
+    sub = reference_loader.load("mridc.collections.reconstruction.data.subsample")
+    from mridc_tpu.data.subsample import create_masker
+
+    shape = (1, 64, 64, 2)
+    for mtype in ("random1d", "equispaced1d", "equispaced2d"):
+        rm, racc = sub.create_mask_for_mask_type(mtype, [0.08], [4])(list(shape), seed=42)
+        om, oacc = create_masker(mtype, [0.08], [4])(np.array(shape), 42)
+        assert np.array_equal(
+            np.asarray(rm).squeeze().astype(bool), np.asarray(om).squeeze().astype(bool)
+        ), mtype
+        assert float(racc) == float(oacc)
+
+    np.random.seed(7)
+    rm = np.asarray(sub.create_mask_for_mask_type("gaussian2d", [0.7], [4])(list(shape), seed=7)[0])
+    om = np.asarray(create_masker("gaussian2d", [0.7], [4])(np.array(shape), 7)[0])
+    assert np.array_equal(rm.squeeze().astype(bool), om.squeeze().astype(bool))
+
+    fr, fo = [], []
+    for s in range(6):
+        np.random.seed(s)
+        fr.append(float(np.asarray(sub.create_mask_for_mask_type("poisson2d", [0.08], [4])(list(shape), seed=s)[0]).mean()))
+        fo.append(float(np.asarray(create_masker("poisson2d", [0.08], [4])(np.array(shape), s)[0]).mean()))
+    assert abs(np.mean(fr) - np.mean(fo)) / np.mean(fr) < 0.1
+
+
+def test_gaussian1d_reference_degeneracy_not_replicated(ref):
+    """INTENTIONAL deviation: the reference's Gaussian1DMaskFunc returns
+    mask[0] of a row-sampled H x W grid after ifftshift (subsample.py
+    Gaussian1DMaskFunc.__call__), which is a CONSTANT vector — every mask is
+    all-ones or all-zeros. Ours implements the documented behavior (gaussian
+    column density + fully-sampled center strip)."""
+    sub = reference_loader.load("mridc.collections.reconstruction.data.subsample")
+    from mridc_tpu.data.subsample import create_masker
+
+    shape = (1, 64, 64, 2)
+    means = []
+    for s in range(8):
+        np.random.seed(s)
+        m, _ = sub.create_mask_for_mask_type("gaussian1d", [0.7], [4])(list(shape), seed=s)
+        means.append(float(np.asarray(m).mean()))
+    assert all(m in (0.0, 1.0) for m in means), "reference degeneracy disappeared — revisit parity"
+
+    om = np.asarray(create_masker("gaussian1d", [0.7], [4])(np.array(shape), 3)[0]).squeeze()
+    frac = om.astype(bool).mean()
+    assert 0.05 < frac < 0.6, "our gaussian1d should be a genuine subsampling mask"
