@@ -519,14 +519,19 @@ class SSDU:
         return sel
 
     def _uniform(self, mask2d):
+        # NOTE reference inconsistency preserved (transforms.py:1155-1173 +
+        # forward :1027-1035): the uniform branch returns the COMPLEMENT of the
+        # drawn points, so here loss ends up with the (1-rho) remainder and
+        # train with the rho draw + ACS — inverted relative to the Gaussian
+        # branch. We mirror the behavior for parity.
         tmp = self._acs_zeroed(mask2d).ravel()
         num_valid = int(tmp.sum())
         n_drop = int(self.rho * num_valid)
-        sel = np.zeros_like(tmp)
+        sel = tmp.copy()
         if num_valid > 0 and n_drop > 0:
             candidates = np.flatnonzero(tmp)
             chosen = self.rng.choice(candidates, size=min(n_drop, len(candidates)), replace=False)
-            sel[chosen] = 1
+            sel[chosen] = 0
         return sel.reshape(mask2d.shape)
 
 

@@ -28,6 +28,13 @@ _PKGS = [
     "mridc.collections.reconstruction.nn.rim",
     "mridc.collections.reconstruction.nn.unet_base",
     "mridc.collections.reconstruction.nn.varnet",
+    "mridc.collections.common.losses",
+    "mridc.core",
+    "mridc.core.classes",
+    "mridc.collections.quantitative",
+    "mridc.collections.quantitative.nn",
+    "mridc.collections.quantitative.nn.qrim",
+    "mridc.collections.quantitative.parts",
 ]
 
 
@@ -47,8 +54,14 @@ def install():
     class ListConfig(list):
         pass
 
+    class _OmegaConf:
+        @staticmethod
+        def to_container(x, resolve=True):
+            return x
+
     omegaconf = _stub("omegaconf", ListConfig=ListConfig)
     omegaconf.DictConfig = dict
+    omegaconf.OmegaConf = _OmegaConf
 
     def _identity_decorator(*args, **kwargs):
         if len(args) == 1 and callable(args[0]) and not kwargs:

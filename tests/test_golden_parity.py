@@ -324,3 +324,56 @@ def test_gaussian1d_reference_degeneracy_not_replicated(ref):
     om = np.asarray(create_masker("gaussian1d", [0.7], [4])(np.array(shape), 3)[0]).squeeze()
     frac = om.astype(bool).mean()
     assert 0.05 < frac < 0.6, "our gaussian1d should be a genuine subsampling mask"
+
+
+def test_ssim_loss_matches_reference(ref):
+    """SSIMLoss (7x7 uniform window, 1-SSIM) vs reference common/losses/ssim.py:11."""
+    from mridc_tpu.losses.ssim import SSIMLoss
+
+    sl = reference_loader.load("mridc.collections.common.losses.ssim")
+    rng = np.random.default_rng(0)
+    t = rng.random((2, 32, 32)).astype(np.float32)
+    p = (t + 0.1 * rng.standard_normal((2, 32, 32))).astype(np.float32)
+    dr = np.array([1.0, 1.0], np.float32)
+    want = float(
+        sl.SSIMLoss()(torch.from_numpy(t).unsqueeze(1), torch.from_numpy(p).unsqueeze(1), torch.from_numpy(dr))
+    )
+    got = float(SSIMLoss()(jnp.asarray(t), jnp.asarray(p), jnp.asarray(dr)))
+    assert abs(want - got) < 1e-5, (want, got)
+
+
+@pytest.mark.parametrize("mask_type", ["Gaussian", "Uniform"])
+def test_ssdu_split_matches_reference(ref, mask_type):
+    """SSDU train/loss mask split vs reference common/parts/transforms.py:953.
+    Gaussian selection is bit-identical with the RNG state aligned (the
+    reference samples from the global np.random; ours from the seeded instance
+    RNG). Uniform selection uses torch.multinomial in the reference (a
+    different RNG stream), so equality is structural: identical split sizes
+    and a valid train/loss partition."""
+    from mridc_tpu.data.transforms import SSDU
+
+    rt = reference_loader.load("mridc.collections.common.parts.transforms")
+    rng = np.random.default_rng(5)
+    mask2d = (rng.random((32, 32)) < 0.3).astype(np.float32)
+    mask2d[14:18, 14:18] = 1.0  # ACS region
+    ref_ssdu = rt.SSDU(mask_type=mask_type, rho=0.4, acs_block_size=(4, 4),
+                       gaussian_std_scaling_factor=4.0, export_and_reuse_masks=False)
+    np.random.seed(11)
+    torch.manual_seed(11)
+    tm, lm = ref_ssdu.forward(torch.from_numpy(mask2d), "f")
+    ours = SSDU(mask_type=mask_type, rho=0.4, acs_block_size=(4, 4),
+                gaussian_std_scaling_factor=4.0, rng=np.random.RandomState(11))
+    otm, olm = ours(mask2d, "f")
+    rtm = np.asarray(tm).squeeze().astype(bool)
+    rlm = np.asarray(lm).squeeze().astype(bool)
+    otm = np.asarray(otm).astype(bool)
+    olm = np.asarray(olm).astype(bool)
+    if mask_type == "Gaussian":
+        assert np.array_equal(rtm, otm)
+        assert np.array_equal(rlm, olm)
+    else:
+        assert rtm.sum() == otm.sum() and rlm.sum() == olm.sum()
+    # both sides: train OR loss reproduces the original sampling; ACS in train
+    assert np.array_equal(otm | olm, mask2d.astype(bool))
+    assert np.array_equal(rtm | rlm, mask2d.astype(bool))
+    assert otm[14:18, 14:18].all() and rtm[14:18, 14:18].all()
