@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -155,4 +155,30 @@ def import_varnet_params(state: Dict[str, np.ndarray], num_cascades: int, chans:
             "dc_weight": state[f"cascades.{i}.dc_weight"],
             "NormUnet_0": import_normunet_params(sub, chans=chans, num_pools=num_pools),
         }
+    return tree
+
+
+def import_ccnn_params(state: Dict[str, np.ndarray], num_cascades: int, n_convs: int = 5) -> Dict:
+    """Flax param tree for :class:`mridc_tpu.models.recon.CascadeNet` from a
+    reference CascadeNet state dict (reference reconstruction/nn/ccnn.py:19,
+    cascadenet/ccnn_block.py:11 + conv/conv2d.py: Sequential of Conv2d with a
+    single PReLU module instance shared across layers via the mutable default
+    argument — its one alpha is broadcast to every per-layer prelu here)."""
+    tree: Dict = {}
+    for i in range(num_cascades):
+        prefix = f"cascades.{i}.model.conv."
+        # sequential indices: conv at 2*j (no batchnorm), prelu between
+        casc: Dict = {}
+        for j in range(n_convs):
+            casc[f"Conv_{j}"] = {
+                "kernel": oihw_to_hwio(state[prefix + f"{2 * j}.weight"]),
+                "bias": state[prefix + f"{2 * j}.bias"],
+            }
+        alpha_keys = [k for k in state if k.startswith(prefix) and k.endswith(".weight") and
+                      state[k].ndim == 1 and state[k].size == 1]
+        alpha = state[alpha_keys[0]] if alpha_keys else np.full((1,), 0.25, np.float32)
+        for j in range(n_convs - 1):
+            casc[f"prelu_{j}"] = np.asarray(alpha, np.float32).reshape(1)
+        tree[f"Conv2dCascade_{i}"] = casc
+        tree[f"dc_weight_{i}"] = state[f"cascades.{i}.dc_weight"]
     return tree

@@ -377,3 +377,48 @@ def test_ssdu_split_matches_reference(ref, mask_type):
     assert np.array_equal(otm | olm, mask2d.astype(bool))
     assert np.array_equal(rtm | rlm, mask2d.astype(bool))
     assert otm[14:18, 14:18].all() and rtm[14:18, 14:18].all()
+
+
+def test_ccnn_matches_reference(ref):
+    """E2E CascadeNet (2 cascades of soft-DC + conv stack) vs the reference's
+    real CascadeNetBlock graph with imported weights (reference nn/ccnn.py:19,
+    cascadenet/ccnn_block.py:11, conv/conv2d.py)."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_ccnn_params
+
+    cb = reference_loader.load("mridc.collections.reconstruction.nn.cascadenet.ccnn_block")
+    cv = reference_loader.load("mridc.collections.reconstruction.nn.conv.conv2d")
+    futils = reference_loader.load("mridc.collections.common.parts.utils")
+
+    torch.manual_seed(13)
+    cascades = torch.nn.ModuleList(
+        [
+            cb.CascadeNetBlock(
+                cv.Conv2d(in_channels=2, out_channels=2, hidden_channels=8, n_convs=3),
+                fft_centered=True, fft_normalization="ortho",
+                spatial_dims=[-2, -1], coil_dim=1, no_dc=False,
+            )
+            for _ in range(2)
+        ]
+    ).eval()
+
+    y, sens, mask = _inputs()
+    ty, tsens, tmask = map(torch.from_numpy, (y, sens, mask))
+    with torch.no_grad():
+        pred = ty.clone()
+        for cascade in cascades:
+            pred = cascade(pred, ty, tsens, tmask)
+        image = ref["fft"].ifft2(pred, centered=True, normalization="ortho", spatial_dims=[-2, -1])
+        want = futils.complex_mul(image, futils.complex_conj(tsens)).sum(1).numpy()
+
+    state = {f"cascades.{i}.{k}": v.numpy() for i, c in enumerate(cascades)
+             for k, v in c.state_dict().items()}
+    params = import_ccnn_params(state, num_cascades=2, n_convs=3)
+    model = build_model(
+        {"model_name": "CascadeNet", "num_cascades": 2, "hidden_channels": 8, "n_convs": 3,
+         "fft_centered": True, "fft_normalization": "ortho", "coil_combination_method": "SENSE"}
+    )
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])).prediction
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
