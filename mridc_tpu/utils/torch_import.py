@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -182,3 +182,23 @@ def import_ccnn_params(state: Dict[str, np.ndarray], num_cascades: int, n_convs:
         tree[f"Conv2dCascade_{i}"] = casc
         tree[f"dc_weight_{i}"] = state[f"cascades.{i}.dc_weight"]
     return tree
+
+
+def import_crnn_params(state: Dict[str, np.ndarray], n_convs: int = 3,
+                       prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.models.recon.CRNNet` from a
+    reference RecurrentConvolutionalNetBlock state dict (reference
+    convrecnet/crnn_block.py:33 — ONE conv stack + dc_weight shared across all
+    iterations; ours broadcasts the same params through `nn.scan`)."""
+    casc: Dict = {}
+    for j in range(n_convs):
+        casc[f"Conv_{j}"] = {
+            "kernel": oihw_to_hwio(state[prefix + f"model.conv.{2 * j}.weight"]),
+            "bias": state[prefix + f"model.conv.{2 * j}.bias"],
+        }
+    alpha_keys = [k for k in state if k.startswith(prefix + "model.conv.") and
+                  state[k].ndim == 1 and state[k].size == 1 and k.endswith(".weight")]
+    alpha = state[alpha_keys[0]] if alpha_keys else np.full((1,), 0.25, np.float32)
+    for j in range(n_convs - 1):
+        casc[f"prelu_{j}"] = np.asarray(alpha, np.float32).reshape(1)
+    return {"Scan_CRNNIter_0": {"Conv2dCascade_0": casc, "dc_weight": state[prefix + "dc_weight"]}}

@@ -422,3 +422,38 @@ def test_ccnn_matches_reference(ref):
         model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])).prediction
     )
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_crnn_matches_reference(ref):
+    """CRNN recurrent block (shared weights over iterations, residual conv
+    stack, soft DC) vs reference convrecnet/crnn_block.py:33 with imported
+    weights; our version is the same recurrence as an `nn.scan`."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_crnn_params
+
+    rb = reference_loader.load("mridc.collections.reconstruction.nn.convrecnet.crnn_block")
+    cv = reference_loader.load("mridc.collections.reconstruction.nn.conv.conv2d")
+    futils = reference_loader.load("mridc.collections.common.parts.utils")
+
+    torch.manual_seed(21)
+    blk = rb.RecurrentConvolutionalNetBlock(
+        cv.Conv2d(in_channels=2, out_channels=2, hidden_channels=8, n_convs=3),
+        num_iterations=4, fft_centered=True, fft_normalization="ortho",
+        spatial_dims=[-2, -1], coil_dim=1, no_dc=False,
+    ).eval()
+
+    y, sens, mask = _inputs()
+    with torch.no_grad():
+        preds = blk(torch.from_numpy(y), torch.from_numpy(sens), torch.from_numpy(mask))
+        image = ref["fft"].ifft2(preds[-1], centered=True, normalization="ortho", spatial_dims=[-2, -1])
+        want = futils.complex_mul(image, futils.complex_conj(torch.from_numpy(sens))).sum(1).numpy()
+
+    params = import_crnn_params({k: v.numpy() for k, v in blk.state_dict().items()}, n_convs=3)
+    model = build_model(
+        {"model_name": "CRNNet", "num_iterations": 4, "hidden_channels": 8, "n_convs": 3,
+         "fft_centered": True, "fft_normalization": "ortho", "coil_combination_method": "SENSE"}
+    )
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])).prediction
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
