@@ -457,3 +457,50 @@ def test_crnn_matches_reference(ref):
         model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])).prediction
     )
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_physics_utils_match_reference(ref):
+    """Complex algebra / coil combination / crops vs reference
+    common/parts/utils.py (complex_mul :96, rss :194, rss_complex :212,
+    sense :230, center_crop :413, complex_center_crop :438,
+    batched_mask_center :379). Ours: cplx ops take real views (device layout),
+    ops.complex takes native complex (host layout) — both checked."""
+    import mridc_tpu.ops.complex as cpx
+    import mridc_tpu.ops.cplx as cx
+    from mridc_tpu.ops.masking import batched_mask_center, center_crop
+
+    futils = reference_loader.load("mridc.collections.common.parts.utils")
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2, 4, 16, 16, 2)).astype(np.float32)
+    b = rng.standard_normal((2, 4, 16, 16, 2)).astype(np.float32)
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    ac = a[..., 0] + 1j * a[..., 1]
+    bc = b[..., 0] + 1j * b[..., 1]
+
+    # real-view ops (device layout)
+    np.testing.assert_allclose(
+        np.asarray(cx.cmul(jnp.asarray(a), jnp.asarray(b))), futils.complex_mul(ta, tb).numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cx.cconj(jnp.asarray(a))), futils.complex_conj(ta).numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cx.cabs(jnp.asarray(a))), futils.complex_abs(ta).numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cx.crss(jnp.asarray(a), 1)), futils.rss_complex(ta, dim=1).numpy(), rtol=1e-5)
+
+    # native-complex ops (host layout)
+    np.testing.assert_allclose(
+        np.asarray(cpx.rss(jnp.asarray(ac), 1)), futils.rss_complex(ta, dim=1).numpy(), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cpx.sense(jnp.asarray(ac), jnp.asarray(bc), 1)),
+        futils.tensor_to_complex_np(futils.sense(ta, tb, dim=1)), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(center_crop(jnp.asarray(a[..., 0]), (10, 12))),
+        futils.center_crop(ta[..., 0], (10, 12)).numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(center_crop(jnp.asarray(ac), (10, 12))),
+        futils.tensor_to_complex_np(futils.complex_center_crop(ta, (10, 12))), rtol=1e-6)
+
+    m = np.ones((2, 1, 16, 16, 1), np.float32)
+    tm = futils.batched_mask_center(torch.from_numpy(m), torch.tensor([4, 5]), torch.tensor([12, 11]))
+    om = batched_mask_center(jnp.asarray(m), jnp.asarray([4, 5]), jnp.asarray([12, 11]))
+    np.testing.assert_allclose(np.asarray(om), tm.numpy(), rtol=1e-6)
