@@ -28,6 +28,10 @@ _PKGS = [
     "mridc.collections.reconstruction.nn.rim",
     "mridc.collections.reconstruction.nn.unet_base",
     "mridc.collections.reconstruction.nn.varnet",
+    "mridc.collections.reconstruction.nn.recurrentvarnet",
+    "mridc.collections.reconstruction.nn.cascadenet",
+    "mridc.collections.reconstruction.nn.convrecnet",
+    "mridc.collections.reconstruction.nn.conv",
     "mridc.collections.common.losses",
     "mridc.core",
     "mridc.core.classes",

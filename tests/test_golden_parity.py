@@ -504,3 +504,46 @@ def test_physics_utils_match_reference(ref):
     tm = futils.batched_mask_center(torch.from_numpy(m), torch.tensor([4, 5]), torch.tensor([12, 11]))
     om = batched_mask_center(jnp.asarray(m), jnp.asarray([4, 5]), jnp.asarray([12, 11]))
     np.testing.assert_allclose(np.asarray(om), tm.numpy(), rtol=1e-6)
+
+
+def test_rvn_block_matches_reference(ref):
+    """RecurrentVarNet refinement block (learned-rate k-space DC + multi-layer
+    Conv2dGRU regularizer) vs reference recurrentvarnet.py:100 + conv2gru.py:13
+    with imported weights."""
+    from mridc_tpu.models.recon.rvn import _RVNBlock
+    from mridc_tpu.utils.torch_import import oihw_to_hwio
+
+    rv = reference_loader.load("mridc.collections.reconstruction.nn.recurrentvarnet.recurrentvarnet")
+
+    torch.manual_seed(17)
+    L = 4
+    blk = rv.RecurrentVarNetBlock(in_channels=2, hidden_channels=8, fft_centered=True,
+                                  fft_normalization="ortho", spatial_dims=[-2, -1], coil_dim=1).eval()
+    y, sens, mask = _inputs()
+    with torch.no_grad():
+        want_k, want_h = blk(torch.from_numpy(y), torch.from_numpy(y), torch.from_numpy(mask),
+                             torch.from_numpy(sens), None)
+
+    sd = {k: v.numpy() for k, v in blk.state_dict().items()}
+    gru = {}
+    for i in range(L):
+        gru[f"Conv_{4 * i}"] = {"kernel": oihw_to_hwio(sd[f"regularizer.conv_blocks.{i}.1.weight"]),
+                                "bias": sd[f"regularizer.conv_blocks.{i}.1.bias"]}
+        gru[f"Conv_{4 * i + 1}"] = {"kernel": oihw_to_hwio(sd[f"regularizer.update_gates.{i}.0.weight"]),
+                                    "bias": sd[f"regularizer.update_gates.{i}.0.bias"]}
+        gru[f"Conv_{4 * i + 2}"] = {"kernel": oihw_to_hwio(sd[f"regularizer.reset_gates.{i}.0.weight"]),
+                                    "bias": sd[f"regularizer.reset_gates.{i}.0.bias"]}
+        gru[f"Conv_{4 * i + 3}"] = {"kernel": oihw_to_hwio(sd[f"regularizer.out_gates.{i}.0.weight"]),
+                                    "bias": sd[f"regularizer.out_gates.{i}.0.bias"]}
+    gru[f"Conv_{4 * L}"] = {"kernel": oihw_to_hwio(sd[f"regularizer.conv_blocks.{L}.1.weight"]),
+                            "bias": sd[f"regularizer.conv_blocks.{L}.1.bias"]}
+    params = {"learning_rate": sd["learning_rate"], "Conv2dGRU_0": gru}
+
+    ours = _RVNBlock(in_channels=2, hidden_channels=8, num_layers=L,
+                     fft_centered=True, fft_normalization="ortho")
+    got_k, got_h = ours.apply({"params": params}, jnp.asarray(y), jnp.asarray(y),
+                              jnp.asarray(mask[..., 0]), jnp.asarray(sens), None)
+    np.testing.assert_allclose(np.asarray(got_k), want_k.numpy(), rtol=2e-3, atol=2e-4)
+    # hidden state layout: ours [B, H, W, C, L] vs reference [B, C, H, W, L]
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got_h), 3, 1), want_h.numpy(), rtol=2e-3, atol=2e-4)
