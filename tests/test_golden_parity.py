@@ -547,3 +547,34 @@ def test_rvn_block_matches_reference(ref):
     # hidden state layout: ours [B, H, W, C, L] vs reference [B, C, H, W, L]
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(got_h), 3, 1), want_h.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_signal_forward_model_matches_reference(ref):
+    """MEGRE signal model S(TE) vs the reference's SignalForwardModel
+    (quantitative/nn/base.py:2015). The class is self-contained pure torch, so
+    it is extracted by AST from the (PTL-heavy) module and exec'd in isolation
+    — still the reference's own code."""
+    import ast
+    from typing import Any, Dict, List, Optional, Tuple, Union
+
+    from mridc_tpu.models.quantitative.signal_model import megre_signal
+
+    src = open("/root/reference/mridc/collections/quantitative/nn/base.py").read()
+    cls = [n for n in ast.parse(src).body
+           if isinstance(n, ast.ClassDef) and n.name == "SignalForwardModel"][0]
+    ns = {"torch": torch, "Union": Union, "Optional": Optional, "List": List,
+          "Tuple": Tuple, "Any": Any, "Dict": Dict}
+    exec(compile(ast.get_source_segment(src, cls), "ref_signal_model", "exec"), ns)
+
+    rng = np.random.default_rng(0)
+    r2 = rng.random((1, 8, 8)).astype(np.float32) * 100
+    s0 = rng.random((1, 8, 8)).astype(np.float32)
+    b0 = rng.random((1, 8, 8)).astype(np.float32) * 50
+    phi = rng.random((1, 8, 8)).astype(np.float32)
+    tes = [3.0, 11.5, 20.0, 28.5]
+    with torch.no_grad():
+        want = ns["SignalForwardModel"](sequence="MEGRE")(
+            *(torch.from_numpy(x) for x in (r2, s0, b0, phi)), TEs=tes
+        ).numpy()
+    got = np.asarray(megre_signal(*(jnp.asarray(x) for x in (r2, s0, b0, phi)), tes))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
