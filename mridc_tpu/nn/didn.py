@@ -25,7 +25,16 @@ class _PConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, act: bool = True):
-        x = nn.Conv(self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride), padding="SAME")(x)
+        # explicit symmetric k//2 padding (torch Conv2d padding=k//2 semantics;
+        # flax "SAME" pads right-heavy for stride>1 on even sizes, which shifts
+        # strided convs by one pixel vs the reference)
+        p = self.kernel // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+        )(x)
         if act:
             alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
             x = _prelu(x, alpha)
@@ -44,8 +53,11 @@ class Subpixel(nn.Module):
         x = nn.Conv(self.features * self.upscale**2, (self.kernel, self.kernel), padding="SAME")(x)
         b, h, w, c = x.shape
         r = self.upscale
-        x = x.reshape(b, h, w, r, r, c // (r * r))
-        x = x.transpose(0, 1, 3, 2, 4, 5)
+        # torch PixelShuffle channel order: ch = c_out * r^2 + i * r + j
+        # (didn.py:11 uses nn.PixelShuffle) — keep the same layout so torch
+        # checkpoints import unchanged
+        x = x.reshape(b, h, w, c // (r * r), r, r)
+        x = x.transpose(0, 1, 4, 2, 5, 3)
         return x.reshape(b, h * r, w * r, c // (r * r))
 
 
@@ -112,7 +124,10 @@ class DIDN(nn.Module):
         for _ in range(self.num_dubs):
             out = DUB(self.hidden_channels)(out)
             dub_outs.append(out)
-        recon = [ReconBlock(self.num_convs_recon)(d) for d in dub_outs]
+        # ONE recon block shared across all DUB outputs (reference didn.py:341
+        # applies self.recon_block to every dub_out; weights are shared)
+        recon_block = ReconBlock(self.num_convs_recon)
+        recon = [recon_block(d) for d in dub_outs]
         out = nn.Conv(self.hidden_channels, (1, 1))(jnp.concatenate(recon, -1))
         out = _PConv(self.hidden_channels)(out)
         out = Subpixel(self.hidden_channels, 2, 1)(out)

@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -202,3 +202,58 @@ def import_crnn_params(state: Dict[str, np.ndarray], n_convs: int = 3,
     for j in range(n_convs - 1):
         casc[f"prelu_{j}"] = np.asarray(alpha, np.float32).reshape(1)
     return {"Scan_CRNNIter_0": {"Conv2dCascade_0": casc, "dc_weight": state[prefix + "dc_weight"]}}
+
+
+def import_didn_params(state: Dict[str, np.ndarray], num_dubs: int, num_convs_recon: int,
+                       prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.didn.DIDN` from a reference
+    DIDN state dict (reference reconstruction/nn/didn/didn.py:242 — conv_in/
+    down, DUBs (:104), ONE shared recon block (:54), recon_agg, conv, subpixel
+    up2, conv_out)."""
+
+    def pconv(conv_key, prelu_key=None):
+        out = {"Conv_0": {"kernel": oihw_to_hwio(state[prefix + conv_key + ".weight"]),
+                          "bias": state[prefix + conv_key + ".bias"]}}
+        if prelu_key is not None:
+            out["prelu"] = np.asarray(state[prefix + prelu_key + ".weight"], np.float32).reshape(1)
+        return out
+
+    def subpixel(conv_key):
+        return {"Conv_0": {"kernel": oihw_to_hwio(state[prefix + conv_key + ".weight"]),
+                           "bias": state[prefix + conv_key + ".bias"]}}
+
+    tree: Dict = {
+        "_PConv_0": pconv("conv_in.0", "conv_in.1"),
+        "_PConv_1": pconv("down"),
+    }
+    for i in range(num_dubs):
+        d = f"dubs.{i}."
+        tree[f"DUB_{i}"] = {
+            "_PConv_0": pconv(d + "conv1_1.0", d + "conv1_1.1"),
+            "_PConv_1": pconv(d + "conv1_1.2", d + "conv1_1.3"),
+            "_PConv_2": pconv(d + "down1"),
+            "_PConv_3": pconv(d + "conv2_1.0", d + "conv2_1.1"),
+            "_PConv_4": pconv(d + "down2"),
+            "_PConv_5": pconv(d + "conv3_1.0", d + "conv3_1.1"),
+            "Subpixel_0": subpixel(d + "up1.0.conv"),
+            "Conv_0": {"kernel": oihw_to_hwio(state[prefix + d + "conv_agg_1.weight"]),
+                       "bias": state[prefix + d + "conv_agg_1.bias"]},
+            "_PConv_6": pconv(d + "conv2_2.0", d + "conv2_2.1"),
+            "Subpixel_1": subpixel(d + "up2.0.conv"),
+            "Conv_1": {"kernel": oihw_to_hwio(state[prefix + d + "conv_agg_2.weight"]),
+                       "bias": state[prefix + d + "conv_agg_2.bias"]},
+            "_PConv_7": pconv(d + "conv1_2.0", d + "conv1_2.1"),
+            "_PConv_8": pconv(d + "conv1_2.2", d + "conv1_2.3"),
+            "_PConv_9": pconv(d + "conv_out.0", d + "conv_out.1"),
+        }
+    recon: Dict = {}
+    for j in range(num_convs_recon - 1):
+        recon[f"_PConv_{j}"] = pconv(f"recon_block.convs.{j}.0", f"recon_block.convs.{j}.1")
+    recon[f"_PConv_{num_convs_recon - 1}"] = pconv(f"recon_block.convs.{num_convs_recon - 1}")
+    tree["ReconBlock_0"] = recon
+    tree["Conv_0"] = {"kernel": oihw_to_hwio(state[prefix + "recon_agg.weight"]),
+                      "bias": state[prefix + "recon_agg.bias"]}
+    tree["_PConv_2"] = pconv("conv.0", "conv.1")
+    tree["Subpixel_0"] = subpixel("up2.conv")
+    tree["_PConv_3"] = pconv("conv_out")
+    return tree

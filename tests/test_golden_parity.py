@@ -578,3 +578,25 @@ def test_signal_forward_model_matches_reference(ref):
         ).numpy()
     got = np.asarray(megre_signal(*(jnp.asarray(x) for x in (r2, s0, b0, phi)), tes))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_didn_matches_reference(ref):
+    """DIDN denoiser (KIKINet/XPDNet backbone: down-up blocks, subpixel
+    upsampling, shared recon block) vs reference didn/didn.py:242 with
+    imported weights."""
+    from mridc_tpu.nn.didn import DIDN
+    from mridc_tpu.utils.torch_import import import_didn_params
+
+    dd = reference_loader.load("mridc.collections.reconstruction.nn.didn.didn")
+    torch.manual_seed(29)
+    tnet = dd.DIDN(in_channels=2, out_channels=2, hidden_channels=16,
+                   num_dubs=2, num_convs_recon=3).eval()
+    x = np.random.default_rng(31).standard_normal((1, 2, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    params = import_didn_params({k: v.numpy() for k, v in tnet.state_dict().items()},
+                                num_dubs=2, num_convs_recon=3)
+    net = DIDN(out_channels=2, hidden_channels=16, num_dubs=2, num_convs_recon=3)
+    got = np.asarray(net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1))))
+    np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, rtol=1e-3, atol=1e-4)
