@@ -40,10 +40,17 @@ __all__ = [
 
 
 def _seg_cfg(cfg):
+    chans = cfg.get("segmentation_module_channels", 32)
+    pools = cfg.get("segmentation_module_pooling_layers", 4)
+    if isinstance(chans, (list, tuple)):
+        # reference DynUNet-style configs give per-stage channel lists
+        # (e.g. [32, 64, 128]); our blocks double per stage from the base
+        pools = max(len(chans) - 1, 1)
+        chans = int(chans[0])
     return dict(
-        classes=cfg.get("segmentation_module_output_channels", 2),
-        chans=cfg.get("segmentation_module_channels", 32),
-        pools=cfg.get("segmentation_module_pooling_layers", 4),
+        classes=cfg.get("segmentation_module_output_channels", cfg.get("output_classes", 2)),
+        chans=chans,
+        pools=pools,
     )
 
 

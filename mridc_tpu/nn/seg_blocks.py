@@ -237,7 +237,10 @@ class _DynBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride), padding="SAME", use_bias=False)(x)
+        # explicit (1,1) padding: torch Conv2d padding=1 semantics for the
+        # strided down conv (flax SAME pads right-heavy for stride>1)
+        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
         x = InstanceNorm()(x)
         x = nn.leaky_relu(x, 0.01)
         x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(x)
