@@ -111,7 +111,9 @@ class MWCNN(nn.Module):
                 skip = res_values[scale - 1]
                 x = x[:, : skip.shape[1], : skip.shape[2]] + skip
             else:
-                x = nn.Conv(self.input_channels, (3, 3), padding="SAME")(x)
+                # the reference's final ConvBlock also applies the activation
+                # (mwcnn.py ConvBlock net = [conv, act]); mirror that exactly
+                x = nn.relu(nn.Conv(self.input_channels, (3, 3), padding="SAME")(x))
                 x = x[:, : inp.shape[1], : inp.shape[2]]
                 if res:
                     x = x + inp

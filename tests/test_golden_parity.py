@@ -600,3 +600,55 @@ def test_didn_matches_reference(ref):
     net = DIDN(out_channels=2, hidden_channels=16, num_dubs=2, num_convs_recon=3)
     got = np.asarray(net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1))))
     np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, rtol=1e-3, atol=1e-4)
+
+
+def test_mwcnn_matches_reference(ref):
+    """MWCNN (XPDNet image backbone: DWT/IWT multi-scale conv net) vs
+    reference mwcnn/mwcnn.py with imported weights; DWT/IWT themselves are
+    bit-exact (checked first)."""
+    from mridc_tpu.nn.mwcnn import MWCNN, dwt2, iwt2
+    from mridc_tpu.utils.torch_import import oihw_to_hwio
+
+    mw = reference_loader.load("mridc.collections.reconstruction.nn.mwcnn.mwcnn")
+    x4 = np.random.default_rng(0).standard_normal((1, 4, 8, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(dwt2(jnp.asarray(np.moveaxis(x4, 1, -1)))), -1, 1),
+        mw.DWT()(torch.from_numpy(x4)).numpy(), rtol=1e-6)
+    x16 = np.random.default_rng(1).standard_normal((1, 16, 8, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(iwt2(jnp.asarray(np.moveaxis(x16, 1, -1)))), -1, 1),
+        mw.IWT()(torch.from_numpy(x16)).numpy(), rtol=1e-6)
+
+    torch.manual_seed(33)
+    tnet = mw.MWCNN(input_channels=2, first_conv_hidden_channels=8, num_scales=2,
+                    bias=True, batchnorm=False).eval()
+    x = np.random.default_rng(2).standard_normal((1, 2, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x), res=False).numpy()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+
+    def cb(prefix):
+        return {"Conv_0": {"kernel": oihw_to_hwio(sd[prefix + ".net.0.weight"]),
+                           "bias": sd[prefix + ".net.0.bias"]}}
+
+    def dil(prefix):
+        return {"Conv_0": {"kernel": oihw_to_hwio(sd[prefix + ".net.0.weight"]),
+                           "bias": sd[prefix + ".net.0.bias"]},
+                "Conv_1": {"kernel": oihw_to_hwio(sd[prefix + ".net.2.weight"]),
+                           "bias": sd[prefix + ".net.2.bias"]}}
+
+    params = {
+        "_CB_0": cb("down.0.convblock0"),
+        "_DilCB_0": dil("down.0.dilconvblock0"),
+        "_CB_1": cb("down.1.convblock1"),
+        "_DilCB_1": dil("down.1.dilconvblock1"),
+        "_DilCB_2": dil("up.0.invdilconvblock-1"),
+        "_CB_2": cb("up.0.invconvblock-1"),
+        "_DilCB_3": dil("up.1.invdilconvblock0"),
+        "Conv_0": {"kernel": oihw_to_hwio(sd["up.1.invconvblock0.net.0.weight"]),
+                   "bias": sd["up.1.invconvblock0.net.0.bias"]},
+    }
+    net = MWCNN(input_channels=2, first_conv_hidden_channels=8, num_scales=2)
+    got = np.asarray(net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1))))
+    np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, rtol=1e-3, atol=1e-4)
