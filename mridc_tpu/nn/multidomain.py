@@ -106,6 +106,10 @@ class MultiDomainUnet2d(nn.Module):
         for i in range(self.num_pool_layers):
             skip = stack.pop()
             out = MultiDomainConv(ch, True, self.fft_centered, self.fft_normalization)(out)
+            # reference TransposeMultiDomainConvBlock = convT + InstanceNorm +
+            # LeakyReLU (multidomain.py:233-234)
+            out = InstanceNorm()(out)
+            out = nn.leaky_relu(out, 0.2)
             pad_h = skip.shape[1] - out.shape[1]
             pad_w = skip.shape[2] - out.shape[2]
             if pad_h or pad_w:

@@ -652,3 +652,49 @@ def test_mwcnn_matches_reference(ref):
     net = MWCNN(input_channels=2, first_conv_hidden_channels=8, num_scales=2)
     got = np.asarray(net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1))))
     np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, rtol=1e-3, atol=1e-4)
+
+
+def test_multidomain_unet_matches_reference(ref):
+    """MultiDomainUnet2d (dual image/k-space convs at every level) vs reference
+    multidomain/multidomain.py:336 with imported weights."""
+    from mridc_tpu.nn.multidomain import MultiDomainUnet2d
+    from mridc_tpu.utils.torch_import import iohw_to_hwio_flipped, oihw_to_hwio
+
+    md = reference_loader.load("mridc.collections.reconstruction.nn.multidomain.multidomain")
+    torch.manual_seed(41)
+    tnet = md.MultiDomainUnet2d(4, 4, 8, 2, 0.0, fft_centered=True, fft_normalization="ortho",
+                                spatial_dims=[-2, -1], coil_dim=1).eval()
+    x = np.random.default_rng(5).standard_normal((1, 4, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+
+    def mdc(prefix):
+        return {"Conv_0": {"kernel": oihw_to_hwio(sd[prefix + ".image_conv.weight"])},
+                "Conv_1": {"kernel": oihw_to_hwio(sd[prefix + ".kspace_conv.weight"])}}
+
+    def block(prefix):
+        return {"MultiDomainConv_0": mdc(prefix + ".layers.0"),
+                "MultiDomainConv_1": mdc(prefix + ".layers.4")}
+
+    params = {
+        "MultiDomainConvBlock_0": block("down_sample_layers.0"),
+        "MultiDomainConvBlock_1": block("down_sample_layers.1"),
+        "MultiDomainConvBlock_2": block("conv"),
+        "MultiDomainConv_0": {
+            "ConvTranspose_0": {"kernel": iohw_to_hwio_flipped(sd["up_transpose_conv.0.layers.0.image_conv.weight"])},
+            "ConvTranspose_1": {"kernel": iohw_to_hwio_flipped(sd["up_transpose_conv.0.layers.0.kspace_conv.weight"])},
+        },
+        "MultiDomainConvBlock_3": block("up_conv.0"),
+        "MultiDomainConv_1": {
+            "ConvTranspose_0": {"kernel": iohw_to_hwio_flipped(sd["up_transpose_conv.1.layers.0.image_conv.weight"])},
+            "ConvTranspose_1": {"kernel": iohw_to_hwio_flipped(sd["up_transpose_conv.1.layers.0.kspace_conv.weight"])},
+        },
+        "MultiDomainConvBlock_4": block("up_conv.1.0"),
+        "Conv_0": {"kernel": oihw_to_hwio(sd["up_conv.1.1.weight"]), "bias": sd["up_conv.1.1.bias"]},
+    }
+    net = MultiDomainUnet2d(out_channels=4, chans=8, num_pool_layers=2,
+                            fft_centered=True, fft_normalization="ortho")
+    got = np.asarray(net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1))))
+    np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, rtol=1e-3, atol=1e-4)
