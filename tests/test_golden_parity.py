@@ -698,3 +698,30 @@ def test_multidomain_unet_matches_reference(ref):
                             fft_centered=True, fft_normalization="ortho")
     got = np.asarray(net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1))))
     np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, rtol=1e-3, atol=1e-4)
+
+
+def test_recurrent_init_matches_reference(ref):
+    """RVN hidden-state initializer (dilated conv stack -> per-depth 1x1 heads)
+    vs reference recurrentvarnet.py:17 with imported weights."""
+    from mridc_tpu.models.recon.rvn import RecurrentInit
+    from mridc_tpu.utils.torch_import import oihw_to_hwio
+
+    rv = reference_loader.load("mridc.collections.reconstruction.nn.recurrentvarnet.recurrentvarnet")
+    torch.manual_seed(43)
+    tnet = rv.RecurrentInit(2, 8, channels=(4, 4), dilations=(1, 2), depth=3, multiscale_depth=1).eval()
+    x = np.random.default_rng(7).standard_normal((1, 2, 12, 12)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()  # [B, out, H, W, depth]
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params = {}
+    for i in range(2):
+        params[f"Conv_{i}"] = {"kernel": oihw_to_hwio(sd[f"conv_blocks.{i}.1.weight"]),
+                               "bias": sd[f"conv_blocks.{i}.1.bias"]}
+    for j in range(3):
+        params[f"Conv_{2 + j}"] = {"kernel": oihw_to_hwio(sd[f"out_blocks.{j}.0.weight"]),
+                                   "bias": sd[f"out_blocks.{j}.0.bias"]}
+    net = RecurrentInit(out_channels=8, channels=(4, 4), dilations=(1, 2), depth=3)
+    got = np.asarray(net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1))))
+    # ours [B, H, W, out, depth] -> [B, out, H, W, depth]
+    np.testing.assert_allclose(np.moveaxis(got, 3, 1), want, rtol=1e-4, atol=1e-5)
