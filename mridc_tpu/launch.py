@@ -173,6 +173,8 @@ def run_from_config(cfg: dict):
         loss_type=model_cfg.get("train_loss_fn", "l1"),
         use_ema=use_ema,
         exp_manager=exp,
+        ssdu=bool(model_cfg.get("ssdu", False)),
+        kspace_reconstruction_loss=bool(model_cfg.get("kspace_reconstruction_loss", False)),
     )
 
     if mode == "train":

@@ -87,6 +87,8 @@ class Trainer:
         ema_decay: float = 0.999,
         loss_regularization_factor: float = 1.0,
         exp_manager=None,
+        ssdu: bool = False,
+        kspace_reconstruction_loss: bool = False,
     ):
         self.model = model
         self.optim_cfg = dict(optim_cfg or {"name": "adam", "lr": 1e-3})
@@ -97,6 +99,10 @@ class Trainer:
         self.ema_decay = ema_decay
         self.loss_regularization_factor = loss_regularization_factor
         self.exp_manager = exp_manager
+        # SSDU / k-space reconstruction loss (reference nn/base.py:218-285):
+        # either flag routes the loss through expand_op -> fft2 -> mask.
+        self.ssdu = bool(ssdu)
+        self.kspace_reconstruction_loss = bool(kspace_reconstruction_loss)
         self.schedule = None
         self.plateau = None
         self._tx = None
@@ -171,11 +177,28 @@ class Trainer:
         use_ema = self.use_ema
 
         n2r_weight = self.trainer_cfg.get("n2r_loss_weight", 1.0)
+        fft_centered = bool(getattr(model, "fft_centered", False))
+        fft_normalization = str(getattr(model, "fft_normalization", "backward"))
 
         def train_step(state: TrainState, y, sens, mask, init_pred, target, loss_mask, n2r_y=None, n2r_mask=None):
+            # Reference gating (nn/base.py:439,464,483): the k-space branch runs
+            # when kspace_reconstruction_loss is configured, or — for the
+            # n2r+ssdu pseudo-supervised term — when ssdu is on.
+            kspace_loss = self.kspace_reconstruction_loss or (self.ssdu and n2r_y is not None)
+
             def loss_fn(params):
                 out: ModelOutput = model.apply({"params": params}, y, sens, mask, init_pred, train=True)
-                loss = process_reconstruction_loss(out, target, loss_type, reg, loss_mask)
+                loss = process_reconstruction_loss(
+                    out,
+                    target,
+                    loss_type,
+                    reg,
+                    loss_mask,
+                    sensitivity_maps=sens,
+                    kspace_loss=kspace_loss,
+                    fft_centered=fft_centered,
+                    fft_normalization=fft_normalization,
+                )
                 if n2r_y is not None:
                     # Noise-to-Reconstruction consistency: recon of the extra
                     # noise-masked k-space must match the clean recon

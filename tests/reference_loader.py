@@ -39,6 +39,34 @@ _PKGS = [
     "mridc.collections.quantitative.nn",
     "mridc.collections.quantitative.nn.qrim",
     "mridc.collections.quantitative.parts",
+    "mridc.collections.common.data",
+    "mridc.collections.reconstruction.losses",
+    "mridc.collections.reconstruction.metrics",
+    "mridc.collections.reconstruction.parts",
+    "mridc.collections.segmentation",
+    "mridc.collections.segmentation.nn",
+    "mridc.collections.segmentation.nn.attention_unet_base",
+    "mridc.collections.segmentation.nn.vnet_base",
+    "mridc.collections.segmentation.nn.dynunet_base",
+    "mridc.collections.segmentation.nn.unetr_base",
+    "mridc.collections.segmentation.nn.vit_base",
+    "mridc.collections.segmentation.nn.lambda_unet_base",
+    "mridc.collections.multitask",
+    "mridc.collections.multitask.rs",
+    "mridc.collections.multitask.rs.nn",
+    "mridc.collections.multitask.rs.nn.mtlrs_base",
+    "mridc.collections.multitask.rs.nn.seranet_base",
+    "mridc.collections.multitask.rs.nn.idslr_base",
+    "mridc.collections.multitask.rs.nn.segnet_base",
+    "mridc.collections.multitask.rs.nn.recseg_base",
+    "mridc.collections.reconstruction.nn.crossdomain",
+    "mridc.collections.reconstruction.nn.didn",
+    "mridc.collections.reconstruction.nn.mwcnn",
+    "mridc.collections.reconstruction.nn.multidomain",
+    "mridc.collections.reconstruction.nn.primaldual",
+    "mridc.collections.reconstruction.nn.resnet_base",
+    "mridc.collections.reconstruction.nn.sigmanet_base",
+    "mridc.collections.reconstruction.nn.variablesplittingnet_base",
 ]
 
 
@@ -73,6 +101,50 @@ def install():
         return lambda fn: fn
 
     _stub("numba", jit=_identity_decorator, njit=_identity_decorator)
+
+    # Heavier third-party shims so module-level `from X import Y` in reference
+    # leaf files succeeds; only symbols touched at import time matter.
+    class _AnyClass:
+        def __init__(self, *a, **k):
+            pass
+
+    _stub("pytorch_lightning", Trainer=_AnyClass, LightningModule=_AnyClass, Callback=_AnyClass)
+    _stub("pytorch_lightning.callbacks", Callback=_AnyClass)
+    _stub("runstats", Statistics=_AnyClass)
+    skimage = _stub("skimage")
+    skimage.metrics = _stub(
+        "skimage.metrics",
+        peak_signal_noise_ratio=lambda *a, **k: 0.0,
+        structural_similarity=lambda *a, **k: 0.0,
+    )
+    import xml.etree.ElementTree as _ET
+
+    defusedxml = _stub("defusedxml")
+    defusedxml.ElementTree = _stub("defusedxml.ElementTree", fromstring=_ET.fromstring)
+
+    # The real common/nn/base.py subclasses ModelPT/LightningModule (PTL) — for
+    # golden tests of loss/step arithmetic only the three names must exist.
+    _stub(
+        "mridc.collections.common.nn.base",
+        BaseMRIModel=_AnyClass,
+        BaseSensitivityModel=_AnyClass,
+        DistributedMetricSum=_AnyClass,
+        __graft_fake__=True,
+    )
+    _stub("mridc.collections.common.nn", base=sys.modules["mridc.collections.common.nn.base"], __graft_fake__=True)
+
+    # mridc.core.classes.common pulls hydra/wrapt/connectors; model files only
+    # use its `typecheck` decorator at import time.
+    _stub(
+        "mridc.core.classes.common",
+        typecheck=_identity_decorator,
+        Typing=_AnyClass,
+        Serialization=_AnyClass,
+        FileIO=_AnyClass,
+        Model=_AnyClass,
+        __graft_fake__=True,
+    )
+
     for pkg in _PKGS:
         rel = pkg.replace(".", "/")
         mod = types.ModuleType(pkg)
