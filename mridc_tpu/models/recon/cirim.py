@@ -14,7 +14,6 @@ complex XLA TPU FFTs.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import flax.linen as nn
@@ -47,7 +46,10 @@ class CIRIM(BaseReconModel):
 
     @classmethod
     def from_config(cls, cfg):
-        time_steps = 8 * math.ceil(cfg.get("time_steps", 8) / 8)
+        # Honor the configured T exactly: scan length does not constrain TPU
+        # tiling, and rounding T up would change both the compute and the
+        # logspace(-1, 0, T) loss weighting (reference cirim.py:356-358).
+        time_steps = int(cfg.get("time_steps", 8))
         return cls(
             recurrent_layer=cfg.get("recurrent_layer", "IndRNN"),
             conv_filters=tuple(cfg.get("conv_filters", (64, 64, 2))),

@@ -88,9 +88,11 @@ def test_log_likelihood_gradient_matches_reference(ref):
     np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, rtol=1e-3, atol=1e-4)
 
 
-def test_cirim_block_matches_reference_weights(ref):
+@pytest.mark.parametrize("time_steps", [8, 5])
+def test_cirim_block_matches_reference_weights(ref, time_steps):
     """End-to-end: the reference's real RIMBlock graph vs our scan-based CIRIM
-    with its weights imported (utils/torch_import.py mapping)."""
+    with its weights imported (utils/torch_import.py mapping). T=5 pins that
+    from_config honors non-multiple-of-8 step counts exactly."""
     from mridc_tpu.models import build_model
     from mridc_tpu.utils.torch_import import import_cirim_params
 
@@ -101,7 +103,7 @@ def test_cirim_block_matches_reference_weights(ref):
         conv_bias=[True, True, False],
         recurrent_filters=[8, 8, 0], recurrent_kernels=[1, 1, 0],
         recurrent_dilations=[1, 1, 0], recurrent_bias=[True, True, False],
-        depth=2, time_steps=8, no_dc=True,
+        depth=2, time_steps=time_steps, no_dc=True,
         fft_centered=True, fft_normalization="ortho", spatial_dims=[-2, -1], coil_dim=1,
     ).eval()
 
@@ -123,11 +125,12 @@ def test_cirim_block_matches_reference_weights(ref):
     params = import_cirim_params(state, num_cascades=1)
     model = build_model(
         {
-            "model_name": "CIRIM", "num_cascades": 1, "time_steps": 8,
+            "model_name": "CIRIM", "num_cascades": 1, "time_steps": time_steps,
             "conv_filters": [8, 8, 2], "recurrent_filters": [8, 8, 0],
             "fft_centered": True, "fft_normalization": "ortho",
         }
     )
+    assert model.time_steps == time_steps
     out = model.apply(
         {"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])
     )
