@@ -374,13 +374,20 @@ class Trainer:
             self.exp_manager.on_train_end(self)
         return history
 
-    def validate(self, val_loader: Iterable) -> Dict[str, float]:
+    def validate(self, val_loader: Iterable, use_ema: Optional[bool] = None) -> Dict[str, float]:
         """Host-side metric computation at skimage parity (reference
-        validation_epoch_end nn/base.py:857-913)."""
+        validation_epoch_end nn/base.py:857-913).
+
+        When EMA is enabled the averaged weights are evaluated — mirroring the
+        reference EMA callback's weight swap for val/test
+        (common/callbacks/ema.py:19) — so checkpoint best-metric selection is
+        driven by the EMA model.
+        """
+        use_ema = self.use_ema if use_ema is None else use_ema
         losses = []
         metrics = ReconstructionMetrics(METRIC_FUNCS)
         for batch in val_loader:
-            pred = self.predict_batch(batch)
+            pred = self.predict_batch(batch, use_ema=use_ema)
             target = np.asarray(batch["target"])
             t = _host_mag(target)
             p = _host_mag(pred)
@@ -394,9 +401,11 @@ class Trainer:
         out.update({f"val_{k}": float(v) for k, v in metrics.means().items()})
         return out
 
-    def test(self, test_loader: Iterable, use_ema: bool = False):
+    def test(self, test_loader: Iterable, use_ema: Optional[bool] = None):
         """Per-volume reconstructions + metrics (reference test_epoch_end
-        nn/base.py:915-982)."""
+        nn/base.py:915-982). EMA weights are used when EMA is enabled
+        (reference EMA callback weight swap)."""
+        use_ema = self.use_ema if use_ema is None else use_ema
         volumes: Dict[str, list] = {}
         targets: Dict[str, list] = {}
         for batch in test_loader:

@@ -194,6 +194,29 @@ def test_ema_params_track_weights(loaders):
     assert np.isfinite(pred).all()
 
 
+def test_validate_uses_ema_weights_when_enabled(loaders):
+    """With EMA on, validate/test evaluate the averaged weights (reference EMA
+    callback swaps them in for val/test, common/callbacks/ema.py:19)."""
+    train, val = loaders
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    model = build_model(cfg)
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-2},
+                      use_ema=True, ema_decay=0.5)
+    batch = next(iter(train))
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    trainer.training_batch(batch)
+    # zero out the EMA weights: if validate really evaluates them, its numbers
+    # must differ from a raw-weight validation
+    trainer.state = trainer.state.replace(
+        ema_params=jax.tree_util.tree_map(jnp.zeros_like, trainer.state.ema_params)
+    )
+    with_ema = trainer.validate(val)
+    without_ema = trainer.validate(val, use_ema=False)
+    assert with_ema["val_loss"] != without_ema["val_loss"]
+
+
 def test_sigterm_preemption_checkpoint(loaders, tmp_path):
     """SIGTERM mid-fit saves a resumable checkpoint (TPU preemption story;
     reference analog: exp_manager resume_if_exists, exp_manager.py:401-471)."""
