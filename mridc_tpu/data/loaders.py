@@ -276,6 +276,8 @@ class BatchLoader:
         pad_shape: Optional[Tuple[int, int, int]] = None,
         drop_last: bool = False,
         select_acceleration: str = "random",  # or "first"
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -284,9 +286,25 @@ class BatchLoader:
         self.drop_last = drop_last
         self.select_acceleration = select_acceleration
         self.pad_shape = pad_shape
+        # multi-host sharding (reference analogue: PTL DistributedSampler) —
+        # each process iterates a disjoint, equal-length slice of the dataset.
+        if process_index is None or process_count is None:
+            from mridc_tpu.parallel.multihost import process_info
+
+            pi, pc = process_info()
+            process_index = pi if process_index is None else process_index
+            process_count = pc if process_count is None else process_count
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+
+    def _local_count(self):
+        n = len(self.dataset)
+        if self.process_count <= 1:
+            return n
+        return (n + self.process_count - 1) // self.process_count
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -323,7 +341,13 @@ class BatchLoader:
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
+            # identical seed across processes -> identical permutation; the
+            # strided shard below then keeps per-process subsets disjoint
             self.rng.shuffle(order)
+        if self.process_count > 1:
+            from mridc_tpu.parallel.multihost import shard_indices
+
+            order = order[shard_indices(len(order), self.process_index, self.process_count)]
         batch = []
         for idx in order:
             batch.append(self.dataset[int(idx)])

@@ -101,11 +101,14 @@ class SegmentationTrainer(Trainer):
         params = self.state.ema_params if (use_ema and self.state.ema_params is not None) else self.state.params
         return np.asarray(self._eval_step(params, jnp.asarray(b["image"])))
 
-    def validate(self, val_loader: Iterable) -> Dict[str, float]:
+    def validate(self, val_loader: Iterable, use_ema=None) -> Dict[str, float]:
+        from mridc_tpu.parallel.multihost import reduce_mean_stats
+
+        use_ema = self.use_ema if use_ema is None else use_ema
         metrics = SegmentationMetrics()
         dices, losses = [], []
         for batch in val_loader:
-            logits = self.predict_batch(batch)
+            logits = self.predict_batch(batch, use_ema=use_ema)
             target = np.asarray(batch["segmentation"])
             losses.append(
                 float(segmentation_loss_fn(jnp.asarray(target), jnp.asarray(logits)))
@@ -114,7 +117,11 @@ class SegmentationTrainer(Trainer):
             for i in range(target.shape[0]):
                 m = metrics(np.moveaxis(target[i], -1, 0), np.moveaxis(pred[i], -1, 0))
                 dices.append(m["DICE"])
-        return {"val_loss": float(np.mean(losses)), "val_DICE": float(np.mean(dices))}
+        reduced = reduce_mean_stats(
+            {"loss": float(np.sum(losses)), "DICE": float(np.sum(dices))},
+            {"loss": float(len(losses)), "DICE": float(len(dices))},
+        )
+        return {"val_loss": reduced["loss"], "val_DICE": reduced["DICE"]}
 
 
 class MultitaskTrainer(Trainer):
@@ -175,13 +182,15 @@ class MultitaskTrainer(Trainer):
         pred, seg = self._eval_step(params, y, sens, mask, init_pred)
         return np.asarray(pred), np.asarray(seg)
 
-    def validate(self, val_loader: Iterable) -> Dict[str, float]:
+    def validate(self, val_loader: Iterable, use_ema=None) -> Dict[str, float]:
         from mridc_tpu.metrics.reconstruction import ssim
+        from mridc_tpu.parallel.multihost import reduce_mean_stats
 
+        use_ema = self.use_ema if use_ema is None else use_ema
         seg_metrics = SegmentationMetrics()
         losses, ssims, dices = [], [], []
         for batch in val_loader:
-            pred, seg_logits = self.predict_batch(batch)
+            pred, seg_logits = self.predict_batch(batch, use_ema=use_ema)
             target = _host_mag(np.asarray(batch["target"]))
             p = _host_mag(pred)
             t = target / (target.max() or 1.0)
@@ -194,10 +203,14 @@ class MultitaskTrainer(Trainer):
                 dices.append(
                     seg_metrics(np.moveaxis(seg_target[i], -1, 0), np.moveaxis(seg_pred[i], -1, 0))["DICE"]
                 )
+        reduced = reduce_mean_stats(
+            {"loss": float(np.sum(losses)), "SSIM": float(np.sum(ssims)), "DICE": float(np.sum(dices))},
+            {"loss": float(len(losses)), "SSIM": float(len(ssims)), "DICE": float(len(dices))},
+        )
         return {
-            "val_loss": float(np.mean(losses)),
-            "val_SSIM": float(np.mean(ssims)),
-            "val_DICE": float(np.mean(dices)),
+            "val_loss": reduced["loss"],
+            "val_SSIM": reduced["SSIM"],
+            "val_DICE": reduced["DICE"],
         }
 
 

@@ -397,8 +397,19 @@ class Trainer:
             losses.append(float(np.abs(t - p).mean()))
             for i in range(t.shape[0]):
                 metrics.push(t[i : i + 1], p[i : i + 1])
-        out = {"val_loss": float(np.mean(losses))}
-        out.update({f"val_{k}": float(v) for k, v in metrics.means().items()})
+        # cross-process reduction (reference DistributedMetricSum sums metric
+        # values and counts over DDP workers, nn/base.py:890-913); identity on
+        # a single process
+        from mridc_tpu.parallel.multihost import reduce_mean_stats
+
+        sums = {"loss": float(np.sum(losses))}
+        counts = {"loss": float(len(losses))}
+        for k, stat in metrics.metrics_scores.items():
+            sums[k] = stat.mean() * stat.n
+            counts[k] = float(stat.n)
+        reduced = reduce_mean_stats(sums, counts)
+        out = {"val_loss": reduced.pop("loss")}
+        out.update({f"val_{k}": float(v) for k, v in reduced.items()})
         return out
 
     def test(self, test_loader: Iterable, use_ema: Optional[bool] = None):
@@ -424,4 +435,8 @@ class Trainer:
             tgt = tgt / (tgt.max() or 1.0)
             recons[fname] = vol
             metrics.push(tgt, vol)
-        return recons, metrics.means()
+        from mridc_tpu.parallel.multihost import reduce_mean_stats
+
+        sums = {k: s.mean() * s.n for k, s in metrics.metrics_scores.items()}
+        counts = {k: float(s.n) for k, s in metrics.metrics_scores.items()}
+        return recons, reduce_mean_stats(sums, counts)
