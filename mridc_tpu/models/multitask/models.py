@@ -351,31 +351,81 @@ class RecSegUNet(BaseReconModel):
         return ModelOutput(prediction=pred), seg
 
 
-class SERANet(BaseReconModel):
-    """Segmentation-aware recurrent reconstruction (reference seranet.py:27:
-    recon conv module -> seg module -> recurrent refinement over
-    (recon, seg) with DC; the reference's ConvLSTM is replaced by the shared
-    ConvGRU cell — same role, one less gate)."""
+def _coils_to_channels(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, H, W, 2] -> [B, H, W, 2C], channels ordered (re coils.., im coils..)
+    — NHWC analogue of the reference's complex_to_chan_dim (recon_block.py:330)."""
+    return jnp.concatenate([x[..., 0], x[..., 1]], axis=1).transpose(0, 2, 3, 1)
 
-    num_iterations: int = 3
+
+def _channels_to_coils(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_coils_to_channels`."""
+    x = x.transpose(0, 3, 1, 2)
+    c = x.shape[1] // 2
+    return jnp.stack([x[:, :c], x[:, c:]], axis=-1)
+
+
+class SERANetDC(nn.Module):
+    """SERANet soft-DC block (reference seranet_base/recon_block.py:12):
+    ``prev - where(mask, F(pred) - y, 0)*w - F(pred)`` then iFFT. Note the
+    reference feeds the *image-domain* previous output back as ``prev`` after
+    the first iteration while subtracting k-space terms — an upstream quirk
+    mirrored exactly (verified by golden test)."""
+
+    fft_centered: bool = False
+    fft_normalization: str = "backward"
+
+    @nn.compact
+    def __call__(self, prediction, prev_prediction, ref_kspace, mask):
+        w = self.param("dc_weight", nn.initializers.ones, (1,))
+        pred_k = fft2_rv(prediction, self.fft_centered, self.fft_normalization)
+        if pred_k.ndim < ref_kspace.ndim:
+            pred_k = pred_k[:, None]
+        soft_dc = jnp.where(mask.astype(bool), pred_k - ref_kspace, 0.0) * w
+        out = prev_prediction - soft_dc - pred_k
+        return ifft2_rv(out, self.fft_centered, self.fft_normalization)
+
+
+class SERANet(BaseReconModel):
+    """End-to-End Recurrent Attention Network (reference seranet.py:27).
+
+    Faithful structure: a reconstruction block of ``num_blocks`` shared-weight
+    U-Net regularizer applications + per-block SERANetDC (recon_block.py:84);
+    a ConvLSTMNormUnet segmentation module over the coil-channelized magnitude
+    (convlstm_unet.py:13); and a recurrent attention refinement
+    (recon_block.py:240): AttentionGate over the channelized multicoil
+    reconstruction gated by the evolving attention map x segmentation, DC'd
+    and re-segmented by a second ConvLSTMNormUnet for ``num_iterations``.
+    """
+
+    input_channels: int = 2
+    recon_out_chans: int = 2
     recon_chans: int = 32
-    recon_pools: int = 2
-    seg_chans: int = 32
-    seg_pools: int = 2
+    recon_pools: int = 4
+    num_blocks: int = 3
+    seg_in_chans: int = 2
     seg_classes: int = 2
-    hidden_channels: int = 32
+    seg_chans: int = 32
+    seg_pools: int = 4
+    num_iterations: int = 2
+    attention_chans: int = 32
+    attention_pools: int = 4
     normalize_segmentation_output: bool = True
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
-            num_iterations=cfg.get("num_iterations", 3),
+            input_channels=cfg.get("input_channels", 2),
+            recon_out_chans=cfg.get("reconstruction_module_output_channels", 2),
             recon_chans=cfg.get("reconstruction_module_channels", 32),
-            recon_pools=cfg.get("reconstruction_module_pooling_layers", 2),
-            seg_chans=cfg.get("segmentation_module_channels", 32),
-            seg_pools=cfg.get("segmentation_module_pooling_layers", 2),
+            recon_pools=cfg.get("reconstruction_module_pooling_layers", 4),
+            num_blocks=cfg.get("reconstruction_module_num_blocks", 3),
+            seg_in_chans=cfg.get("segmentation_module_input_channels", 2),
             seg_classes=cfg.get("segmentation_module_output_channels", 2),
-            hidden_channels=cfg.get("recurrent_hidden_channels", 32),
+            seg_chans=cfg.get("segmentation_module_channels", 32),
+            seg_pools=cfg.get("segmentation_module_pooling_layers", 4),
+            num_iterations=cfg.get("recurrent_module_iterations", cfg.get("num_iterations", 2)),
+            attention_chans=cfg.get("recurrent_module_attention_channels", 32),
+            attention_pools=cfg.get("recurrent_module_attention_pooling_layers", 4),
             normalize_segmentation_output=cfg.get("normalize_segmentation_output", True),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
@@ -386,31 +436,59 @@ class SERANet(BaseReconModel):
 
     @nn.compact
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
-        mask = expand_mask(mask)
-        m = mask[..., None]
-        recon = self.sense_init(y, sens)  # [B, H, W, 2]
-        recon = recon + Unet(out_chans=2, chans=self.recon_chans, num_pool_layers=self.recon_pools)(recon, train)
-        seg = Unet(out_chans=self.seg_classes, chans=self.seg_chans, num_pool_layers=self.seg_pools)(
-            _group_norm_nograd(recon), train
-        )
+        from mridc_tpu.nn.convlstm import ConvLSTMNormUnet
+        from mridc_tpu.nn.seg_blocks import AttentionGate
 
-        cell = ConvGRUCell(hidden_size=self.hidden_channels, kernel_size=3)
-        to_img = nn.Conv(2, (3, 3), padding="SAME")
-        h = jnp.zeros(recon.shape[:3] + (self.hidden_channels,), jnp.float32)
-        for _ in range(self.num_iterations):
-            inp = jnp.concatenate([recon, seg], axis=-1)
-            h = cell(inp, h)
-            recon = recon + to_img(h)
-            # data consistency back through the coils
-            pred_k = sens_expand(recon, sens, self.fft_centered, self.fft_normalization, self.spatial_dims)
-            pred_k = jnp.where(m.astype(bool), y, pred_k)
-            recon = sens_reduce(
-                pred_k, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
-            )
-        seg = Unet(out_chans=self.seg_classes, chans=self.seg_chans, num_pool_layers=self.seg_pools)(
-            _group_norm_nograd(jnp.concatenate([recon, seg], -1)), train
+        mask = expand_mask(mask)
+        m = mask[..., None]  # [B, 1, H, W, 1]
+        pred0 = init_pred if (init_pred is not None and init_pred.ndim >= 4) else self.sense_init(y, sens)
+
+        # ---- reconstruction block (recon_block.py:84): the reference stacks
+        # the SAME regularizer instance num_blocks times over the SAME input,
+        # so the U-Net runs once; only the per-block DC weights evolve.
+        regularizer = Unet(out_chans=self.recon_out_chans, chans=self.recon_chans, num_pool_layers=self.recon_pools)
+        unet_recon = regularizer(pred0, train)  # [B, H, W, 2]
+        reconstructions = []
+        prev = y
+        for _ in range(self.num_blocks):
+            prev = SERANetDC(self.fft_centered, self.fft_normalization)(unet_recon, prev, y, m)
+            reconstructions.append(prev)  # [B, C, H, W, 2]
+        pred_recon = reconstructions[-2] if len(reconstructions) > 1 else reconstructions[-1]
+
+        # ---- segmentation module over |group_norm(last recon)| coil channels
+        seg_in = _group_norm_nograd(reconstructions[-1])
+        seg_in = cabs(seg_in)  # [B, C, H, W]
+        num_coils = seg_in.shape[1]
+        if num_coils < self.seg_in_chans:  # zero-coil padding (seranet.py:203-216)
+            pad = self.seg_in_chans - num_coils
+            seg_in = jnp.pad(seg_in, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            zc = ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))
+            pred_recon = jnp.pad(pred_recon, zc)
+            y = jnp.pad(y, zc)
+            sens = jnp.pad(sens, zc)
+        segmentation = ConvLSTMNormUnet(
+            chans=self.seg_chans, num_pools=self.seg_pools,
+            in_chans=self.seg_in_chans, out_chans=self.seg_classes,
+        )(seg_in.transpose(0, 2, 3, 1), train)  # [B, H, W, classes]
+
+        # ---- recurrent attention refinement (recon_block.py:240)
+        attention_gate = AttentionGate(out_chans=self.seg_classes)
+        recurrent_unet = ConvLSTMNormUnet(
+            chans=self.attention_chans, num_pools=self.attention_pools,
+            in_chans=self.seg_in_chans * 2, out_chans=self.seg_classes,
         )
-        seg = jnp.abs(seg)
+        dc = SERANetDC(self.fft_centered, self.fft_normalization)
+        attention_map = segmentation
+        prev = y
+        for _ in range(self.num_iterations):
+            gated = attention_gate(_coils_to_channels(pred_recon), attention_map * segmentation)
+            att = _channels_to_coils(gated)  # [B, C, H, W, 2]
+            att = dc(att, prev, y, m)
+            prev = att
+            attention_map = recurrent_unet(_coils_to_channels(att), train)
+        pred_segmentation = jnp.abs(attention_map)
         if self.normalize_segmentation_output:
-            seg = seg / jnp.maximum(seg.max(), 1e-12)
-        return ModelOutput(prediction=recon), seg
+            pred_segmentation = pred_segmentation / jnp.maximum(pred_segmentation.max(), 1e-12)
+
+        recon_combined = ccombine(pred_recon, sens, self.coil_combination_method, dim=self.coil_dim)
+        return ModelOutput(prediction=recon_combined), pred_segmentation

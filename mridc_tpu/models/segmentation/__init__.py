@@ -97,13 +97,35 @@ class SegmentationAttentionUNet(_SegBase):
 
 
 class SegmentationLambdaUNet(_SegBase):
+    query_depth: int = 16
+    intra_depth: int = 1
+    receptive_kernel: int = 3
+    temporal_kernel: int = 1
+    num_slices: int = 1
+
     @classmethod
     def from_config(cls, cfg):
-        return cls(**_seg_cfg(cfg))
+        return cls(
+            **_seg_cfg(cfg),
+            query_depth=cfg.get("segmentation_module_query_depth", 16),
+            intra_depth=cfg.get("segmentation_module_intra_depth", 1),
+            receptive_kernel=cfg.get("segmentation_module_receptive_kernel", 3),
+            temporal_kernel=cfg.get("segmentation_module_temporal_kernel", 1),
+            num_slices=cfg.get("consecutive_slices", 1),
+        )
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        return LambdaUnet(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+        return LambdaUnet(
+            out_chans=self.classes,
+            chans=self.chans,
+            num_pool_layers=self.pools,
+            query_depth=self.query_depth,
+            intra_depth=self.intra_depth,
+            receptive_kernel=self.receptive_kernel,
+            temporal_kernel=self.temporal_kernel,
+            num_slices=self.num_slices,
+        )(image, train)
 
 
 class SegmentationVNet(_SegBase):

@@ -23,7 +23,68 @@ __all__ = [
     "channels_to_coils_complex",
     "InstanceNorm",
     "ConvNonlinear",
+    "TorchBatchNorm",
+    "bilinear_resize",
 ]
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch semantics and frozen running statistics.
+
+    Train mode normalizes with the current batch statistics (torch train
+    behavior); eval mode uses the stored ``running_mean``/``running_var``
+    (torch eval behavior), which live in the params collection so golden tests
+    can import them from reference checkpoints. The stored stats are
+    stop-gradiented and NOT updated during training — fine-tune/eval flows
+    should import stats or evaluate in train mode (documented deviation from
+    torch's momentum-tracked running stats; avoids threading a mutable
+    batch_stats collection through the jitted trainers).
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        r_mean = jax.lax.stop_gradient(self.param("mean", nn.initializers.zeros, (c,)))
+        r_var = jax.lax.stop_gradient(self.param("var", nn.initializers.ones, (c,)))
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = x.mean(axes)
+            var = x.var(axes)
+        else:
+            mean, var = r_mean, r_var
+        y = (x - mean) / jnp.sqrt(var + self.eps)
+        return y * scale + bias
+
+
+def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize of an NHWC array with half-pixel centers and NO
+    antialiasing — exact torch ``F.interpolate(mode="bilinear",
+    align_corners=False)`` semantics (jax.image.resize antialiases on
+    downsampling, which the reference does not). Static gathers, XLA-friendly.
+    """
+    _, in_h, in_w, _ = x.shape
+
+    def axis_weights(n_in, n_out):
+        import numpy as np
+
+        src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        i0 = np.floor(src).astype(np.int32)
+        w1 = (src - i0).astype(np.float32)
+        i0c = np.clip(i0, 0, n_in - 1)
+        i1c = np.clip(i0 + 1, 0, n_in - 1)
+        return i0c, i1c, w1
+
+    y0, y1, wy = axis_weights(in_h, out_h)
+    x0, x1, wx = axis_weights(in_w, out_w)
+    wy = jnp.asarray(wy)[None, :, None, None]
+    wx = jnp.asarray(wx)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 def complex_to_channels(x: jnp.ndarray) -> jnp.ndarray:

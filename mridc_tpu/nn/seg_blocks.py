@@ -38,59 +38,65 @@ __all__ = [
 
 
 class AttentionGate(nn.Module):
-    """Additive attention gate over skip connections (Oktay et al.)."""
+    """Additive attention gate (Oktay et al.), reference
+    attention_unet_block.py:10: W_x is a strided 2x2 conv (no bias), W_g a 1x1
+    conv bilinearly resized onto W_x's grid; the sigmoid(psi(relu(...))) map is
+    resized back to x's grid and gates x. Output channels == x's channels."""
 
-    inter_channels: int
+    out_chans: int
 
     @nn.compact
     def __call__(self, x, g):
-        theta = nn.Conv(self.inter_channels, (1, 1), use_bias=False)(x)
-        phi = nn.Conv(self.inter_channels, (1, 1))(g)
-        att = nn.relu(theta + phi)
-        att = nn.sigmoid(nn.Conv(1, (1, 1))(att))
-        return x * att
+        from mridc_tpu.nn.layers import bilinear_resize
 
-
-class _SegConvBlock(nn.Module):
-    features: int
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
-            x = nn.relu(x)
-        return x
+        wx = nn.Conv(self.out_chans, (2, 2), strides=(2, 2), padding="VALID", use_bias=False)(x)
+        wg = nn.Conv(self.out_chans, (1, 1))(g)
+        wg = bilinear_resize(wg, wx.shape[1], wx.shape[2])
+        f = nn.relu(wx + wg)
+        a = nn.sigmoid(nn.Conv(1, (1, 1))(f))
+        a = bilinear_resize(a, x.shape[1], x.shape[2])
+        return a * x
 
 
 class AttentionUnet(nn.Module):
+    """fastMRI-style U-Net with attention-gated skips (reference
+    attention_unet_block.py:67: ConvBlock/TransposeConvBlock trunks, avg-pool
+    downsampling, gates applied to the skip with the pre-upsample decoder
+    feature as gating signal, concat order [decoder, gated skip])."""
+
     out_chans: int
     chans: int = 32
     num_pool_layers: int = 4
+    drop_prob: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mridc_tpu.nn.unet import ConvBlock, TransposeConvBlock
+
         ch = self.chans
         skips = []
         for i in range(self.num_pool_layers):
-            x = _SegConvBlock(ch)(x, train)
+            x = ConvBlock(ch, self.drop_prob)(x, train)
             skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
             if i < self.num_pool_layers - 1:
                 ch *= 2
-        x = _SegConvBlock(ch * 2)(x, train)
+        x = ConvBlock(ch * 2, self.drop_prob)(x, train)
         for i in range(self.num_pool_layers):
             skip = skips.pop()
-            x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2))(x)
-            pad_h = skip.shape[1] - x.shape[1]
-            pad_w = skip.shape[2] - x.shape[2]
+            gated = AttentionGate(ch)(skip, x)
+            x = TransposeConvBlock(ch)(x)
+            pad_h = gated.shape[1] - x.shape[1]
+            pad_w = gated.shape[2] - x.shape[2]
             if pad_h or pad_w:
                 x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
-            gated = AttentionGate(max(ch // 2, 1))(skip, x)
-            x = _SegConvBlock(ch)(jnp.concatenate([x, gated], -1), train)
+            x = jnp.concatenate([x, gated], axis=-1)
+            x = ConvBlock(ch, self.drop_prob)(x, train)
             if i < self.num_pool_layers - 1:
                 ch //= 2
-        return nn.Conv(self.out_chans, (1, 1))(x)
+            else:
+                x = nn.Conv(self.out_chans, (1, 1))(x)
+        return x
 
 
 # --------------------------------------------------------------------------
@@ -99,78 +105,156 @@ class AttentionUnet(nn.Module):
 
 
 class LambdaLayer(nn.Module):
-    """Lambda attention layer (Bello 2021; reference lambda_unet_block.py:11):
-    content lambda via softmax keys, position lambda via a local 3D conv over
-    the value map."""
+    """Lambda attention layer (reference lambda_unet_block.py:11): content
+    lambda via softmax keys over positions, position lambda via a Conv3d over
+    the [intra_depth, v, H, W] value map, optional temporal lambda across
+    slices for temporal_kernel >= 3. q and v projections carry BatchNorm
+    (torch semantics via TorchBatchNorm)."""
 
-    dim_out: int
-    dim_k: int = 16
-    heads: int = 4
+    out_channels: int
+    query_depth: int = 16
+    intra_depth: int = 1
     receptive_kernel: int = 3
-
-    @nn.compact
-    def __call__(self, x):
-        b, hh, ww, _ = x.shape
-        k_dim, heads = self.dim_k, self.heads
-        assert self.dim_out % heads == 0
-        dim_v = self.dim_out // heads
-        n = hh * ww
-
-        q = nn.Conv(k_dim * heads, (1, 1), use_bias=False)(x).reshape(b, n, heads, k_dim)
-        k = nn.Conv(k_dim, (1, 1), use_bias=False)(x).reshape(b, n, k_dim)
-        v = nn.Conv(dim_v, (1, 1), use_bias=False)(x).reshape(b, n, dim_v)
-
-        k = jax.nn.softmax(k, axis=1)
-        content_lambda = jnp.einsum("bnk,bnv->bkv", k, v)
-        content_out = jnp.einsum("bnhk,bkv->bnhv", q, content_lambda)
-
-        # position lambdas via conv over the spatial value map
-        v_img = v.reshape(b, hh, ww, dim_v)
-        pos = nn.Conv(
-            dim_v * k_dim,
-            (self.receptive_kernel, self.receptive_kernel),
-            padding="SAME",
-            use_bias=False,
-            feature_group_count=1,
-        )(v_img).reshape(b, n, k_dim, dim_v)
-        pos_out = jnp.einsum("bnhk,bnkv->bnhv", q, pos)
-
-        out = (content_out + pos_out).reshape(b, hh, ww, heads * dim_v)
-        return out
-
-
-class LambdaUnet(nn.Module):
-    out_chans: int
-    chans: int = 32
-    num_pool_layers: int = 4
-    dim_k: int = 16
+    temporal_kernel: int = 1
     heads: int = 4
+    num_slices: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mridc_tpu.nn.layers import TorchBatchNorm
+
+        if self.out_channels % self.heads:
+            raise ValueError("out_channels must be divisible by the number of heads")
+        b, hh, ww, _ = x.shape
+        kd, u, h = self.query_depth, self.intra_depth, self.heads
+        vd = self.out_channels // h
+        n = hh * ww
+
+        q = nn.Conv(kd * h, (1, 1), use_bias=False)(x)
+        q = TorchBatchNorm()(q, train)
+        k = nn.Conv(kd * u, (1, 1), use_bias=False)(x)
+        v = nn.Conv(vd * u, (1, 1), use_bias=False)(x)
+        v = TorchBatchNorm()(v, train)
+
+        # NHWC channel c maps to torch (group, inner) = (c // inner, c % inner)?
+        # torch rearrange "b (h k) hh ww" splits channel-major: group index h
+        # first. Our conv output channel order matches torch's (imported
+        # kernels keep output-channel order), so reshape [..., h, k].
+        q = q.reshape(b, n, h, kd)          # [b, n, h, k]
+        k = k.reshape(b, n, u, kd)          # [b, n, u, k]
+        v = v.reshape(b, n, u, vd)          # [b, n, u, v]
+
+        k = jax.nn.softmax(k, axis=1)       # softmax over positions m
+        lam_c = jnp.einsum("bmuk,bmuv->bkv", k, v)
+        y_c = jnp.einsum("bnhk,bkv->bnhv", q, lam_c)
+
+        # position lambda: Conv3d(u -> k, (1, rk, rk)) over [b, u, v, hh, ww];
+        # NDHWC layout: [b, v(depth), hh, ww, u] -> [b, v, hh, ww, k]
+        v_p = v.reshape(b, hh, ww, u, vd).transpose(0, 4, 1, 2, 3)
+        lam_p = nn.Conv(
+            kd, (1, self.receptive_kernel, self.receptive_kernel), padding="SAME"
+        )(v_p)                               # [b, v, hh, ww, k]
+        lam_p = lam_p.reshape(b, vd, n, kd)
+        y_p = jnp.einsum("bnhk,bvnk->bnhv", q, lam_p)
+
+        y = y_c + y_p
+        if self.temporal_kernel >= 3:
+            if self.temporal_kernel > self.num_slices or self.temporal_kernel % 2 != 1:
+                raise ValueError("temporal_kernel must be odd and <= num_slices")
+            t = self.num_slices
+            g = b // t
+            # reference: v [(g t), u, v, p] -> [(g p), u, v, t], Conv2d(u->k,
+            # (1, tk)); NHWC: [(g p), v, t, u] -> [(g p), v, t, k]
+            v_t = v.reshape(g, t, n, u, vd).transpose(0, 2, 4, 1, 3).reshape(g * n, vd, t, u)
+            lam_t = nn.Conv(kd, (1, self.temporal_kernel), padding="SAME")(v_t)
+            lam_t = lam_t.reshape(g, n, vd, t, kd).transpose(0, 3, 4, 2, 1).reshape(b, kd, vd, n)
+            y_t = jnp.einsum("bnhk,bkvn->bnhv", q, lam_t)
+            y = y + y_t
+
+        return y.reshape(b, hh, ww, h * vd)
+
+
+class LambdaBlock(nn.Module):
+    """Two LambdaLayers each followed by InstanceNorm + LeakyReLU(0.2) +
+    Dropout (reference lambda_unet_block.py:134)."""
+
+    out_chans: int
+    drop_prob: float = 0.0
+    query_depth: int = 16
+    intra_depth: int = 4
+    receptive_kernel: int = 3
+    temporal_kernel: int = 1
+    num_slices: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        heads = max(1, self.out_chans // 32)
+        for _ in range(2):
+            x = LambdaLayer(
+                out_channels=self.out_chans,
+                query_depth=self.query_depth,
+                intra_depth=self.intra_depth,
+                receptive_kernel=self.receptive_kernel,
+                temporal_kernel=self.temporal_kernel,
+                heads=heads,
+                num_slices=self.num_slices,
+            )(x, train)
+            x = InstanceNorm()(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
+        return x
+
+
+class LambdaUnet(nn.Module):
+    """fastMRI U-Net skeleton with LambdaBlocks in place of ConvBlocks
+    (reference lambda_unet_block.py:214 ``LambdaUNet``: avg-pool downs,
+    TransposeConvBlock ups, final Sequential(LambdaBlock, 1x1 conv))."""
+
+    out_chans: int
+    chans: int = 32
+    num_pool_layers: int = 4
+    drop_prob: float = 0.0
+    query_depth: int = 16
+    intra_depth: int = 4
+    receptive_kernel: int = 3
+    temporal_kernel: int = 1
+    num_slices: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from mridc_tpu.nn.unet import TransposeConvBlock
+
+        kw = dict(
+            drop_prob=self.drop_prob,
+            query_depth=self.query_depth,
+            intra_depth=self.intra_depth,
+            receptive_kernel=self.receptive_kernel,
+            temporal_kernel=self.temporal_kernel,
+            num_slices=self.num_slices,
+        )
         ch = self.chans
         skips = []
         for i in range(self.num_pool_layers):
-            x = _SegConvBlock(ch)(x, train)
-            feats = x.shape[-1]
-            heads = self.heads if feats % self.heads == 0 else 1
-            x = x + LambdaLayer(dim_out=feats, dim_k=self.dim_k, heads=heads)(x)
+            x = LambdaBlock(out_chans=ch, **kw)(x, train)
             skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
             if i < self.num_pool_layers - 1:
                 ch *= 2
-        x = _SegConvBlock(ch * 2)(x, train)
+        x = LambdaBlock(out_chans=ch * 2, **kw)(x, train)
         for i in range(self.num_pool_layers):
             skip = skips.pop()
-            x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2))(x)
+            x = TransposeConvBlock(ch)(x)
             pad_h = skip.shape[1] - x.shape[1]
             pad_w = skip.shape[2] - x.shape[2]
             if pad_h or pad_w:
                 x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
-            x = _SegConvBlock(ch)(jnp.concatenate([x, skip], -1), train)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = LambdaBlock(out_chans=ch, **kw)(x, train)
             if i < self.num_pool_layers - 1:
                 ch //= 2
-        return nn.Conv(self.out_chans, (1, 1))(x)
+            else:
+                x = nn.Conv(self.out_chans, (1, 1))(x)
+        return x
 
 
 # --------------------------------------------------------------------------

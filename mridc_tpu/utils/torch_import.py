@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -256,4 +256,153 @@ def import_didn_params(state: Dict[str, np.ndarray], num_dubs: int, num_convs_re
     tree["_PConv_2"] = pconv("conv.0", "conv.1")
     tree["Subpixel_0"] = subpixel("up2.conv")
     tree["_PConv_3"] = pconv("conv_out")
+    return tree
+
+
+def import_convlstm_cell_params(state: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.convlstm.ConvLSTMCell` from a
+    reference ConvLSTMCell state dict (reference multitask/rs/nn/seranet_base/
+    convlstm.py:12 — single 4-gate conv over [x, h])."""
+    out = {"kernel": oihw_to_hwio(state[prefix + "conv.weight"])}
+    if prefix + "conv.bias" in state:
+        out["bias"] = state[prefix + "conv.bias"]
+    return {"Conv_0": out}
+
+
+def import_convlstm_unet_params(state: Dict[str, np.ndarray], chans: int, num_pools: int,
+                                prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.convlstm.ConvLSTMNormUnet`
+    from a reference ConvLSTMNormUnet state dict (reference
+    seranet_base/convlstm_unet.py:13: ``convlstm.cell_list.0.conv`` +
+    fastMRI ``unet.*``)."""
+    sub = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)} if prefix else dict(state)
+    return {
+        "ConvLSTM_0": {
+            "ConvLSTMCell_0": import_convlstm_cell_params(sub, prefix="convlstm.cell_list.0.")
+        },
+        **import_normunet_params(sub, chans=chans, num_pools=num_pools, prefix="unet."),
+    }
+
+
+def import_attention_gate_params(state: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.AttentionGate`
+    (reference segmentation/nn/attention_unet_base/attention_unet_block.py:10:
+    ``W_x.0`` strided conv, ``W_g.0`` 1x1, ``psi.0`` 1x1)."""
+    return {
+        "Conv_0": {"kernel": oihw_to_hwio(state[prefix + "W_x.0.weight"])},
+        "Conv_1": {"kernel": oihw_to_hwio(state[prefix + "W_g.0.weight"]),
+                   "bias": state[prefix + "W_g.0.bias"]},
+        "Conv_2": {"kernel": oihw_to_hwio(state[prefix + "psi.0.weight"]),
+                   "bias": state[prefix + "psi.0.bias"]},
+    }
+
+
+def import_attention_unet_params(state: Dict[str, np.ndarray], chans: int, num_pools: int,
+                                 prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.AttentionUnet`
+    (reference attention_unet_block.py:67: fastMRI trunks + per-level gates;
+    final level is Sequential(ConvBlock, 1x1 Conv))."""
+
+    def conv(key):
+        return {"kernel": oihw_to_hwio(state[prefix + key])}
+
+    tree: Dict = {}
+    blocks = 0
+    for i in range(num_pools):
+        tree[f"ConvBlock_{blocks}"] = {
+            "Conv_0": conv(f"down_sample_layers.{i}.layers.0.weight"),
+            "Conv_1": conv(f"down_sample_layers.{i}.layers.4.weight"),
+        }
+        blocks += 1
+    tree[f"ConvBlock_{blocks}"] = {
+        "Conv_0": conv("conv.layers.0.weight"),
+        "Conv_1": conv("conv.layers.4.weight"),
+    }
+    blocks += 1
+    for i in range(num_pools):
+        tree[f"AttentionGate_{i}"] = import_attention_gate_params(state, prefix=prefix + f"up_attention_gates.{i}.")
+        tree[f"TransposeConvBlock_{i}"] = {
+            "ConvTranspose_0": {"kernel": iohw_to_hwio_flipped(state[prefix + f"up_transpose_conv.{i}.layers.0.weight"])}
+        }
+        key0 = f"up_conv.{i}.layers.0.weight" if i < num_pools - 1 else f"up_conv.{i}.0.layers.0.weight"
+        key1 = f"up_conv.{i}.layers.4.weight" if i < num_pools - 1 else f"up_conv.{i}.0.layers.4.weight"
+        tree[f"ConvBlock_{blocks}"] = {"Conv_0": conv(key0), "Conv_1": conv(key1)}
+        blocks += 1
+    tree["Conv_0"] = {
+        "kernel": oihw_to_hwio(state[prefix + f"up_conv.{num_pools - 1}.1.weight"]),
+        "bias": state[prefix + f"up_conv.{num_pools - 1}.1.bias"],
+    }
+    return tree
+
+
+def oidhw_to_dhwio(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d (out, in, kD, kH, kW) -> flax (kD, kH, kW, in, out)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def import_torch_batchnorm_params(state: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """Params for :class:`mridc_tpu.nn.layers.TorchBatchNorm` (scale/bias +
+    frozen running stats) from torch BatchNorm keys."""
+    return {
+        "scale": state[prefix + "weight"],
+        "bias": state[prefix + "bias"],
+        "mean": state[prefix + "running_mean"],
+        "var": state[prefix + "running_var"],
+    }
+
+
+def import_lambda_layer_params(state: Dict[str, np.ndarray], prefix: str = "",
+                               temporal: bool = False) -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.LambdaLayer`
+    (reference segmentation/nn/lambda_unet_base/lambda_unet_block.py:11:
+    ``to_q.0`` conv + ``to_q.1`` BN, ``to_k.0``, ``to_v.0`` + ``to_v.1`` BN,
+    ``pos_conv`` Conv3d, optional ``temp_conv``)."""
+    tree = {
+        "Conv_0": {"kernel": oihw_to_hwio(state[prefix + "to_q.0.weight"])},
+        "TorchBatchNorm_0": import_torch_batchnorm_params(state, prefix + "to_q.1."),
+        "Conv_1": {"kernel": oihw_to_hwio(state[prefix + "to_k.0.weight"])},
+        "Conv_2": {"kernel": oihw_to_hwio(state[prefix + "to_v.0.weight"])},
+        "TorchBatchNorm_1": import_torch_batchnorm_params(state, prefix + "to_v.1."),
+        "Conv_3": {"kernel": oidhw_to_dhwio(state[prefix + "pos_conv.weight"]),
+                   "bias": state[prefix + "pos_conv.bias"]},
+    }
+    if temporal:
+        tree["Conv_4"] = {"kernel": oihw_to_hwio(state[prefix + "temp_conv.weight"]),
+                          "bias": state[prefix + "temp_conv.bias"]}
+    return tree
+
+
+def import_lambda_block_params(state: Dict[str, np.ndarray], prefix: str = "",
+                               temporal: bool = False) -> Dict:
+    """LambdaBlock = two LambdaLayers at ``layers.0`` / ``layers.4``
+    (reference lambda_unet_block.py:134 Sequential layout)."""
+    return {
+        "LambdaLayer_0": import_lambda_layer_params(state, prefix + "layers.0.", temporal),
+        "LambdaLayer_1": import_lambda_layer_params(state, prefix + "layers.4.", temporal),
+    }
+
+
+def import_lambda_unet_params(state: Dict[str, np.ndarray], num_pools: int,
+                              prefix: str = "", temporal: bool = False) -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.LambdaUnet`
+    (reference lambda_unet_block.py:214)."""
+    tree: Dict = {}
+    blocks = 0
+    for i in range(num_pools):
+        tree[f"LambdaBlock_{blocks}"] = import_lambda_block_params(
+            state, prefix + f"down_sample_layers.{i}.", temporal)
+        blocks += 1
+    tree[f"LambdaBlock_{blocks}"] = import_lambda_block_params(state, prefix + "conv.", temporal)
+    blocks += 1
+    for i in range(num_pools):
+        tree[f"TransposeConvBlock_{i}"] = {
+            "ConvTranspose_0": {"kernel": iohw_to_hwio_flipped(state[prefix + f"up_transpose_conv.{i}.layers.0.weight"])}
+        }
+        sub_prefix = f"up_conv.{i}." if i < num_pools - 1 else f"up_conv.{i}.0."
+        tree[f"LambdaBlock_{blocks}"] = import_lambda_block_params(state, prefix + sub_prefix, temporal)
+        blocks += 1
+    tree["Conv_0"] = {
+        "kernel": oihw_to_hwio(state[prefix + f"up_conv.{num_pools - 1}.1.weight"]),
+        "bias": state[prefix + f"up_conv.{num_pools - 1}.1.bias"],
+    }
     return tree

@@ -1,0 +1,114 @@
+"""Golden parity for segmentation blocks vs the reference's actual torch
+modules: AttentionUnet (attention_unet_base/attention_unet_block.py:67) and
+the Lambda stack (lambda_unet_base/lambda_unet_block.py:11,134,214), with
+imported weights (eval mode; BatchNorm running stats imported)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import reference_loader
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return {
+        "attention": reference_loader.load(
+            "mridc.collections.segmentation.nn.attention_unet_base.attention_unet_block"
+        ),
+        "lam": reference_loader.load("mridc.collections.segmentation.nn.lambda_unet_base.lambda_unet_block"),
+    }
+
+
+def _sd(module):
+    return {k: v.numpy() for k, v in module.state_dict().items()}
+
+
+def _nchw(x):
+    return np.moveaxis(np.asarray(x), -1, 1)
+
+
+def _nhwc(x):
+    return jnp.asarray(np.moveaxis(x, 1, -1))
+
+
+def test_attention_unet_matches_reference(ref):
+    from mridc_tpu.nn.seg_blocks import AttentionUnet
+    from mridc_tpu.utils.torch_import import import_attention_unet_params
+
+    torch.manual_seed(7)
+    tnet = ref["attention"].AttentionUnet(in_chans=2, out_chans=3, chans=8, num_pool_layers=2).eval()
+    x = np.random.default_rng(8).standard_normal((2, 2, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    net = AttentionUnet(out_chans=3, chans=8, num_pool_layers=2)
+    params = import_attention_unet_params(_sd(tnet), chans=8, num_pools=2)
+    got = net.apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(_nchw(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_lambda_layer_matches_reference(ref):
+    from mridc_tpu.nn.seg_blocks import LambdaLayer
+    from mridc_tpu.utils.torch_import import import_lambda_layer_params
+
+    torch.manual_seed(8)
+    tl = ref["lam"].LambdaLayer(
+        in_channels=6, out_channels=8, query_depth=5, intra_depth=3, receptive_kernel=3, heads=2
+    ).eval()
+    x = np.random.default_rng(9).standard_normal((2, 6, 12, 12)).astype(np.float32)
+    with torch.no_grad():
+        want = tl(torch.from_numpy(x)).numpy()
+
+    layer = LambdaLayer(out_channels=8, query_depth=5, intra_depth=3, receptive_kernel=3, heads=2)
+    params = import_lambda_layer_params(_sd(tl))
+    got = layer.apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(_nchw(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_lambda_layer_temporal_matches_reference(ref):
+    """temporal_kernel >= 3 branch (2.5D slice attention)."""
+    from mridc_tpu.nn.seg_blocks import LambdaLayer
+    from mridc_tpu.utils.torch_import import import_lambda_layer_params
+
+    torch.manual_seed(9)
+    tl = ref["lam"].LambdaLayer(
+        in_channels=4, out_channels=8, query_depth=5, intra_depth=2,
+        receptive_kernel=3, temporal_kernel=3, heads=2, num_slices=3,
+    ).eval()
+    x = np.random.default_rng(10).standard_normal((6, 4, 8, 8)).astype(np.float32)  # b = g*t = 2*3
+    with torch.no_grad():
+        want = tl(torch.from_numpy(x)).numpy()
+
+    layer = LambdaLayer(
+        out_channels=8, query_depth=5, intra_depth=2, receptive_kernel=3,
+        temporal_kernel=3, heads=2, num_slices=3,
+    )
+    params = import_lambda_layer_params(_sd(tl), temporal=True)
+    got = layer.apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(_nchw(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_lambda_unet_matches_reference(ref):
+    from mridc_tpu.nn.seg_blocks import LambdaUnet
+    from mridc_tpu.utils.torch_import import import_lambda_unet_params
+
+    torch.manual_seed(10)
+    tnet = ref["lam"].LambdaUNet(
+        in_chans=2, out_chans=3, chans=32, num_pool_layers=2,
+        query_depth=16, intra_depth=1, receptive_kernel=3, temporal_kernel=1,
+    ).eval()
+    x = np.random.default_rng(11).standard_normal((1, 2, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    net = LambdaUnet(
+        out_chans=3, chans=32, num_pool_layers=2,
+        query_depth=16, intra_depth=1, receptive_kernel=3, temporal_kernel=1,
+    )
+    params = import_lambda_unet_params(_sd(tnet), num_pools=2)
+    got = net.apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(_nchw(got), want, rtol=2e-3, atol=2e-4)
