@@ -60,7 +60,7 @@ def _make_seg_module(kind: str, classes: int, chans: int, pools: int):
     if kind == "lambdaunet":
         return LambdaUnet(out_chans=classes, chans=chans, num_pool_layers=pools)
     if kind == "vnet":
-        return VNet(out_chans=classes, chans=chans, num_stages=pools)
+        return VNet(out_chans=classes)
     raise ValueError(f"Unknown segmentation module {kind!r}")
 
 

@@ -135,17 +135,40 @@ class SegmentationVNet(_SegBase):
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        return VNet(out_chans=self.classes, chans=self.chans, num_stages=self.pools)(image, train)
+        return VNet(out_chans=self.classes)(image, train)
 
 
 class SegmentationDYNUNet(_SegBase):
+    kernel_size: tuple = (3, 3, 3, 3)
+    strides: tuple = (1, 2, 2, 2)
+    filters: tuple = None
+    deep_supervision: bool = False
+    deep_supr_num: int = 1
+
     @classmethod
     def from_config(cls, cfg):
-        return cls(**_seg_cfg(cfg))
+        filters = cfg.get("segmentation_module_channels")
+        strides = cfg.get("segmentation_module_strides", (1, 2, 2, 2))
+        base = _seg_cfg(cfg)
+        return cls(
+            classes=base["classes"],
+            kernel_size=tuple(cfg.get("segmentation_module_kernel_size", (3,) * len(strides))),
+            strides=tuple(strides),
+            filters=tuple(filters) if isinstance(filters, (list, tuple)) else None,
+            deep_supervision=cfg.get("segmentation_module_deep_supervision", False),
+            deep_supr_num=cfg.get("segmentation_module_deep_supervision_levels", 1),
+        )
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        return DynUNet(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+        return DynUNet(
+            out_chans=self.classes,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            filters=self.filters,
+            deep_supervision=self.deep_supervision,
+            deep_supr_num=self.deep_supr_num,
+        )(image, train)
 
 
 class SegmentationUNetR(_SegBase):

@@ -25,6 +25,7 @@ __all__ = [
     "ConvNonlinear",
     "TorchBatchNorm",
     "bilinear_resize",
+    "nearest_resize",
 ]
 
 
@@ -58,6 +59,17 @@ class TorchBatchNorm(nn.Module):
             mean, var = r_mean, r_var
         y = (x - mean) / jnp.sqrt(var + self.eps)
         return y * scale + bias
+
+
+def nearest_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Nearest-neighbor resize of an NHWC array with torch
+    ``F.interpolate(mode="nearest")`` index semantics (floor(i * in / out))."""
+    import numpy as np
+
+    _, in_h, in_w, _ = x.shape
+    ys = np.floor(np.arange(out_h) * (in_h / out_h)).astype(np.int32)
+    xs = np.floor(np.arange(out_w) * (in_w / out_w)).astype(np.int32)
+    return x[:, ys][:, :, xs]
 
 
 def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -16,6 +16,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mridc_tpu.nn.layers import InstanceNorm
 
@@ -262,52 +263,132 @@ class LambdaUnet(nn.Module):
 # --------------------------------------------------------------------------
 
 
-class _VNetStage(nn.Module):
-    features: int
-    n_convs: int
+class _PReLU(nn.Module):
+    """torch nn.PReLU: single learned negative slope shared over channels."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (1,))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def _vnet_act(name: str):
+    name = str(name).lower()
+    if name == "elu":
+        return lambda mdl, x: nn.elu(x)
+    if name == "relu":
+        return lambda mdl, x: nn.relu(x)
+    if name == "leakyrelu":
+        return lambda mdl, x: nn.leaky_relu(x, 0.01)
+    if name == "prelu":
+        return lambda mdl, x: _PReLU()(x)
+    raise ValueError(f"Activation {name!r} not supported (relu/prelu/leakyrelu/elu)")
+
+
+class _LUConv(nn.Module):
+    """5x5 conv + BatchNorm + act (reference vnet_block.py:10)."""
+
+    channels: int
+    act: str = "elu"
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = x
-        for j in range(self.n_convs):
-            out = nn.Conv(self.features, (5, 5), padding="SAME")(out)
-            out = nn.BatchNorm(use_running_average=not train)(out)
-            alpha = self.param(f"prelu_{j}", nn.initializers.constant(0.25), (1,))
-            out = jnp.where(out >= 0, out, alpha * out)
-        if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
-        return out + x
+        from mridc_tpu.nn.layers import TorchBatchNorm
+
+        x = nn.Conv(self.channels, (5, 5), padding="SAME", use_bias=self.use_bias)(x)
+        x = TorchBatchNorm()(x, train)
+        return _vnet_act(self.act)(self, x)
+
+
+class _VNetDown(nn.Module):
+    """DownTransition (reference vnet_block.py:117): strided 2x2 conv doubling
+    channels + BN + act, optional Dropout2d, n LUConvs, residual add."""
+
+    in_channels: int
+    convs: int
+    act: str = "elu"
+    dropout_prob: float = 0.0
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from mridc_tpu.nn.layers import TorchBatchNorm
+
+        out_channels = 2 * self.in_channels
+        down = nn.Conv(out_channels, (2, 2), strides=(2, 2), padding="VALID", use_bias=self.use_bias)(x)
+        down = TorchBatchNorm()(down, train)
+        down = _vnet_act(self.act)(self, down)
+        out = down
+        if self.dropout_prob > 0:
+            out = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2), deterministic=not train)(out)
+        for _ in range(self.convs):
+            out = _LUConv(out_channels, self.act, self.use_bias)(out, train)
+        return _vnet_act(self.act)(self, out + down)
+
+
+class _VNetUp(nn.Module):
+    """UpTransition (reference vnet_block.py:166): transpose conv to
+    out_channels//2 + BN + act, concat with Dropout2d(0.5)'d skip, n LUConvs,
+    residual add of the concatenated input."""
+
+    out_channels: int
+    convs: int
+    act: str = "elu"
+    dropout_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        from mridc_tpu.nn.layers import TorchBatchNorm
+
+        if self.dropout_prob > 0:
+            x = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2), deterministic=not train)(x)
+        skip = nn.Dropout(0.5, broadcast_dims=(1, 2), deterministic=not train)(skip)
+        out = nn.ConvTranspose(self.out_channels // 2, (2, 2), strides=(2, 2))(x)
+        out = TorchBatchNorm()(out, train)
+        out = _vnet_act(self.act)(self, out)
+        xcat = jnp.concatenate([out, skip], axis=-1)
+        out = xcat
+        for _ in range(self.convs):
+            out = _LUConv(self.out_channels, self.act)(out, train)
+        return _vnet_act(self.act)(self, out + xcat)
 
 
 class VNet(nn.Module):
-    out_chans: int
-    chans: int = 16
-    num_stages: int = 4
+    """V-Net (reference vnet_block.py:260, medzoo topology): fixed 16->256
+    channel schedule — InputTransition(16) with channel-tiled residual, four
+    DownTransitions, four UpTransitions, OutputTransition."""
+
+    out_chans: int = 1
+    act: str = "elu"
+    drop_prob: float = 0.5
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ch = self.chans
-        skips = []
-        convs_per_stage = [1, 2, 3, 3, 3]
-        for i in range(self.num_stages):
-            x = _VNetStage(ch, convs_per_stage[min(i, 4)])(x, train)
-            skips.append(x)
-            x = nn.Conv(ch * 2, (2, 2), strides=(2, 2))(x)  # down conv
-            x = nn.relu(x)
-            ch *= 2
-        x = _VNetStage(ch, 3)(x, train)
-        for i in range(self.num_stages):
-            skip = skips.pop()
-            ch //= 2
-            x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2))(x)
-            pad_h = skip.shape[1] - x.shape[1]
-            pad_w = skip.shape[2] - x.shape[2]
-            if pad_h or pad_w:
-                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
-            x = _VNetStage(ch, convs_per_stage[min(self.num_stages - 1 - i, 4)])(
-                jnp.concatenate([x, skip], -1), train
-            )
-        return nn.Conv(self.out_chans, (1, 1))(x)
+        from mridc_tpu.nn.layers import TorchBatchNorm
+
+        in_chans = x.shape[-1]
+        if 16 % in_chans != 0:
+            raise ValueError(f"16 should be divisible by in_chans, got {in_chans}")
+        # InputTransition (reference vnet_block.py:70)
+        out = nn.Conv(16, (5, 5), padding="SAME", use_bias=self.use_bias)(x)
+        out = TorchBatchNorm()(out, train)
+        out16 = _vnet_act(self.act)(self, out + jnp.tile(x, (1, 1, 1, 16 // in_chans)))
+
+        out32 = _VNetDown(16, 1, self.act, use_bias=self.use_bias)(out16, train)
+        out64 = _VNetDown(32, 2, self.act, use_bias=self.use_bias)(out32, train)
+        out128 = _VNetDown(64, 3, self.act, dropout_prob=self.drop_prob, use_bias=self.use_bias)(out64, train)
+        out256 = _VNetDown(128, 2, self.act, dropout_prob=self.drop_prob, use_bias=self.use_bias)(out128, train)
+        y = _VNetUp(256, 2, self.act, dropout_prob=self.drop_prob)(out256, out128, train)
+        y = _VNetUp(128, 2, self.act, dropout_prob=self.drop_prob)(y, out64, train)
+        y = _VNetUp(64, 1, self.act)(y, out32, train)
+        y = _VNetUp(32, 1, self.act)(y, out16, train)
+        # OutputTransition (reference vnet_block.py:216)
+        y = nn.Conv(self.out_chans, (5, 5), padding="SAME", use_bias=self.use_bias)(y)
+        y = TorchBatchNorm()(y, train)
+        y = _vnet_act(self.act)(self, y)
+        return nn.Conv(self.out_chans, (1, 1))(y)
 
 
 # --------------------------------------------------------------------------
@@ -315,54 +396,168 @@ class VNet(nn.Module):
 # --------------------------------------------------------------------------
 
 
-class _DynBlock(nn.Module):
+def _monai_padding(kernel: int, stride: int) -> int:
+    """MONAI get_padding: (k - s + 1) // 2, must be non-negative."""
+    p = (kernel - stride + 1) / 2
+    if p < 0:
+        raise ValueError("padding must not be negative (kernel >= stride - 1)")
+    return int(p)
+
+
+def _torch_conv(x, features, kernel, stride, use_bias=False):
+    """torch Conv2d with MONAI padding semantics (explicit symmetric pad)."""
+    p = _monai_padding(kernel, stride)
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=((p, p), (p, p)), use_bias=use_bias,
+    )(x)
+
+
+class _TorchConvTranspose(nn.Module):
+    """torch ConvTranspose2d(kernel, stride, padding=MONAI, output_padding=
+    2p + s - k): VALID flax transpose then crop so output size == in * s."""
+
     features: int
-    stride: int = 1
+    kernel: int
+    stride: int
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
-        # explicit (1,1) padding: torch Conv2d padding=1 semantics for the
-        # strided down conv (flax SAME pads right-heavy for stride>1)
-        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), use_bias=False)(x)
-        x = InstanceNorm()(x)
-        x = nn.leaky_relu(x, 0.01)
-        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(x)
-        x = InstanceNorm()(x)
-        return nn.leaky_relu(x, 0.01)
+        k, s = self.kernel, self.stride
+        p = _monai_padding(k, s)
+        out = nn.ConvTranspose(
+            self.features, (k, k), strides=(s, s), padding="VALID", use_bias=self.use_bias
+        )(x)
+        h, w = x.shape[1] * s, x.shape[2] * s
+        return out[:, p : p + h, p : p + w, :]
 
 
-class DynUNet(nn.Module):
-    out_chans: int
-    chans: int = 32
-    num_pool_layers: int = 4
-    deep_supervision: bool = False
+class UnetBasicBlock(nn.Module):
+    """MONAI UnetBasicBlock (reference unetr_block.py:548): two convs each
+    followed by InstanceNorm + LeakyReLU(0.01); first conv may be strided."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train
-        ch = self.chans
-        skips = []
-        x = _DynBlock(ch)(x)
-        for i in range(self.num_pool_layers):
-            skips.append(x)
-            ch = min(ch * 2, 320)
-            x = _DynBlock(ch, stride=2)(x)
+        x = _torch_conv(x, self.out_channels, self.kernel_size, self.stride)
+        x = InstanceNorm()(x)
+        x = nn.leaky_relu(x, 0.01)
+        x = _torch_conv(x, self.out_channels, self.kernel_size, 1)
+        x = InstanceNorm()(x)
+        return nn.leaky_relu(x, 0.01)
+
+
+class UnetResBlock(nn.Module):
+    """MONAI UnetResBlock (reference unetr_block.py:355): conv-IN-lrelu,
+    conv-IN, 1x1-strided shortcut when shape changes, add, lrelu."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        residual = x
+        out = _torch_conv(x, self.out_channels, self.kernel_size, self.stride)
+        out = InstanceNorm()(out)
+        out = nn.leaky_relu(out, 0.01)
+        out = _torch_conv(out, self.out_channels, self.kernel_size, 1)
+        out = InstanceNorm()(out)
+        stride_np = np.atleast_1d(self.stride)
+        downsample = (x.shape[-1] != self.out_channels) or not np.all(stride_np == 1)
+        if downsample:
+            residual = _torch_conv(residual, self.out_channels, 1, self.stride)
+            residual = InstanceNorm()(residual)
+        return nn.leaky_relu(out + residual, 0.01)
+
+
+class UnetUpBlock(nn.Module):
+    """MONAI UnetUpBlock (reference unetr_block.py:462): transpose conv
+    (kernel == stride == upsample_kernel_size), concat [up, skip],
+    UnetBasicBlock."""
+
+    out_channels: int
+    kernel_size: int = 3
+    upsample_kernel_size: int = 2
+    trans_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        out = _TorchConvTranspose(
+            self.out_channels, self.upsample_kernel_size, self.upsample_kernel_size, self.trans_bias
+        )(x)
+        out = jnp.concatenate([out, skip], axis=-1)
+        return UnetBasicBlock(self.out_channels, self.kernel_size, 1)(out, train)
+
+
+class UnetOutBlock(nn.Module):
+    """MONAI UnetOutBlock: 1x1 conv with bias (reference unetr_block.py:16)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (1, 1), use_bias=True)(x)
+
+
+class DynUNet(nn.Module):
+    """MONAI-style DynUNet (reference dynunet_base/dynunet_block.py:90):
+    input block + strided downsamples + bottleneck + UnetUpBlocks, with the
+    nnU-Net filter schedule min(2**(5+i), 512) unless ``filters`` is given.
+    ``deep_supervision`` returns [B, 1+deep_supr_num, classes, H, W]-style
+    stacked heads in train mode (here: a list of per-head logits alongside the
+    main output so the jitted loss can weight them)."""
+
+    out_chans: int
+    kernel_size: Sequence[int] = (3, 3, 3, 3)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    filters: Optional[Sequence[int]] = None
+    res_block: bool = False
+    deep_supervision: bool = False
+    deep_supr_num: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.strides)
+        if len(self.kernel_size) != n or n < 3:
+            raise ValueError("kernel_size and strides must have equal length >= 3")
+        filters = list(self.filters) if self.filters is not None else [min(2 ** (5 + i), 512) for i in range(n)]
+        block = UnetResBlock if self.res_block else UnetBasicBlock
+
+        # downs: input block + intermediate downsamples
+        down_outs = []
+        out = block(filters[0], self.kernel_size[0], self.strides[0])(x, train)
+        down_outs.append(out)
+        for i in range(1, n - 1):
+            out = block(filters[i], self.kernel_size[i], self.strides[i])(out, train)
+            down_outs.append(out)
+        out = block(filters[-1], self.kernel_size[-1], self.strides[-1])(out, train)  # bottleneck
+
+        # ups: reversed pairing with down outputs (dynunet_block.py get_upsamples)
         heads = []
-        for i in range(self.num_pool_layers):
-            skip = skips.pop()
-            x = nn.ConvTranspose(skip.shape[-1], (2, 2), strides=(2, 2), use_bias=False)(x)
-            pad_h = skip.shape[1] - x.shape[1]
-            pad_w = skip.shape[2] - x.shape[2]
-            if pad_h or pad_w:
-                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
-            x = _DynBlock(skip.shape[-1])(jnp.concatenate([x, skip], -1))
-            if self.deep_supervision and i >= self.num_pool_layers - 3:
-                heads.append(nn.Conv(self.out_chans, (1, 1))(x))
-        out = nn.Conv(self.out_chans, (1, 1))(x)
-        if self.deep_supervision:
-            return out, heads[:-1]
-        return out
+        for i in range(n - 1):
+            j = n - 2 - i  # index into down_outs / filters
+            out = UnetUpBlock(
+                filters[j], self.kernel_size[j + 1], upsample_kernel_size=self.strides[j + 1]
+            )(out, down_outs[j], train)
+            # supervision heads attach to the deepest deep_supr_num up outputs
+            # above the final one (MONAI heads indices 1..deep_supr_num)
+            if self.deep_supervision and 0 < j <= self.deep_supr_num:
+                heads.append(UnetOutBlock(self.out_chans)(out))
+        logits = UnetOutBlock(self.out_chans)(out)
+        if self.deep_supervision and train:
+            from mridc_tpu.nn.layers import nearest_resize
+
+            # MONAI interpolate() default is nearest (dynunet_block.py:319)
+            heads = [nearest_resize(h, logits.shape[1], logits.shape[2]) for h in heads]
+            return jnp.stack([logits] + heads[::-1], axis=1)
+        return logits
 
 
 # --------------------------------------------------------------------------

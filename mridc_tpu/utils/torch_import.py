@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -405,4 +405,120 @@ def import_lambda_unet_params(state: Dict[str, np.ndarray], num_pools: int,
         "kernel": oihw_to_hwio(state[prefix + f"up_conv.{num_pools - 1}.1.weight"]),
         "bias": state[prefix + f"up_conv.{num_pools - 1}.1.bias"],
     }
+    return tree
+
+
+def import_vnet_params(state: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.VNet` from a
+    reference VNet state dict (reference segmentation/nn/vnet_base/
+    vnet_block.py:260, medzoo fixed topology; BatchNorm running stats
+    imported into TorchBatchNorm)."""
+
+    def conv(key, bias=True):
+        out = {"kernel": oihw_to_hwio(state[prefix + key + ".weight"])}
+        if bias and prefix + key + ".bias" in state:
+            out["bias"] = state[prefix + key + ".bias"]
+        return out
+
+    def bn(key):
+        return import_torch_batchnorm_params(state, prefix + key + ".")
+
+    def luconvs(base, n):
+        out = {}
+        for j in range(n):
+            out[f"_LUConv_{j}"] = {
+                "Conv_0": conv(f"{base}.{j}.layers.0"),
+                "TorchBatchNorm_0": bn(f"{base}.{j}.layers.1"),
+            }
+        return out
+
+    def down(name, convs):
+        return {
+            "Conv_0": conv(f"{name}.down_conv"),
+            "TorchBatchNorm_0": bn(f"{name}.bn1"),
+            **luconvs(f"{name}.ops", convs),
+        }
+
+    def up(name, convs):
+        return {
+            "ConvTranspose_0": {
+                "kernel": iohw_to_hwio_flipped(state[prefix + f"{name}.up_conv.weight"]),
+                "bias": state[prefix + f"{name}.up_conv.bias"],
+            },
+            "TorchBatchNorm_0": bn(f"{name}.bn1"),
+            **luconvs(f"{name}.ops", convs),
+        }
+
+    return {
+        "Conv_0": conv("in_tr.conv_block.0"),
+        "TorchBatchNorm_0": bn("in_tr.conv_block.1"),
+        "_VNetDown_0": down("down_tr32", 1),
+        "_VNetDown_1": down("down_tr64", 2),
+        "_VNetDown_2": down("down_tr128", 3),
+        "_VNetDown_3": down("down_tr256", 2),
+        "_VNetUp_0": up("up_tr256", 2),
+        "_VNetUp_1": up("up_tr128", 2),
+        "_VNetUp_2": up("up_tr64", 1),
+        "_VNetUp_3": up("up_tr32", 1),
+        "Conv_1": conv("out_tr.conv_block.0"),
+        "TorchBatchNorm_1": bn("out_tr.conv_block.1"),
+        "Conv_2": conv("out_tr.conv2"),
+    }
+
+
+def _monai_conv(state: Dict[str, np.ndarray], key: str) -> Dict:
+    out = {"kernel": oihw_to_hwio(state[key + ".weight"])}
+    if key + ".bias" in state:
+        out["bias"] = state[key + ".bias"]
+    return out
+
+
+def import_unet_basic_block_params(state: Dict[str, np.ndarray], prefix: str = "",
+                                   res: bool = False) -> Dict:
+    """MONAI UnetBasicBlock/UnetResBlock (reference unetr_block.py:548/:355)."""
+    tree = {
+        "Conv_0": _monai_conv(state, prefix + "conv1.conv"),
+        "Conv_1": _monai_conv(state, prefix + "conv2.conv"),
+    }
+    if res and prefix + "conv3.conv.weight" in state:
+        tree["Conv_2"] = _monai_conv(state, prefix + "conv3.conv")
+    return tree
+
+
+def import_unet_up_block_params(state: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """MONAI UnetUpBlock (reference unetr_block.py:462)."""
+    t = {"kernel": iohw_to_hwio_flipped(state[prefix + "transp_conv.conv.weight"])}
+    if prefix + "transp_conv.conv.bias" in state:
+        t["bias"] = state[prefix + "transp_conv.conv.bias"]
+    return {
+        "_TorchConvTranspose_0": {"ConvTranspose_0": t},
+        "UnetBasicBlock_0": import_unet_basic_block_params(state, prefix + "conv_block."),
+    }
+
+
+def import_dynunet_params(state: Dict[str, np.ndarray], num_levels: int,
+                          res_block: bool = False, deep_supr_num: int = 0,
+                          prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.DynUNet` from a
+    reference DynUNet state dict (reference dynunet_base/dynunet_block.py:90;
+    torch names input_block/downsamples.{i}/bottleneck/upsamples.{i} in
+    deepest-first order/output_block/deep_supervision_heads.{i})."""
+    block = "UnetResBlock" if res_block else "UnetBasicBlock"
+    tree: Dict = {f"{block}_0": import_unet_basic_block_params(state, prefix + "input_block.", res_block)}
+    for i in range(num_levels - 2):
+        tree[f"{block}_{i + 1}"] = import_unet_basic_block_params(
+            state, prefix + f"downsamples.{i}.", res_block)
+    tree[f"{block}_{num_levels - 1}"] = import_unet_basic_block_params(
+        state, prefix + "bottleneck.", res_block)
+    out_blocks = 0
+    for i in range(num_levels - 1):
+        tree[f"UnetUpBlock_{i}"] = import_unet_up_block_params(state, prefix + f"upsamples.{i}.")
+        j = num_levels - 2 - i
+        if deep_supr_num and 0 < j <= deep_supr_num:
+            # my forward meets heads deepest-first; MONAI heads list is index-1-first
+            tree[f"UnetOutBlock_{out_blocks}"] = {
+                "Conv_0": _monai_conv(state, prefix + f"deep_supervision_heads.{j - 1}.conv.conv")
+            }
+            out_blocks += 1
+    tree[f"UnetOutBlock_{out_blocks}"] = {"Conv_0": _monai_conv(state, prefix + "output_block.conv.conv")}
     return tree

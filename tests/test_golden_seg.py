@@ -112,3 +112,71 @@ def test_lambda_unet_matches_reference(ref):
     params = import_lambda_unet_params(_sd(tnet), num_pools=2)
     got = net.apply({"params": params}, _nhwc(x))
     np.testing.assert_allclose(_nchw(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_vnet_matches_reference():
+    from mridc_tpu.nn.seg_blocks import VNet
+    from mridc_tpu.utils.torch_import import import_vnet_params
+
+    vb = reference_loader.load("mridc.collections.segmentation.nn.vnet_base.vnet_block")
+    torch.manual_seed(11)
+    tnet = vb.VNet(in_chans=2, out_chans=3, act="elu", drop_prob=0.5).eval()
+    x = np.random.default_rng(12).standard_normal((1, 2, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    net = VNet(out_chans=3, act="elu", drop_prob=0.5)
+    params = import_vnet_params({k: v.numpy() for k, v in tnet.state_dict().items()})
+    got = net.apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(_nchw(got), want, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("res_block", [False, True])
+def test_dynunet_matches_reference(res_block):
+    from mridc_tpu.nn.seg_blocks import DynUNet
+    from mridc_tpu.utils.torch_import import import_dynunet_params
+
+    db = reference_loader.load("mridc.collections.segmentation.nn.dynunet_base.dynunet_block")
+    torch.manual_seed(12)
+    strides = [1, 2, 2, 2]
+    tnet = db.DynUNet(
+        spatial_dims=2, in_channels=2, out_channels=3,
+        kernel_size=[3, 3, 3, 3], strides=strides, upsample_kernel_size=strides[1:],
+        filters=[8, 16, 32, 64], res_block=res_block,
+    ).eval()
+    x = np.random.default_rng(13).standard_normal((1, 2, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    net = DynUNet(out_chans=3, kernel_size=(3, 3, 3, 3), strides=(1, 2, 2, 2),
+                  filters=(8, 16, 32, 64), res_block=res_block)
+    params = import_dynunet_params(
+        {k: v.numpy() for k, v in tnet.state_dict().items()}, num_levels=4, res_block=res_block)
+    got = net.apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(_nchw(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_dynunet_deep_supervision_matches_reference():
+    """Training-mode deep supervision: stacked [out, interpolated heads]
+    (reference dynunet_block.py:313-322, MONAI nearest interpolate)."""
+    from mridc_tpu.nn.seg_blocks import DynUNet
+    from mridc_tpu.utils.torch_import import import_dynunet_params
+
+    db = reference_loader.load("mridc.collections.segmentation.nn.dynunet_base.dynunet_block")
+    torch.manual_seed(13)
+    strides = [1, 2, 2, 2]
+    tnet = db.DynUNet(
+        spatial_dims=2, in_channels=2, out_channels=3,
+        kernel_size=[3, 3, 3, 3], strides=strides, upsample_kernel_size=strides[1:],
+        filters=[8, 16, 32, 64], deep_supervision=True, deep_supr_num=2,
+    ).train()
+    x = np.random.default_rng(14).standard_normal((1, 2, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()  # [B, 3, C, H, W]
+
+    net = DynUNet(out_chans=3, kernel_size=(3, 3, 3, 3), strides=(1, 2, 2, 2),
+                  filters=(8, 16, 32, 64), deep_supervision=True, deep_supr_num=2)
+    params = import_dynunet_params(
+        {k: v.numpy() for k, v in tnet.state_dict().items()}, num_levels=4, deep_supr_num=2)
+    got = np.asarray(net.apply({"params": params}, _nhwc(x), train=True))  # [B, 3, H, W, C]
+    np.testing.assert_allclose(np.moveaxis(got, -1, 2), want, rtol=2e-3, atol=2e-4)
