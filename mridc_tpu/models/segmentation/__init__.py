@@ -172,32 +172,40 @@ class SegmentationDYNUNet(_SegBase):
 
 
 class SegmentationUNetR(_SegBase):
-    patch_size: int = 16
-    hidden_size: int = 64
-    mlp_dim: int = 256
-    num_layers: int = 8
-    num_heads: int = 4
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_heads: int = 12
+    pos_embed: str = "conv"
+    conv_block: bool = True
+    res_block: bool = True
+    qkv_bias: bool = False
 
     @classmethod
     def from_config(cls, cfg):
+        base = _seg_cfg(cfg)
         return cls(
-            **_seg_cfg(cfg),
-            patch_size=cfg.get("segmentation_module_patch_size", 16),
-            hidden_size=cfg.get("segmentation_module_hidden_size", 64),
-            mlp_dim=cfg.get("segmentation_module_mlp_dim", 256),
-            num_layers=cfg.get("segmentation_module_num_layers", 8),
-            num_heads=cfg.get("segmentation_module_num_heads", 4),
+            classes=base["classes"],
+            chans=cfg.get("segmentation_module_channels", 64),
+            hidden_size=cfg.get("segmentation_module_hidden_size", 768),
+            mlp_dim=cfg.get("segmentation_module_mlp_dim", 3072),
+            num_heads=cfg.get("segmentation_module_num_heads", 12),
+            pos_embed=cfg.get("segmentation_module_pos_embed", "conv"),
+            conv_block=cfg.get("segmentation_module_conv_block", True),
+            res_block=cfg.get("segmentation_module_res_block", True),
+            qkv_bias=cfg.get("segmentation_module_qkv_bias", False),
         )
 
     @nn.compact
     def __call__(self, image, train: bool = False):
         return UNETR(
             out_chans=self.classes,
-            patch_size=self.patch_size,
+            feature_size=self.chans,
             hidden_size=self.hidden_size,
             mlp_dim=self.mlp_dim,
-            num_layers=self.num_layers,
             num_heads=self.num_heads,
-            feature_size=max(self.chans // 2, 4),
+            pos_embed=self.pos_embed,
+            conv_block=self.conv_block,
+            res_block=self.res_block,
+            qkv_bias=self.qkv_bias,
         )(image, train)
 

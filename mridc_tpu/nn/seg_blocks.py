@@ -473,7 +473,9 @@ class UnetResBlock(nn.Module):
         downsample = (x.shape[-1] != self.out_channels) or not np.all(stride_np == 1)
         if downsample:
             residual = _torch_conv(residual, self.out_channels, 1, self.stride)
-            residual = InstanceNorm()(residual)
+        # the reference creates norm3 unconditionally (unetr_block.py:355 init)
+        # so the residual is ALWAYS instance-normalized, shortcut conv or not
+        residual = InstanceNorm()(residual)
         return nn.leaky_relu(out + residual, 0.01)
 
 
@@ -565,120 +567,251 @@ class DynUNet(nn.Module):
 # --------------------------------------------------------------------------
 
 
-class _MHSA(nn.Module):
+class SABlock(nn.Module):
+    """ViT self-attention (reference vit_base/transformer_block.py:82): one
+    fused qkv linear, per-head scaled dot-product, output projection."""
+
     hidden_size: int
     num_heads: int
+    dropout_rate: float = 0.0
+    qkv_bias: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        return nn.MultiHeadDotProductAttention(num_heads=self.num_heads, qkv_features=self.hidden_size)(x, x)
+    def __call__(self, x, train: bool = False):
+        b, n, _ = x.shape
+        h = self.num_heads
+        d = self.hidden_size // h
+        qkv = nn.Dense(self.hidden_size * 3, use_bias=self.qkv_bias)(x)
+        # torch Rearrange "b h (qkv l d) -> qkv b l h d": channel split order
+        # is (qkv, heads, dim)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = jnp.einsum("blxd,blyd->blxy", q, k) * (d ** -0.5)
+        att = jax.nn.softmax(att, axis=-1)
+        att = nn.Dropout(self.dropout_rate, deterministic=not train)(att)
+        out = jnp.einsum("bhxy,bhyd->bhxd", att, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_size)
+        out = nn.Dense(self.hidden_size)(out)
+        return nn.Dropout(self.dropout_rate, deterministic=not train)(out)
 
 
-class _TransformerBlock(nn.Module):
+class MLPBlock(nn.Module):
+    """ViT MLP (reference vit_base/transformer_block.py:16): Dense-GELU-
+    Dropout-Dense-Dropout."""
+
+    hidden_size: int
+    mlp_dim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.gelu(nn.Dense(self.mlp_dim)(x), approximate=False)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.hidden_size)(x)
+        return nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+
+
+def _token_instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """The reference TransformerBlock applies torch InstanceNorm2d to the
+    [B, L, D] token tensor (transformer_block.py:190) — torch treats a 3D
+    input as unbatched (C, H, W), so each batch element is normalized over
+    all (token, feature) positions jointly, with no affine. Mirrored exactly
+    (upstream deviation from MONAI's LayerNorm, pinned by golden test)."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block (reference vit_base/transformer_block.py:140)."""
+
     hidden_size: int
     mlp_dim: int
     num_heads: int
+    dropout_rate: float = 0.0
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + SABlock(self.hidden_size, self.num_heads, self.dropout_rate, self.qkv_bias)(
+            _token_instance_norm(x), train
+        )
+        x = x + MLPBlock(self.hidden_size, self.mlp_dim, self.dropout_rate)(_token_instance_norm(x), train)
+        return x
+
+
+class PatchEmbedding(nn.Module):
+    """Patch embedding (reference vit_base/patchembedding.py:20): conv or
+    perceptron patching + learned position embeddings + dropout."""
+
+    patch_size: int
+    hidden_size: int
+    pos_embed: str = "conv"
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, hh, ww, c = x.shape
+        p = self.patch_size
+        n = (hh // p) * (ww // p)
+        if self.pos_embed == "conv":
+            tok = nn.Conv(self.hidden_size, (p, p), strides=(p, p), padding="VALID")(x)
+            tok = tok.reshape(b, -1, self.hidden_size)
+        elif self.pos_embed == "perceptron":
+            # torch rearrange "b c (h p1) (w p2) -> b (h w) (p1 p2 c)"
+            tok = x.transpose(0, 3, 1, 2).reshape(b, c, hh // p, p, ww // p, p)
+            tok = tok.transpose(0, 2, 4, 3, 5, 1).reshape(b, n, p * p * c)
+            tok = nn.Dense(self.hidden_size)(tok)
+        else:
+            raise ValueError(f"Unknown pos_embed {self.pos_embed!r}")
+        pos = self.param(
+            "position_embeddings",
+            nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0),
+            (1, n, self.hidden_size),
+        )
+        return nn.Dropout(self.dropout_rate, deterministic=not train)(tok + pos)
+
+
+class _LayerNorm(nn.Module):
+    """torch nn.LayerNorm over the last axis, with affine params."""
+
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm()(x)
-        x = x + _MHSA(self.hidden_size, self.num_heads)(y)
-        y = nn.LayerNorm()(x)
-        y = nn.Dense(self.mlp_dim)(y)
-        y = nn.gelu(y)
-        y = nn.Dense(self.hidden_size)(y)
-        return x + y
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        mean = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
 
 
 class ViT(nn.Module):
+    """Vision transformer trunk (reference vit_base/vit_block.py:17): patch
+    embedding, num_layers TransformerBlocks (all hidden states returned),
+    final LayerNorm."""
+
+    patch_size: int = 16
     hidden_size: int = 768
     mlp_dim: int = 3072
     num_layers: int = 12
     num_heads: int = 12
-    patch_size: int = 16
-
-    @nn.compact
-    def __call__(self, x):
-        """x [B, H, W, C] -> (final tokens, hidden states list) tokens [B, N, D]."""
-        b, h, w, c = x.shape
-        p = self.patch_size
-        patches = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 2, 4, 5).reshape(
-            b, (h // p) * (w // p), p * p * c
-        )
-        tokens = nn.Dense(self.hidden_size)(patches)
-        pos = self.param("pos_embedding", nn.initializers.normal(0.02), (1, tokens.shape[1], self.hidden_size))
-        tokens = tokens + pos
-        hidden = []
-        for _ in range(self.num_layers):
-            tokens = _TransformerBlock(self.hidden_size, self.mlp_dim, self.num_heads)(tokens)
-            hidden.append(tokens)
-        return nn.LayerNorm()(tokens), hidden
-
-
-class UNETR(nn.Module):
-    """UNETR: ViT encoder + conv decoder over intermediate hidden states
-    (reference unetr_base/unetr_block.py:635)."""
-
-    out_chans: int
-    img_size: Tuple[int, int] = (64, 64)
-    patch_size: int = 16
-    hidden_size: int = 64
-    mlp_dim: int = 256
-    num_layers: int = 8
-    num_heads: int = 4
-    feature_size: int = 16
+    pos_embed: str = "conv"
+    dropout_rate: float = 0.0
+    qkv_bias: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        del train
-        b, h, w, c = x.shape
-        p = self.patch_size
-        gh, gw = h // p, w // p
-        _, hidden = ViT(self.hidden_size, self.mlp_dim, self.num_layers, self.num_heads, p)(x)
-
-        def grid(tokens):
-            return tokens.reshape(b, gh, gw, self.hidden_size)
-
-        # pick evenly spaced hidden states
-        idxs = [self.num_layers // 4 - 1, self.num_layers // 2 - 1, 3 * self.num_layers // 4 - 1, -1]
-        z3, z6, z9, z12 = (grid(hidden[i]) for i in idxs)
-
-        def deconv_stack(z, ups, feats):
-            for _ in range(ups):
-                z = nn.ConvTranspose(feats, (2, 2), strides=(2, 2))(z)
-                z = nn.relu(nn.Conv(feats, (3, 3), padding="SAME")(z))
-            return z
-
-        enc1 = nn.relu(nn.Conv(self.feature_size, (3, 3), padding="SAME")(x))
-        enc2 = deconv_stack(z3, 3, self.feature_size * 2)  # p/8 up => 2x at p=16? scale generically
-        enc3 = deconv_stack(z6, 2, self.feature_size * 4)
-        enc4 = deconv_stack(z9, 1, self.feature_size * 8)
-        dec = z12
-
-        def up_cat(a, skip, feats):
-            a = nn.ConvTranspose(feats, (2, 2), strides=(2, 2))(a)
-            sh, sw = skip.shape[1], skip.shape[2]
-            a = a[:, :sh, :sw]
-            if a.shape[1] < sh or a.shape[2] < sw:
-                a = jnp.pad(a, ((0, 0), (0, sh - a.shape[1]), (0, sw - a.shape[2]), (0, 0)))
-            a = jnp.concatenate([a, skip], -1)
-            return nn.relu(nn.Conv(feats, (3, 3), padding="SAME")(a))
-
-        d = up_cat(dec, enc4, self.feature_size * 8)
-        d = up_cat(d, enc3, self.feature_size * 4)
-        d = up_cat(d, enc2, self.feature_size * 2)
-        # final upsample chain back to full resolution
-        while d.shape[1] < h:
-            d = nn.ConvTranspose(self.feature_size, (2, 2), strides=(2, 2))(d)
-            d = nn.relu(nn.Conv(self.feature_size, (3, 3), padding="SAME")(d))
-        d = jnp.concatenate([d[:, :h, :w], enc1], -1)
-        d = nn.relu(nn.Conv(self.feature_size, (3, 3), padding="SAME")(d))
-        return nn.Conv(self.out_chans, (1, 1))(d)
+        tok = PatchEmbedding(self.patch_size, self.hidden_size, self.pos_embed, self.dropout_rate)(x, train)
+        hidden_states = []
+        for _ in range(self.num_layers):
+            tok = TransformerBlock(
+                self.hidden_size, self.mlp_dim, self.num_heads, self.dropout_rate, self.qkv_bias
+            )(tok, train)
+            hidden_states.append(tok)
+        return _LayerNorm()(tok), hidden_states
 
 
-# --------------------------------------------------------------------------
-# 3D UNet
-# --------------------------------------------------------------------------
+class UnetrPrUpBlock(nn.Module):
+    """UNETR projection-upsample path (reference unetr_block.py:135): an
+    initial k2 s2 transpose conv, then ``num_layer`` [transpose conv +
+    Basic/Res block] stages."""
+
+    out_channels: int
+    num_layer: int
+    kernel_size: int = 3
+    upsample_kernel_size: int = 2
+    conv_block: bool = True
+    res_block: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        up = self.upsample_kernel_size
+        x = _TorchConvTranspose(self.out_channels, up, up)(x)
+        block = UnetResBlock if self.res_block else UnetBasicBlock
+        for _ in range(self.num_layer):
+            x = _TorchConvTranspose(self.out_channels, up, up)(x)
+            if self.conv_block:
+                x = block(self.out_channels, self.kernel_size, 1)(x, train)
+        return x
+
+
+class UnetrUpBlock(nn.Module):
+    """UNETR decoder block (reference unetr_block.py:273): transpose conv,
+    concat skip, Basic/Res block."""
+
+    out_channels: int
+    kernel_size: int = 3
+    upsample_kernel_size: int = 2
+    res_block: bool = True
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        up = self.upsample_kernel_size
+        out = _TorchConvTranspose(self.out_channels, up, up)(x)
+        out = jnp.concatenate([out, skip], axis=-1)
+        block = UnetResBlock if self.res_block else UnetBasicBlock
+        return block(self.out_channels, self.kernel_size, 1)(out, train)
+
+
+class UNETR(nn.Module):
+    """UNETR (reference unetr_block.py:635): ViT trunk with skips tapped at
+    transformer layers 3/6/9 and the final normed output, convolutional
+    encoders per tap, and a transpose-conv decoder.
+
+    Patch size is fixed at 16 as in the reference; num_layers fixed at 12."""
+
+    out_chans: int
+    feature_size: int = 16
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_heads: int = 12
+    pos_embed: str = "conv"
+    conv_block: bool = True
+    res_block: bool = True
+    dropout_rate: float = 0.0
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, hh, ww, _ = x.shape
+        if hh % 16 or ww % 16:
+            raise ValueError("UNETR requires H and W divisible by the fixed patch size 16")
+        fh, fw = hh // 16, ww // 16
+
+        def proj_feat(tokens):
+            return tokens.reshape(b, fh, fw, self.hidden_size)
+
+        normed, hidden = ViT(
+            patch_size=16,
+            hidden_size=self.hidden_size,
+            mlp_dim=self.mlp_dim,
+            num_layers=12,
+            num_heads=self.num_heads,
+            pos_embed=self.pos_embed,
+            dropout_rate=self.dropout_rate,
+            qkv_bias=self.qkv_bias,
+        )(x, train)
+
+        f = self.feature_size
+        basic = UnetResBlock if self.res_block else UnetBasicBlock
+        enc1 = basic(f, 3, 1)(x, train)
+        enc2 = UnetrPrUpBlock(f * 2, num_layer=2, conv_block=self.conv_block, res_block=self.res_block)(
+            proj_feat(hidden[3]), train
+        )
+        enc3 = UnetrPrUpBlock(f * 4, num_layer=1, conv_block=self.conv_block, res_block=self.res_block)(
+            proj_feat(hidden[6]), train
+        )
+        enc4 = UnetrPrUpBlock(f * 8, num_layer=0, conv_block=self.conv_block, res_block=self.res_block)(
+            proj_feat(hidden[9]), train
+        )
+        dec4 = proj_feat(normed)
+        dec3 = UnetrUpBlock(f * 8, res_block=self.res_block)(dec4, enc4, train)
+        dec2 = UnetrUpBlock(f * 4, res_block=self.res_block)(dec3, enc3, train)
+        dec1 = UnetrUpBlock(f * 2, res_block=self.res_block)(dec2, enc2, train)
+        out = UnetrUpBlock(f, res_block=self.res_block)(dec1, enc1, train)
+        return UnetOutBlock(self.out_chans)(out)
 
 
 class _ConvBlock3D(nn.Module):

@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -522,3 +522,80 @@ def import_dynunet_params(state: Dict[str, np.ndarray], num_levels: int,
             out_blocks += 1
     tree[f"UnetOutBlock_{out_blocks}"] = {"Conv_0": _monai_conv(state, prefix + "output_block.conv.conv")}
     return tree
+
+
+def _dense(state: Dict[str, np.ndarray], key: str) -> Dict:
+    out = {"kernel": np.transpose(state[key + ".weight"])}
+    if key + ".bias" in state:
+        out["bias"] = state[key + ".bias"]
+    return out
+
+
+def import_vit_params(state: Dict[str, np.ndarray], num_layers: int = 12,
+                      pos_embed: str = "conv", prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.ViT` (reference
+    vit_base/vit_block.py:17: patch_embedding + blocks.{i} + norm)."""
+    pe: Dict = {"position_embeddings": state[prefix + "patch_embedding.position_embeddings"][:]}
+    if pos_embed == "conv":
+        pe["Conv_0"] = {
+            "kernel": oihw_to_hwio(state[prefix + "patch_embedding.patch_embeddings.weight"]),
+            "bias": state[prefix + "patch_embedding.patch_embeddings.bias"],
+        }
+    else:
+        pe["Dense_0"] = _dense(state, prefix + "patch_embedding.patch_embeddings.1")
+    tree: Dict = {"PatchEmbedding_0": pe}
+    for i in range(num_layers):
+        b = prefix + f"blocks.{i}."
+        tree[f"TransformerBlock_{i}"] = {
+            "SABlock_0": {
+                "Dense_0": _dense(state, b + "attn.qkv"),
+                "Dense_1": _dense(state, b + "attn.out_proj"),
+            },
+            "MLPBlock_0": {
+                "Dense_0": _dense(state, b + "mlp.linear1"),
+                "Dense_1": _dense(state, b + "mlp.linear2"),
+            },
+        }
+    tree["_LayerNorm_0"] = {"scale": state[prefix + "norm.weight"], "bias": state[prefix + "norm.bias"]}
+    return tree
+
+
+def import_unetr_params(state: Dict[str, np.ndarray], res_block: bool = True,
+                        conv_block: bool = True, prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.UNETR` (reference
+    unetr_block.py:635)."""
+    block = "UnetResBlock" if res_block else "UnetBasicBlock"
+
+    def basic(p):
+        return import_unet_basic_block_params(state, p, res_block)
+
+    def pr_up(p, num_layer):
+        tree = {"_TorchConvTranspose_0": {"ConvTranspose_0": {
+            "kernel": iohw_to_hwio_flipped(state[p + "transp_conv_init.conv.weight"])}}}
+        for i in range(num_layer):
+            tree[f"_TorchConvTranspose_{i + 1}"] = {"ConvTranspose_0": {
+                "kernel": iohw_to_hwio_flipped(state[p + f"blocks.{i}.0.conv.weight"])}}
+            if conv_block:
+                tree[f"{block}_{i}"] = import_unet_basic_block_params(state, p + f"blocks.{i}.1.", res_block)
+        return tree
+
+    def up(p):
+        return {
+            "_TorchConvTranspose_0": {"ConvTranspose_0": {
+                "kernel": iohw_to_hwio_flipped(state[p + "transp_conv.conv.weight"])}},
+            f"{block}_0": import_unet_basic_block_params(state, p + "conv_block.", res_block),
+        }
+
+    # encoder1/2/3/4 wrap their block in UnetrBasicBlock.layer
+    return {
+        "ViT_0": import_vit_params(state, prefix=prefix + "vit."),
+        f"{block}_0": basic(prefix + "encoder1.layer."),
+        "UnetrPrUpBlock_0": pr_up(prefix + "encoder2.", 2),
+        "UnetrPrUpBlock_1": pr_up(prefix + "encoder3.", 1),
+        "UnetrPrUpBlock_2": pr_up(prefix + "encoder4.", 0),
+        "UnetrUpBlock_0": up(prefix + "decoder5."),
+        "UnetrUpBlock_1": up(prefix + "decoder4."),
+        "UnetrUpBlock_2": up(prefix + "decoder3."),
+        "UnetrUpBlock_3": up(prefix + "decoder2."),
+        "UnetOutBlock_0": {"Conv_0": _monai_conv(state, prefix + "out.conv.conv")},
+    }

@@ -180,3 +180,23 @@ def test_dynunet_deep_supervision_matches_reference():
         {k: v.numpy() for k, v in tnet.state_dict().items()}, num_levels=4, deep_supr_num=2)
     got = np.asarray(net.apply({"params": params}, _nhwc(x), train=True))  # [B, 3, H, W, C]
     np.testing.assert_allclose(np.moveaxis(got, -1, 2), want, rtol=2e-3, atol=2e-4)
+
+
+def test_unetr_matches_reference():
+    from mridc_tpu.nn.seg_blocks import UNETR
+    from mridc_tpu.utils.torch_import import import_unetr_params
+
+    ub = reference_loader.load("mridc.collections.segmentation.nn.unetr_base.unetr_block")
+    torch.manual_seed(14)
+    tnet = ub.UNETR(
+        in_channels=2, out_channels=3, img_size=(32, 32), feature_size=4,
+        hidden_size=24, mlp_dim=48, num_heads=3, spatial_dims=2,
+    ).eval()
+    x = np.random.default_rng(15).standard_normal((1, 2, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    net = UNETR(out_chans=3, feature_size=4, hidden_size=24, mlp_dim=48, num_heads=3)
+    params = import_unetr_params({k: v.numpy() for k, v in tnet.state_dict().items()})
+    got = net.apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(_nchw(got), want, rtol=3e-3, atol=3e-4)
