@@ -94,10 +94,11 @@ class JointICNet(BaseReconModel):
             ax = self._fft(cmul(image[:, None], sens))
             ax = jnp.where(m == 0, jnp.zeros((), ax.dtype), ax)
             resid = jnp.where(m == 1, jnp.zeros((), ax.dtype), ax - y)
-            t3 = 2 * lr_sens[idx] * cmul(self._ifft(resid), cconj(image)[:, None])
+            # the reference multiplies the backward residual ELEMENTWISE with
+            # the conjugated image real-view (jointicnet.py:147-149 uses `*`,
+            # not complex_mul) and does NOT re-normalize the maps — mirrored
+            t3 = 2 * lr_sens[idx] * (self._ifft(resid) * cconj(image)[:, None])
             sens = t1 + t2 - t3
-            rss = jnp.sqrt(cabs2(sens).sum(axis=self.coil_dim, keepdims=True))[..., None]
-            sens = sens / jnp.maximum(rss, 1e-12)
 
             # --- update X (reference :160-238)
             x1 = (1 - 2 * reg_i[idx] * lr_image[idx] - 2 * reg_f[idx] * lr_image[idx]) * image

@@ -94,25 +94,31 @@ class KIKINet(BaseReconModel):
         mask = expand_mask(mask)
         m = mask[..., None]
         dc_weight = self.param("dc_weight", nn.initializers.ones, (1,))
+
+        def reduce(k):
+            return cmul_conj(
+                ifft2_rv(k, self.fft_centered, self.fft_normalization, self.spatial_dims), sens
+            ).sum(axis=self.coil_dim)
+
+        def expand(img):
+            return fft2_rv(cmul(img[:, None], sens), self.fft_centered, self.fft_normalization, self.spatial_dims)
+
+        # reference shares ONE kspace model and ONE image model across all
+        # iterations ([model] * num_iter ModuleLists, kikinet.py:100-102)
+        kmodel = _make_kspace_model(cfg)()
+        imodel = _make_image_model(cfg, self.fft_centered, self.fft_normalization)()
+
         kspace = y
         image = None
-        for _ in range(self.num_iter):
+        for idx in range(self.num_iter):
             soft_dc = jnp.where(m.astype(bool), kspace - y, jnp.zeros((), y.dtype)) * dc_weight
-            kmodel = _make_kspace_model(cfg)()
             b, c, h, w, _ = kspace.shape
             kspace = kmodel(kspace.reshape(b * c, h, w, 2)).reshape(b, c, h, w, 2)
-            image = cmul_conj(
-                ifft2_rv(kspace, self.fft_centered, self.fft_normalization, self.spatial_dims), sens
-            ).sum(axis=self.coil_dim)
-            imodel = _make_image_model(cfg, self.fft_centered, self.fft_normalization)()
-            image = imodel(image)
+            image = imodel(reduce(kspace))
             if not self.no_dc:
-                pred_k = fft2_rv(
-                    cmul(image[:, None], sens), self.fft_centered, self.fft_normalization, self.spatial_dims
-                )
-                kspace = kspace - soft_dc - pred_k
-        if not self.no_dc:
-            image = cmul_conj(
-                ifft2_rv(kspace, self.fft_centered, self.fft_normalization, self.spatial_dims), sens
-            ).sum(axis=self.coil_dim)
+                # reference kikinet.py:160-175: the DC residual feeds the image,
+                # NOT the k-space carried to the next iteration
+                image = reduce(kspace - soft_dc - expand(image))
+            if idx < self.num_iter - 1:
+                kspace = expand(image)
         return ModelOutput(prediction=image)

@@ -23,20 +23,6 @@ from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
 __all__ = ["LPDNet"]
 
 
-def _prelu_block(features_list):
-    class _Block(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            for i, f in enumerate(features_list):
-                x = nn.Conv(f, (3, 3), padding="SAME")(x)
-                if i < len(features_list) - 1:
-                    alpha = self.param(f"prelu_{i}", nn.initializers.constant(0.25), (1,))
-                    x = jnp.where(x >= 0, x, alpha * x)
-            return x
-
-    return _Block
-
-
 class LPDNet(BaseReconModel):
     num_iter: int = 2
     num_primal: int = 5
@@ -85,7 +71,8 @@ class LPDNet(BaseReconModel):
                 padding_size=cfg.get("primal_unet_padding_size", 11),
                 normalize=cfg.get("primal_unet_normalize", True),
             )
-        return _prelu_block([cfg.get("primal_conv_hidden_channels", 16)] * 2 + [out])()
+        # reference lpd.py:70 only implements MWCNN / UNET for the primal net
+        raise ValueError(f"LPDNet primal_model_architecture must be MWCNN or UNET, got {self.primal_arch!r}")
 
     def _dual_model(self):
         cfg = self.cfg or {}
@@ -105,7 +92,14 @@ class LPDNet(BaseReconModel):
                 padding_size=cfg.get("dual_unet_padding_size", 11),
                 normalize=cfg.get("dual_unet_normalize", True),
             )
-        return _prelu_block([cfg.get("kspace_conv_hidden_channels", 16)] * 2 + [out])()
+        if self.dual_arch == "CONV":  # reference lpd.py:78 conv2d.Conv2d cascade
+            return Conv2dCascade(
+                out_channels=out,
+                hidden_channels=cfg.get("kspace_conv_hidden_channels", 16),
+                n_convs=cfg.get("kspace_conv_n_convs", 4),
+                batchnorm=cfg.get("kspace_conv_batchnorm", False),
+            )
+        raise ValueError(f"LPDNet dual_model_architecture must be CONV, DIDN or UNET, got {self.dual_arch!r}")
 
     @nn.compact
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False) -> ModelOutput:
@@ -128,14 +122,17 @@ class LPDNet(BaseReconModel):
         dual = jnp.concatenate([y] * self.num_dual, axis=-1)  # [B, C, H, W, 2*nd]
         primal = jnp.concatenate([input_image] * self.num_primal, axis=-1)  # [B, H, W, 2*np]
 
+        # The reference passes the SAME primal/dual architecture instance to
+        # every PrimalNet/DualNet (lpd.py:110-115), so weights are shared
+        # across the num_iter unrolled iterations — instantiate once.
+        dual_model = self._dual_model()
+        primal_model = self._primal_model()
         for _ in range(self.num_iter):
             f2 = fwd(primal[..., 2:4])
-            dual_model = self._dual_model()
             dual_in = jnp.concatenate([dual, f2, y], axis=-1)  # [B, C, H, W, 2(nd+2)]
             b, c, h, w, ch = dual_in.shape
             dual = dual_model(dual_in.reshape(b * c, h, w, ch)).reshape(b, c, h, w, 2 * self.num_dual)
             h1 = adj(dual[..., 0:2])
-            primal_model = self._primal_model()
             primal = primal_model(jnp.concatenate([primal, h1], axis=-1))
 
         out = primal[..., 0:2]

@@ -46,10 +46,13 @@ class SensitivityModel(nn.Module):
             if mask.ndim == 3:
                 mask = mask[:, None]
             mask_b = jnp.broadcast_to(mask, (x.shape[0], 1) + x.shape[2:4])
-            axis = 2 if self.mask_type == "2D" else 3  # band axis in [B, C, H, W]
-            n = x.shape[axis]
-            profile = mask_b[:, 0]
-            line = profile.max(axis=2 if axis == 2 else 1).astype(jnp.int8)  # [B, n]
+            # Reference semantics mirrored exactly (base.py:443-466 +
+            # utils.batched_mask_center:379): the ACS width is read from the W
+            # profile at H row 0; the band is applied on the H axis for
+            # batch size 1 (mask_center "2D") but on the W axis otherwise
+            # (batched branch) — an upstream batch-size dependence we pin.
+            line = mask_b[:, 0, 0, :].astype(jnp.int8)  # [B, W]
+            n = line.shape[1]
             cent = n // 2
             left = jnp.argmin(line[:, :cent][:, ::-1], axis=1)
             right = jnp.argmin(line[:, cent:], axis=1)
@@ -57,10 +60,11 @@ class SensitivityModel(nn.Module):
             if num_low_frequencies is not None and num_low_frequencies > 0:
                 num_low = num_low_frequencies * jnp.ones_like(num_low)
             pad = (n - num_low + 1) // 2
-            idx = jnp.arange(n)
+            axis = 2 if x.shape[0] == 1 else 3
+            idx = jnp.arange(x.shape[axis])
             keep = (idx[None, :] >= pad[:, None]) & (idx[None, :] < (pad + num_low)[:, None])
             shape = [x.shape[0], 1, 1, 1, 1]
-            shape[axis] = n
+            shape[axis] = x.shape[axis]
             keep = keep.reshape(shape)
             x = jnp.where(keep, x, jnp.zeros((), x.dtype))
 

@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -599,3 +599,12 @@ def import_unetr_params(state: Dict[str, np.ndarray], res_block: bool = True,
         "UnetrUpBlock_3": up(prefix + "decoder2."),
         "UnetOutBlock_0": {"Conv_0": _monai_conv(state, prefix + "out.conv.conv")},
     }
+
+
+def import_sensitivity_model_params(state: Dict[str, np.ndarray], chans: int,
+                                    num_pools: int, prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.sens.SensitivityModel` from a
+    reference BaseSensitivityModel state dict (common/nn/base.py:276:
+    ``norm_unet.unet.*``)."""
+    return {"NormUnet_0": import_normunet_params(state, chans=chans, num_pools=num_pools,
+                                                 prefix=prefix + "norm_unet.unet.")}

@@ -157,3 +157,29 @@ def load(leaf: str):
     """Import e.g. 'mridc.collections.reconstruction.nn.rim.rim_block'."""
     install()
     return importlib.import_module(leaf)
+
+
+def load_file(relpath: str, name: str):
+    """Execute a reference file under an alternate module name — for files
+    whose canonical module path is occupied by a stub (e.g. common/nn/base.py,
+    stubbed so model files can import its class names without PTL). Extra
+    third-party shims (wandb, torchmetrics, modelPT, model_utils) are
+    installed here so the real file's import block succeeds."""
+    install()
+
+    class _AnyClass:
+        def __init__(self, *a, **k):
+            pass
+
+    _stub("wandb", require=lambda *a, **k: None, login=lambda *a, **k: None)
+    tm = _stub("torchmetrics")
+    tm.metric = _stub("torchmetrics.metric", Metric=_AnyClass)
+    _stub("mridc.core.classes.modelPT", ModelPT=_AnyClass, __graft_fake__=True)
+    _stub("mridc.utils", model_utils=_stub("mridc.utils.model_utils", __graft_fake__=True), __graft_fake__=True)
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, str(REFERENCE_ROOT / relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -1,0 +1,334 @@
+"""Golden parity for composite reconstruction models vs the reference's own
+torch building blocks with imported weights: LPDNet (nn/lpd.py:22 +
+primaldual/pd.py), KIKINet/XPDNet cross-domain composites, JointICNet,
+ResNet+CG. Where a model's PTL wrapper cannot be instantiated without
+lightning, the test replays the reference forward's documented wiring with the
+reference's actual submodules (same approach as the SERANet recurrent golden).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import reference_loader
+
+torch = pytest.importorskip("torch")
+
+
+def _sd(module, prefix=""):
+    return {prefix + k: v.numpy() for k, v in module.state_dict().items()}
+
+
+def _inputs(b=1, c=3, h=16, w=16, seed=21):
+    rng = np.random.default_rng(seed)
+    y = rng.standard_normal((b, c, h, w, 2)).astype(np.float32) * 0.1
+    sens = rng.standard_normal((b, c, h, w, 2)).astype(np.float32)
+    sens /= np.sqrt((sens**2).sum(-1, keepdims=True).sum(1, keepdims=True)) + 1e-8
+    mask = (rng.random((1, 1, h, w, 1)) > 0.4).astype(np.float32)
+    mask[..., :, w // 2 - 2 : w // 2 + 2, :] = 1.0
+    y = y * mask
+    return y, sens, mask
+
+
+def test_lpdnet_matches_reference():
+    """Full LPD loop vs the reference's PrimalNet/DualNet + NormUnet with the
+    reference's forward wiring (lpd.py:147-194) and imported weights."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_normunet_params
+
+    pd = reference_loader.load("mridc.collections.reconstruction.nn.primaldual.pd")
+    ub = reference_loader.load("mridc.collections.reconstruction.nn.unet_base.unet_block")
+    fft = reference_loader.load("mridc.collections.common.parts.fft")
+    utils = reference_loader.load("mridc.collections.common.parts.utils")
+
+    num_iter, num_primal, num_dual = 2, 3, 3
+    torch.manual_seed(21)
+    primal_model = ub.NormUnet(8, 2, in_chans=2 * (num_primal + 1), out_chans=2 * num_primal, padding_size=11)
+    dual_model = ub.NormUnet(8, 2, in_chans=2 * (num_dual + 2), out_chans=2 * num_dual, padding_size=11)
+    primal_net = pd.PrimalNet(num_primal, primal_architecture=primal_model).eval()
+    dual_net = pd.DualNet(num_dual, dual_architecture=dual_model).eval()
+
+    y, sens, mask = _inputs()
+    ty, ts, tm = torch.from_numpy(y), torch.from_numpy(sens), torch.from_numpy(mask)
+    zero = torch.tensor([0.0])
+
+    with torch.no_grad():
+        input_image = utils.complex_mul(
+            fft.ifft2(torch.where(tm == 0, zero, ty), True, "ortho", [-2, -1]),
+            utils.complex_conj(ts),
+        ).sum(1)
+        dual_buffer = torch.cat([ty] * num_dual, -1)
+        primal_buffer = torch.cat([input_image] * num_primal, -1)
+        for _ in range(num_iter):
+            f_2 = primal_buffer[..., 2:4].clone()
+            f_2 = torch.where(
+                tm == 0, zero,
+                fft.fft2(utils.complex_mul(f_2.unsqueeze(1), ts), True, "ortho", [-2, -1]).type(f_2.type()),
+            )
+            dual_buffer = dual_net(dual_buffer, f_2, ty)
+            h_1 = dual_buffer[..., 0:2].clone()
+            h_1 = torch.view_as_real(h_1[..., 0] + 1j * h_1[..., 1])
+            h_1 = utils.complex_mul(
+                fft.ifft2(torch.where(tm == 0, zero, h_1), True, "ortho", [-2, -1]),
+                utils.complex_conj(ts),
+            ).sum(1)
+            primal_buffer = primal_net(primal_buffer, h_1)
+        want = primal_buffer[..., 0:2].numpy()
+
+    model = build_model(
+        {
+            "model_name": "LPDNet",
+            "num_iter": num_iter,
+            "num_primal": num_primal,
+            "num_dual": num_dual,
+            "primal_model_architecture": "UNET",
+            "dual_model_architecture": "UNET",
+            "primal_unet_num_filters": 8,
+            "primal_unet_num_pool_layers": 2,
+            "primal_unet_padding_size": 11,
+            "dual_unet_num_filters": 8,
+            "dual_unet_num_pool_layers": 2,
+            "dual_unet_padding_size": 11,
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        }
+    )
+    params = {
+        "NormUnet_0": import_normunet_params(_sd(dual_model), chans=8, num_pools=2, prefix="unet."),
+        "NormUnet_1": import_normunet_params(_sd(primal_model), chans=8, num_pools=2, prefix="unet."),
+    }
+    out = model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0]))
+    np.testing.assert_allclose(np.asarray(out.prediction), want, rtol=2e-3, atol=2e-4)
+
+
+def test_kikinet_matches_reference():
+    """KIKINet alternation (kikinet.py:135-190) with NormUnet k-space/image
+    models (shared across iterations) and imported weights."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_normunet_params
+
+    cd = reference_loader.load("mridc.collections.reconstruction.nn.crossdomain.multicoil")
+    ub = reference_loader.load("mridc.collections.reconstruction.nn.unet_base.unet_block")
+    fft = reference_loader.load("mridc.collections.common.parts.fft")
+    utils = reference_loader.load("mridc.collections.common.parts.utils")
+
+    num_iter = 2
+    torch.manual_seed(22)
+    kspace_model = ub.NormUnet(8, 2, in_chans=2, out_chans=2, padding_size=11)
+    image_model = ub.NormUnet(8, 2, in_chans=2, out_chans=2, padding_size=11)
+    kmc = cd.MultiCoil(kspace_model, coil_dim=1).eval()
+    dc_weight = torch.nn.Parameter(torch.full((1,), 1.21))
+
+    y, sens, mask = _inputs(seed=22)
+    ty, ts, tm = torch.from_numpy(y), torch.from_numpy(sens), torch.from_numpy(mask)
+    zero = torch.zeros(1, 1, 1, 1, 1)
+
+    def t_reduce(k):
+        return utils.complex_mul(fft.ifft2(k, True, "ortho", [-2, -1]), utils.complex_conj(ts)).sum(1)
+
+    def t_expand(img):
+        return fft.fft2(utils.complex_mul(img.unsqueeze(1), ts), True, "ortho", [-2, -1])
+
+    with torch.no_grad():
+        kspace = ty.clone()
+        for idx in range(num_iter):
+            soft_dc = torch.where(tm.bool(), kspace - ty, zero) * dc_weight
+            kspace = kmc(kspace)
+            if kspace.shape[-1] != 2:
+                kspace = kspace.permute(0, 1, 3, 4, 2)
+                kspace = torch.view_as_real(kspace[..., 0] + 1j * kspace[..., 1])
+            image = t_reduce(kspace)
+            image = image_model(image.unsqueeze(1)).squeeze(1)
+            image = t_reduce(kspace - soft_dc - t_expand(image))
+            if idx < num_iter - 1:
+                kspace = t_expand(image)
+        want = image.numpy()
+
+    model = build_model(
+        {
+            "model_name": "KIKINet",
+            "num_iter": num_iter,
+            "kspace_model_architecture": "UNET",
+            "imspace_model_architecture": "UNET",
+            "kspace_unet_num_filters": 8,
+            "kspace_unet_num_pool_layers": 2,
+            "kspace_unet_padding_size": 11,
+            "imspace_unet_num_filters": 8,
+            "imspace_unet_num_pool_layers": 2,
+            "imspace_unet_padding_size": 11,
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        }
+    )
+    params = {
+        "dc_weight": jnp.full((1,), 1.21),
+        "NormUnet_0": import_normunet_params(_sd(kspace_model), chans=8, num_pools=2, prefix="unet."),
+        "NormUnet_1": import_normunet_params(_sd(image_model), chans=8, num_pools=2, prefix="unet."),
+    }
+    out = model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0]))
+    np.testing.assert_allclose(np.asarray(out.prediction), want, rtol=2e-3, atol=2e-4)
+
+
+def test_xpdnet_matches_reference():
+    """XPDNet via the reference's actual CrossDomainNetwork with
+    use_primal_only=True (kspace_model_list=None) and per-iteration NormUnet
+    image models, imported weights.
+
+    Pinned upstream bug: the reference's k-space-model path is unrunnable for
+    every architecture — MultiCoil per-coil unsqueezes a 5D tensor into
+    conv2d (CONV/DIDN), and coil_to_batch=True produces a non-contiguous
+    buffer that view_as_complex rejects (UNET) — so only the primal-only
+    configuration executes upstream (see PARITY.md)."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_normunet_params
+
+    cdn = reference_loader.load("mridc.collections.reconstruction.nn.crossdomain.crossdomain")
+    ub = reference_loader.load("mridc.collections.reconstruction.nn.unet_base.unet_block")
+
+    num_iter, num_primal, num_dual = 2, 3, 1
+    torch.manual_seed(23)
+    imodels = [
+        ub.NormUnet(8, 2, in_chans=2 * (num_primal + num_dual), out_chans=2 * num_primal, padding_size=11)
+        for _ in range(num_iter)
+    ]
+    net = cdn.CrossDomainNetwork(
+        image_model_list=torch.nn.ModuleList(imodels),
+        kspace_model_list=None,
+        domain_sequence="KI" * num_iter,
+        image_buffer_size=num_primal,
+        kspace_buffer_size=num_dual,
+        fft_centered=True,
+        fft_normalization="ortho",
+        spatial_dims=[-2, -1],
+        coil_dim=1,
+    ).eval()
+
+    y, sens, mask = _inputs(seed=23)
+    with torch.no_grad():
+        want = net(torch.from_numpy(y), torch.from_numpy(sens), torch.from_numpy(mask))[..., :2].numpy()
+
+    model = build_model(
+        {
+            "model_name": "XPDNet",
+            "num_iter": num_iter,
+            "num_primal": num_primal,
+            "num_dual": num_dual,
+            "use_primal_only": True,
+            "image_model_architecture": "UNET",
+            "imspace_unet_num_filters": 8,
+            "imspace_unet_num_pool_layers": 2,
+            "imspace_unet_padding_size": 11,
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        }
+    )
+    params = {}
+    for i in range(num_iter):
+        params[f"NormUnet_{i}"] = import_normunet_params(_sd(imodels[i]), chans=8, num_pools=2, prefix="unet.")
+    out = model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0]))
+    np.testing.assert_allclose(np.asarray(out.prediction), want, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("batch", [1, 2])
+def test_sensitivity_model_matches_reference(batch):
+    """BaseSensitivityModel golden with imported weights (common/nn/base.py:276),
+    covering the reference's batch-size-dependent ACS band axis."""
+    from mridc_tpu.nn.sens import SensitivityModel
+    from mridc_tpu.utils.torch_import import import_sensitivity_model_params
+
+    base = reference_loader.load_file("mridc/collections/common/nn/base.py", "ref_common_nn_base")
+    torch.manual_seed(24)
+    tnet = base.BaseSensitivityModel(
+        8, 2, fft_centered=True, fft_normalization="ortho", spatial_dims=[-2, -1], coil_dim=1
+    ).eval()
+    y, sens, mask = _inputs(b=batch, seed=24)
+    mask5 = np.broadcast_to(mask, (batch,) + mask.shape[1:]).copy()
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(y), torch.from_numpy(mask5)).numpy()
+
+    net = SensitivityModel(chans=8, num_pools=2, fft_centered=True, fft_normalization="ortho")
+    params = import_sensitivity_model_params(_sd(tnet), chans=8, num_pools=2)
+    got = net.apply({"params": params}, jnp.asarray(y), jnp.asarray(mask5[..., 0]))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_jointicnet_matches_reference():
+    """JointICNet update_C/update_X alternation (jointicnet.py:81-285) via the
+    unbound reference methods on a duck-typed self, with imported weights."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import (
+        import_normunet_params,
+        import_sensitivity_model_params,
+    )
+
+    jic = reference_loader.load("mridc.collections.reconstruction.nn.jointicnet")
+    ub = reference_loader.load("mridc.collections.reconstruction.nn.unet_base.unet_block")
+    base = reference_loader.load_file("mridc/collections/common/nn/base.py", "ref_common_nn_base")
+    fft = reference_loader.load("mridc.collections.common.parts.fft")
+    utils = reference_loader.load("mridc.collections.common.parts.utils")
+
+    num_iter = 2
+    torch.manual_seed(25)
+
+    class Duck:
+        pass
+
+    duck = Duck()
+    duck.num_iter = num_iter
+    duck.fft_centered = True
+    duck.fft_normalization = "ortho"
+    duck.spatial_dims = [-2, -1]
+    duck.coil_dim = 1
+    duck.kspace_model = ub.NormUnet(8, 2, padding_size=11).eval()
+    duck.image_model = ub.NormUnet(8, 2, padding_size=11).eval()
+    duck.sens_net = base.BaseSensitivityModel(
+        8, 2, fft_centered=True, fft_normalization="ortho", spatial_dims=[-2, -1], coil_dim=1
+    ).eval()
+    duck.reg_param_I = torch.rand(num_iter) * 0.2 + 0.4
+    duck.reg_param_F = torch.rand(num_iter) * 0.2 + 0.4
+    duck.reg_param_C = torch.rand(num_iter) * 0.2 + 0.4
+    duck.lr_image = torch.rand(num_iter) * 0.2 + 0.1
+    duck.lr_sens = torch.rand(num_iter) * 0.2 + 0.1
+
+    y, _, mask = _inputs(seed=25)
+    ty, tm = torch.from_numpy(y), torch.from_numpy(mask)
+    with torch.no_grad():
+        DC_sens = duck.sens_net(ty, tm)
+        sens = DC_sens.clone()
+        image = utils.complex_mul(
+            fft.ifft2(ty, True, "ortho", [-2, -1]), utils.complex_conj(sens)
+        ).sum(1)
+        for idx in range(num_iter):
+            sens = jic.JointICNet.update_C(duck, idx, DC_sens, image, sens, ty, tm)
+            image = jic.JointICNet.update_X(duck, idx, image, sens, ty, tm)
+        want = image.numpy()
+
+    model = build_model(
+        {
+            "model_name": "JointICNet",
+            "num_iter": num_iter,
+            "kspace_unet_num_filters": 8,
+            "kspace_unet_num_pool_layers": 2,
+            "kspace_unet_padding_size": 11,
+            "imspace_unet_num_filters": 8,
+            "imspace_unet_num_pool_layers": 2,
+            "sens_unet_num_filters": 8,
+            "sens_unet_num_pool_layers": 2,
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        }
+    )
+    params = {
+        "NormUnet_0": import_normunet_params(_sd(duck.kspace_model), chans=8, num_pools=2, prefix="unet."),
+        "NormUnet_1": import_normunet_params(_sd(duck.image_model), chans=8, num_pools=2, prefix="unet."),
+        "SensitivityModel_0": import_sensitivity_model_params(_sd(duck.sens_net), chans=8, num_pools=2),
+        "reg_param_I": jnp.asarray(duck.reg_param_I.numpy()),
+        "reg_param_F": jnp.asarray(duck.reg_param_F.numpy()),
+        "reg_param_C": jnp.asarray(duck.reg_param_C.numpy()),
+        "lr_image": jnp.asarray(duck.lr_image.numpy()),
+        "lr_sens": jnp.asarray(duck.lr_sens.numpy()),
+    }
+    out = model.apply({"params": params}, jnp.asarray(y), None, jnp.asarray(mask[..., 0]))
+    np.testing.assert_allclose(np.asarray(out.prediction), want, rtol=3e-3, atol=3e-4)
