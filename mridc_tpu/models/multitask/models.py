@@ -107,13 +107,20 @@ class MTLRS(BaseReconModel):
     @nn.compact
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
         mask = expand_mask(mask)
-        eta = init_pred if (init_pred is not None and init_pred.ndim >= 4) else None
+        # Reference eta semantics (mtlrs.py:139-179 + rim_block.py:202,226):
+        # a valid init prediction is the eta of EVERY cascade in the block; the
+        # last cascade's final estimate becomes the next rs-block's init (with
+        # gradient). Without an init, cascade 0 SENSE-inits from y and later
+        # cascades start from the previous final eta DETACHED. The hidden
+        # state threads through cascades AND rs-blocks.
+        init_eta = init_pred if (init_pred is not None and init_pred.ndim >= 4) else None
         hx = None
         all_recons = []
         seg = None
         for _ in range(self.rs_cascades):
             # reconstruction trunk: CIRIM cascades with threaded hidden state
             cascade_etas = []
+            eta = None
             for c in range(self.recon_num_cascades):
                 block = RIMBlock(
                     recurrent_layer=self.recon_recurrent_layer,
@@ -126,8 +133,15 @@ class MTLRS(BaseReconModel):
                     spatial_dims=self.spatial_dims,
                     coil_dim=self.coil_dim,
                 )
-                etas, eta, hx = block(y, sens, mask, eta=eta, hx=hx, return_hx=True)
+                if init_eta is not None:
+                    eta_in = init_eta
+                elif c == 0:
+                    eta_in = None  # SENSE init from y inside the block
+                else:
+                    eta_in = jax.lax.stop_gradient(eta)
+                etas, eta, hx = block(y, sens, mask, eta=eta_in, hx=hx, return_hx=True)
                 cascade_etas.append(etas)
+            init_eta = eta  # next rs-block starts from this block's estimate
             all_recons.append(jnp.stack(cascade_etas, 0))  # [C, T, B, H, W, 2]
 
             # segmentation head on the (no-grad group-normed) reconstruction

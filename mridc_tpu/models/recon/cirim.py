@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
@@ -97,15 +98,22 @@ class CIRIM(BaseReconModel):
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_intermediates,
         )
-        if init_pred is not None and init_pred.ndim >= 4:
-            eta0 = init_pred
-        else:
-            eta0 = self.sense_init(y, sens)
+        have_init = init_pred is not None and init_pred.ndim >= 4
+        eta0 = init_pred if have_init else self.sense_init(y, sens)
 
         # Cascades carry independent weights but identical structure: scan with
         # params split over the cascade axis, so the RIM block is traced ONCE
         # regardless of num_cascades (compile-time win on TPU; the reference
         # python-loops a ModuleList, cirim.py:110-127).
+        #
+        # Reference chaining semantics (rim_block.py:202,226-242 + cirim.py:110):
+        #   - a provided init_pred is used as the eta of EVERY cascade (the
+        #     loop never reassigns it);
+        #   - otherwise cascade 0 SENSE-inits from y, and later cascades start
+        #     from the previous cascade's final eta DETACHED (pred[-1].detach()
+        #     — no gradient across cascades through the estimate);
+        #   - with keep_prediction=False later cascades re-init from the
+        #     zero-filled SENSE recon instead.
         keep = self.keep_prediction
 
         class _Cascade(nn.Module):
@@ -113,11 +121,11 @@ class CIRIM(BaseReconModel):
             def __call__(self, carry, _, y, sens, mask):
                 eta = carry
                 etas, eta_final = RIMBlock(**block_cfg)(y, sens, mask, eta=eta)
-                next_eta = eta_final if keep else None
-                if next_eta is None:
-                    # re-init from the zero-filled SENSE recon next cascade
-                    next_eta = eta
-                return next_eta, etas
+                if have_init or not keep:
+                    next_eta = eta  # constant init (init_pred or SENSE re-init)
+                else:
+                    next_eta = jax.lax.stop_gradient(eta_final)
+                return next_eta, (etas, eta_final)
 
         # remat each cascade as well: the time-step scan's carries (large
         # hidden states) are then only stored for the cascade being
@@ -130,8 +138,8 @@ class CIRIM(BaseReconModel):
             out_axes=0,
             length=self.num_cascades,
         )()
-        eta_last, intermediates = scan(eta0, None, y, sens, mask)
+        _, (intermediates, finals) = scan(eta0, None, y, sens, mask)
         if not self.stack_intermediates:
-            return ModelOutput(prediction=eta_last, intermediates=None)
+            return ModelOutput(prediction=finals[-1], intermediates=None)
         # intermediates: [cascades, T, B, H, W, 2]
         return ModelOutput(prediction=intermediates[-1, -1], intermediates=intermediates)

@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params", "import_residual_network_params", "import_rim_block_params", "import_unet_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -608,3 +608,56 @@ def import_sensitivity_model_params(state: Dict[str, np.ndarray], chans: int,
     ``norm_unet.unet.*``)."""
     return {"NormUnet_0": import_normunet_params(state, chans=chans, num_pools=num_pools,
                                                  prefix=prefix + "norm_unet.unet.")}
+
+
+def import_residual_network_params(state: Dict[str, np.ndarray], nb_res_blocks: int,
+                                   prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.models.recon.resnet.ResidualNetwork`
+    (reference resnet_base/resnet_block.py:12). Flax creation-order naming:
+    Conv_0=conv1, per block Conv_{2i+1}=layers2.i (outer), Conv_{2i+2}=
+    layers1.i (inner), then last_layer, final_layer."""
+    tree: Dict = {"Conv_0": {"kernel": oihw_to_hwio(state[prefix + "conv1.weight"])}}
+    for i in range(nb_res_blocks):
+        tree[f"Conv_{2 * i + 1}"] = {"kernel": oihw_to_hwio(state[prefix + f"layers2.{i}.weight"])}
+        tree[f"Conv_{2 * i + 2}"] = {"kernel": oihw_to_hwio(state[prefix + f"layers1.{i}.weight"])}
+    tree[f"Conv_{2 * nb_res_blocks + 1}"] = {"kernel": oihw_to_hwio(state[prefix + "last_layer.weight"])}
+    tree[f"Conv_{2 * nb_res_blocks + 2}"] = {"kernel": oihw_to_hwio(state[prefix + "final_layer.weight"])}
+    return tree
+
+
+def import_rim_block_params(state: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """Unstacked flax param tree for one :class:`mridc_tpu.nn.rim.RIMBlock`
+    (reference rim/rim_block.py layout; used by MTLRS where blocks are
+    separate modules rather than a scanned cascade axis)."""
+    return {
+        "ScanCheckpoint_RIMStep_0": {
+            "ConvNonlinear_0": {"Conv_0": {
+                "kernel": oihw_to_hwio(state[prefix + "layers.0.convs.conv_layer.weight"]),
+                "bias": state[prefix + "layers.0.convs.conv_layer.bias"],
+            }},
+            "ConvNonlinear_1": {"Conv_0": {
+                "kernel": oihw_to_hwio(state[prefix + "layers.1.convs.conv_layer.weight"]),
+                "bias": state[prefix + "layers.1.convs.conv_layer.bias"],
+            }},
+            "ConvNonlinear_2": {"Conv_0": {
+                "kernel": oihw_to_hwio(state[prefix + "final_layer.0.conv_layer.weight"]),
+            }},
+            "IndRNNCell_0": {
+                "Conv_0": {"kernel": oihw_to_hwio(state[prefix + "layers.0.rnn.ih.weight"]),
+                           "bias": state[prefix + "layers.0.rnn.ih.bias"]},
+                "hh": np.transpose(state[prefix + "layers.0.rnn.hh"], (0, 2, 3, 1)),
+            },
+            "IndRNNCell_1": {
+                "Conv_0": {"kernel": oihw_to_hwio(state[prefix + "layers.1.rnn.ih.weight"]),
+                           "bias": state[prefix + "layers.1.rnn.ih.bias"]},
+                "hh": np.transpose(state[prefix + "layers.1.rnn.hh"], (0, 2, 3, 1)),
+            },
+        }
+    }
+
+
+def import_unet_params(state: Dict[str, np.ndarray], num_pools: int, prefix: str = "") -> Dict:
+    """Flax param tree for the bare fastMRI :class:`mridc_tpu.nn.unet.Unet`
+    (reference unet_base/unet_block.py:145) — the NormUnet importer's inner
+    tree without the NormUnet wrapper."""
+    return import_normunet_params(state, chans=0, num_pools=num_pools, prefix=prefix)["Unet_0"]

@@ -1,0 +1,132 @@
+"""Golden parity for MTLRS: the reference's actual MTLRSBlock (multitask/rs/nn/
+mtlrs_base/mtlrs_block.py:20) chained over rs-cascades with the mtlrs.py
+task-adaption wiring (hidden-state injection), imported weights."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import reference_loader
+
+torch = pytest.importorskip("torch")
+
+
+def _inputs(b=1, c=3, h=16, w=16, seed=33):
+    rng = np.random.default_rng(seed)
+    y = rng.standard_normal((b, c, h, w, 2)).astype(np.float32) * 0.1
+    sens = rng.standard_normal((b, c, h, w, 2)).astype(np.float32)
+    sens /= np.sqrt((sens**2).sum(-1, keepdims=True).sum(1, keepdims=True)) + 1e-8
+    mask = (rng.random((1, 1, h, w, 1)) > 0.4).astype(np.float32)
+    mask[..., :, w // 2 - 2 : w // 2 + 2, :] = 1.0
+    y = y * mask
+    return y, sens, mask
+
+
+def test_mtlrs_matches_reference():
+    """MTLRS vs the reference's RIMBlocks + fastMRI Unet seg module replaying
+    the MTLRSBlock/mtlrs.py wiring (cascade chaining with keep_prediction,
+    per-block group-normed segmentation, hidden-state task adaption).
+
+    Documented deviation (PARITY.md): the reference MTLRSBlock constructs its
+    RIMBlocks with ``coil_dim = self.coil_dim - 1 == 0``
+    (mtlrs_base/mtlrs_block.py:116), which makes every coil-reduction run over
+    the BATCH axis — the coils leak into the batch dimension and the model
+    only "runs" at batch size 1 through silent broadcasting. We keep the
+    physically correct coil_dim=1; this test wires the reference blocks the
+    same way and checks everything else matches exactly."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_rim_block_params, import_unet_params
+
+    rb = reference_loader.load("mridc.collections.reconstruction.nn.rim.rim_block")
+    ub = reference_loader.load("mridc.collections.reconstruction.nn.unet_base.unet_block")
+
+    rs_cascades, num_cascades, T = 2, 2, 8
+    torch.manual_seed(33)
+
+    def make_rim():
+        return rb.RIMBlock(
+            recurrent_layer="IndRNN",
+            conv_filters=[8, 8, 2], conv_kernels=[5, 3, 3], conv_dilations=[1, 2, 1],
+            conv_bias=[True, True, False],
+            recurrent_filters=[8, 8, 0], recurrent_kernels=[1, 1, 0],
+            recurrent_dilations=[1, 1, 0], recurrent_bias=[True, True, False],
+            depth=2, time_steps=T, no_dc=True,
+            fft_centered=True, fft_normalization="ortho", spatial_dims=[-2, -1], coil_dim=1,
+        ).eval()
+
+    blocks = [([make_rim() for _ in range(num_cascades)],
+               ub.Unet(in_chans=2, out_chans=2, chans=8, num_pool_layers=2).eval())
+              for _ in range(rs_cascades)]
+
+    y, sens, mask = _inputs()
+    ty, ts, tm = torch.from_numpy(y), torch.from_numpy(sens), torch.from_numpy(mask)
+    filters = [8, 8]
+    out_ch = 2
+
+    with torch.no_grad():
+        hx = None
+        init_rp = None
+        want_recon = []
+        for rims, seg_unet in blocks:
+            prediction = ty.clone()
+            _pred = None if init_rp is None or init_rp.dim() < 4 else init_rp
+            cascades_preds = []
+            for i, cascade in enumerate(rims):
+                prediction, hx = cascade(
+                    prediction, ty, ts, tm, _pred, hx, 1.0,
+                    keep_prediction=False if i == 0 else True,
+                )
+                cascades_preds.append([torch.view_as_complex(p) for p in prediction])
+            want_recon.append(
+                np.stack([np.stack([torch.view_as_real(t).numpy() for t in c]) for c in cascades_preds])
+            )
+            # segmentation head (mtlrs_block.py:292-327)
+            _pr = torch.view_as_real(cascades_preds[-1][-1])
+            _pr = _pr.permute(0, 3, 1, 2)
+            _pr = torch.nn.functional.group_norm(_pr, num_groups=1)
+            pred_segmentation = torch.abs(seg_unet(_pr))
+            pred_segmentation = pred_segmentation / torch.max(pred_segmentation)
+            # task adaption (mtlrs.py:153-177)
+            init_rp = cascades_preds[-1][-1]
+            hidden_states = [
+                torch.cat([torch.abs(init_rp.unsqueeze(1) * pred_segmentation)] * (f // out_ch), dim=1)
+                for f in filters
+            ]
+            hx = [hx[i] + hidden_states[i] for i in range(len(hx))]
+            init_rp = torch.view_as_real(init_rp)
+        want_recon = np.stack(want_recon)  # [rs, cascades, T, B, H, W, 2]
+        want_seg = pred_segmentation.numpy()
+
+    cfg = {
+        "model_name": "MTLRS",
+        "joint_reconstruction_segmentation_module_cascades": rs_cascades,
+        "reconstruction_module_num_cascades": num_cascades,
+        "reconstruction_module_time_steps": T,
+        "reconstruction_module_recurrent_layer": "IndRNN",
+        "reconstruction_module_conv_filters": [8, 8, 2],
+        "reconstruction_module_recurrent_filters": [8, 8, 0],
+        "segmentation_module": "unet",
+        "segmentation_module_output_channels": 2,
+        "segmentation_module_channels": 8,
+        "segmentation_module_pooling_layers": 2,
+        "segmentation_module_input_channels": 2,
+        "magnitude_input": False,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    params = {}
+    n_rim = n_unet = 0
+    for rims, seg_unet in blocks:
+        for cascade in rims:
+            sd = {k: v.numpy() for k, v in cascade.state_dict().items()}
+            params[f"RIMBlock_{n_rim}"] = import_rim_block_params(sd)
+            n_rim += 1
+        params[f"Unet_{n_unet}"] = import_unet_params(
+            {k: v.numpy() for k, v in seg_unet.state_dict().items()}, num_pools=2)
+        n_unet += 1
+    out, seg = model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0]))
+    got_recon = np.asarray(out.intermediates).reshape(want_recon.shape)
+    np.testing.assert_allclose(got_recon, want_recon, rtol=2e-3, atol=3e-4)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(seg), -1, 1), want_seg, rtol=2e-3, atol=3e-4)

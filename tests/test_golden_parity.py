@@ -728,3 +728,58 @@ def test_recurrent_init_matches_reference(ref):
     got = np.asarray(net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1))))
     # ours [B, H, W, out, depth] -> [B, out, H, W, depth]
     np.testing.assert_allclose(np.moveaxis(got, 3, 1), want, rtol=1e-4, atol=1e-5)
+
+
+def test_cirim_multicascade_matches_reference(ref):
+    """Two-cascade CIRIM chaining vs the reference loop (cirim.py:105-127):
+    cascade 0 SENSE-inits, cascade 1 starts from the previous final eta
+    detached, hidden states reset per cascade."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_cirim_params
+
+    torch.manual_seed(31)
+    blocks = [
+        ref["rim_block"].RIMBlock(
+            recurrent_layer="IndRNN",
+            conv_filters=[8, 8, 2], conv_kernels=[5, 3, 3], conv_dilations=[1, 2, 1],
+            conv_bias=[True, True, False],
+            recurrent_filters=[8, 8, 0], recurrent_kernels=[1, 1, 0],
+            recurrent_dilations=[1, 1, 0], recurrent_bias=[True, True, False],
+            depth=2, time_steps=4, no_dc=True,
+            fft_centered=True, fft_normalization="ortho", spatial_dims=[-2, -1], coil_dim=1,
+        ).eval()
+        for _ in range(2)
+    ]
+    y, sens, mask = _inputs()
+    with torch.no_grad():
+        prediction = torch.from_numpy(y).clone()
+        preds_all = []
+        for i, blk in enumerate(blocks):
+            prediction, _ = blk(
+                prediction,
+                torch.from_numpy(y),
+                torch.from_numpy(sens),
+                torch.from_numpy(mask),
+                prediction=None,
+                hx=None,
+                sigma=1.0,
+                keep_prediction=False if i == 0 else True,
+            )
+            preds_all.append([p.numpy() for p in prediction])
+    want = np.stack([np.stack(c) for c in preds_all])  # [cascades, T, B, H, W, 2]
+
+    state = {}
+    for c, blk in enumerate(blocks):
+        state.update({f"cirim.{c}.{k}": v.numpy() for k, v in blk.state_dict().items()})
+    params = import_cirim_params(state, num_cascades=2)
+    model = build_model(
+        {
+            "model_name": "CIRIM", "num_cascades": 2, "time_steps": 4,
+            "conv_filters": [8, 8, 2], "recurrent_filters": [8, 8, 0],
+            "fft_centered": True, "fft_normalization": "ortho",
+        }
+    )
+    out = model.apply(
+        {"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0])
+    )
+    np.testing.assert_allclose(np.asarray(out.intermediates), want, rtol=2e-3, atol=2e-4)

@@ -332,3 +332,97 @@ def test_jointicnet_matches_reference():
     }
     out = model.apply({"params": params}, jnp.asarray(y), None, jnp.asarray(mask[..., 0]))
     np.testing.assert_allclose(np.asarray(out.prediction), want, rtol=3e-3, atol=3e-4)
+
+
+def test_residual_network_matches_reference():
+    from mridc_tpu.models.recon.resnet import ResidualNetwork
+    from mridc_tpu.utils.torch_import import import_residual_network_params
+
+    rb = reference_loader.load("mridc.collections.reconstruction.nn.resnet_base.resnet_block")
+    torch.manual_seed(26)
+    tnet = rb.ResidualNetwork(nb_res_blocks=3, channels=8, regularization_factor=0.1).eval()
+    x = np.random.default_rng(26).standard_normal((1, 2, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    net = ResidualNetwork(nb_res_blocks=3, channels=8, regularization_factor=0.1)
+    params = import_residual_network_params(_sd(tnet), nb_res_blocks=3)
+    got = net.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1)))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), want, rtol=1e-4, atol=1e-5)
+
+
+def test_conjugate_gradient_matches_reference():
+    """CG solve of (EhE + mu I) x = rhs (reference resnet_block.py:57-190)."""
+    from mridc_tpu.models.recon.resnet import conjugate_gradient
+
+    rb = reference_loader.load("mridc.collections.reconstruction.nn.resnet_base.resnet_block")
+    # pinned upstream bug: the reference calls utils.coil_combination_method,
+    # which is never defined anywhere in the repo (the function is
+    # coil_combination) — ResNet/ProximalGradient crash as shipped (PARITY.md)
+    rb.utils.coil_combination_method = rb.utils.coil_combination
+    y, sens, mask = _inputs(seed=27)
+    rhs = np.random.default_rng(28).standard_normal((1, 16, 16, 2)).astype(np.float32)
+    mu = torch.nn.Parameter(torch.tensor([0.05]))
+    cg = rb.ConjugateGradient(
+        CG_Iter=6, mu=mu, fft_centered=True, fft_normalization="ortho",
+        spatial_dims=[-2, -1], coil_dim=1, coil_combination_method="SENSE",
+    )
+    with torch.no_grad():
+        want = cg(torch.from_numpy(rhs), torch.from_numpy(sens), torch.from_numpy(mask)).numpy()
+
+    got = conjugate_gradient(
+        jnp.asarray(rhs), jnp.asarray(sens), jnp.asarray(mask), 0.05,
+        iterations=6, fft_centered=True, fft_normalization="ortho",
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_resnet_model_matches_reference():
+    """Full unrolled ResNet + CG DC (reference nn/resnet.py:88-101) with
+    imported weights."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_residual_network_params
+
+    rb = reference_loader.load("mridc.collections.reconstruction.nn.resnet_base.resnet_block")
+    fft = reference_loader.load("mridc.collections.common.parts.fft")
+    utils = reference_loader.load("mridc.collections.common.parts.utils")
+
+    rb.utils.coil_combination_method = rb.utils.coil_combination
+    utils.coil_combination_method = utils.coil_combination
+    torch.manual_seed(27)
+    tnet = rb.ResidualNetwork(nb_res_blocks=2, channels=8, regularization_factor=0.1).eval()
+    mu = torch.nn.Parameter(torch.tensor([0.3]))
+    cg = rb.ConjugateGradient(4, mu, True, "ortho", [-2, -1], 1, "SENSE")
+
+    y, sens, mask = _inputs(seed=29)
+    ty, ts, tm = torch.from_numpy(y), torch.from_numpy(sens), torch.from_numpy(mask)
+    with torch.no_grad():
+        prediction = utils.coil_combination_method(
+            fft.ifft2(ty, True, "ortho", [-2, -1]), ts, method="SENSE", dim=1
+        )
+        x = prediction.clone()
+        for _ in range(2):
+            x = tnet(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            x = cg(prediction + mu * x, ts, tm)
+        want = x.numpy()
+
+    model = build_model(
+        {
+            "model_name": "ResNet",
+            "unrolled_iterations": 2,
+            "residual_blocks": 2,
+            "channels": 8,
+            "regularization_factor": 0.1,
+            "conjugate_gradient_dc": True,
+            "conjugate_gradient_iterations": 4,
+            "penalization_weight": 0.3,
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        }
+    )
+    params = {
+        "mu": jnp.asarray([0.3]),
+        "ResidualNetwork_0": import_residual_network_params(_sd(tnet), nb_res_blocks=2),
+    }
+    out = model.apply({"params": params}, jnp.asarray(y), jnp.asarray(sens), jnp.asarray(mask[..., 0]))
+    np.testing.assert_allclose(np.asarray(out.prediction), want, rtol=2e-3, atol=2e-4)
