@@ -35,6 +35,29 @@ def _rv(x):
     return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
 
 
+def cirim_flops_per_slice() -> float:
+    """Analytic model FLOPs for one slice of the flagship CIRIM forward
+    (XLA cost_analysis does not unroll lax.scan on this backend, so it
+    under-reports by the cascades x time-steps factor).
+
+    Per RIM time step:
+      - DC chain: forward + inverse 2D DFT over COILS coils, each as Gauss
+        3-mult real matmuls per axis (ops/fft.py): 6*H*W*(H+W) flops/coil/dir
+      - conv stack: 5x5 (4->F), 1x1 ih (F->F) x2 IndRNN layers, 3x3 dilated
+        (F->F), 3x3 final (F->2)
+    """
+    hw = H * W
+    dft = 2 * COILS * 6 * hw * (H + W)  # fwd + inv transforms
+    conv = (
+        2 * hw * 25 * 4 * FILTERS      # conv1 5x5, 4 -> F
+        + 2 * hw * FILTERS * FILTERS   # IndRNN ih1 1x1
+        + 2 * hw * 9 * FILTERS * FILTERS  # conv2 3x3 dilated
+        + 2 * hw * FILTERS * FILTERS   # IndRNN ih2 1x1
+        + 2 * hw * 9 * FILTERS * 2     # final 3x3, F -> 2
+    )
+    return float(CASCADES * TIME_STEPS * (dft + conv))
+
+
 def _data(batch, real_view=True):
     rng = np.random.default_rng(0)
     shape = (batch, COILS, H, W)
@@ -95,7 +118,76 @@ def bench_jax() -> float:
     for _ in range(ITERS):
         float(forward(variables, y, sens, mask))
     dt = time.perf_counter() - t0
-    return (ITERS * BATCH) / dt
+
+    sps = (ITERS * BATCH) / dt
+    tflops = cirim_flops_per_slice() * sps / 1e12
+    return sps, tflops
+
+
+def bench_jax_train() -> tuple:
+    """Jitted training-step (forward + backward + adam) throughput at the
+    reference training batch size, with achieved TFLOP/s from the compiled
+    executable's cost analysis."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mridc_tpu.models import build_model
+    from mridc_tpu.train.losses import process_reconstruction_loss
+
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 8))  # 12+ OOMs 16GB HBM
+    cfg = {
+        "model_name": "CIRIM",
+        "num_cascades": CASCADES,
+        "time_steps": TIME_STEPS,
+        "recurrent_layer": "IndRNN",
+        "conv_filters": [FILTERS, FILTERS, 2],
+        "conv_kernels": [5, 3, 3],
+        "conv_dilations": [1, 2, 1],
+        "recurrent_filters": [FILTERS, FILTERS, 0],
+        "recurrent_kernels": [1, 1, 0],
+        "recurrent_dilations": [1, 1, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+        "compute_dtype": "bfloat16",
+    }
+    model = build_model(cfg)
+    y, sens, mask = (jnp.asarray(x) for x in _data(batch))
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(
+        _rv((rng.standard_normal((batch, H, W)) + 1j * rng.standard_normal((batch, H, W))).astype(np.complex64))
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
+    params = variables["params"]
+    tx = optax.adam(1e-3)
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def train_step(params, opt_state, y, sens, mask, target):
+        def loss_fn(p):
+            out = model.apply({"params": p}, y, sens, mask, train=True)
+            return process_reconstruction_loss(out, target, "l1")
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    for _ in range(2):
+        params, opt_state, loss = train_step(params, opt_state, y, sens, mask, target)
+        float(loss)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, y, sens, mask, target)
+        float(loss)
+    dt = time.perf_counter() - t0
+
+    sps = (iters * batch) / dt
+    # standard MFU accounting: training = 3x forward model flops (fwd + bwd);
+    # rematerialization recompute is intentionally NOT credited
+    tflops = 3 * cirim_flops_per_slice() * sps / 1e12
+    return sps, tflops
 
 
 def bench_torch_cpu(max_seconds: float = 90.0) -> float:
@@ -163,7 +255,13 @@ def bench_torch_cpu(max_seconds: float = 90.0) -> float:
 
 
 def main():
-    jax_sps = bench_jax()
+    # v5e bf16 peak: 197 TFLOP/s (override for other chips)
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+    jax_sps, infer_tflops = bench_jax()
+    try:
+        train_sps, train_tflops = bench_jax_train()
+    except Exception:
+        train_sps = train_tflops = None
     try:
         cpu_sps = bench_torch_cpu()
     except Exception:
@@ -176,6 +274,11 @@ def main():
                 "value": round(jax_sps, 3),
                 "unit": "slices/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "train_slices_per_s": round(train_sps, 3) if train_sps else None,
+                "infer_tflops": round(infer_tflops, 1) if infer_tflops else None,
+                "train_tflops": round(train_tflops, 1) if train_tflops else None,
+                "infer_mfu": round(infer_tflops / peak_tflops, 3) if infer_tflops else None,
+                "train_mfu": round(train_tflops / peak_tflops, 3) if train_tflops else None,
             }
         )
     )

