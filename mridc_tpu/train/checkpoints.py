@@ -103,6 +103,33 @@ class OrbaxCheckpointer:
         target = jax.device_get(state_template)
         return self._mgr.restore(int(step), args=ocp.args.StandardRestore(target))
 
+    def save_last(self, state):
+        """Unmanaged "last" checkpoint, outside the top-k metric bookkeeping
+        (used for end-of-training and preemption saves, where no monitored
+        metric exists — a metric-less managed save would rank as worst-best
+        and could perturb the top-k set)."""
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        state = jax.device_get(state)
+        path = self.directory / "last"
+        if path.exists():
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state)
+        ckptr.wait_until_finished()
+
+    def restore_last(self, state_template):
+        import orbax.checkpoint as ocp
+
+        path = self.directory / "last"
+        if not path.exists():
+            return None
+        target = jax.device_get(state_template)
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path, target=target)
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

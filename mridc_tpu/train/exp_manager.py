@@ -32,6 +32,8 @@ class ExpManager:
         version: Optional[str] = None,
         resume_if_exists: bool = False,
         create_tensorboard_logger: bool = False,
+        create_wandb_logger: bool = False,
+        wandb_kwargs: Optional[Dict] = None,
         checkpoint_monitor: str = "val_loss",
         checkpoint_mode: str = "min",
         save_top_k: int = 3,
@@ -47,6 +49,8 @@ class ExpManager:
         self.resume_if_exists = resume_if_exists
 
         if is_global_rank_zero():
+            if resume_if_exists:
+                self._rotate_previous_logs()
             add_file_handler(self.log_dir)
             self._save_provenance()
             if model_config:
@@ -64,21 +68,65 @@ class ExpManager:
                 self.writer = tensorboard.SummaryWriter(str(self.log_dir / "tb"))
             except Exception as e:  # pragma: no cover - depends on tf presence
                 logger.warning(f"TensorBoard logger unavailable: {e}")
+        self.wandb_run = None
+        if create_wandb_logger and is_global_rank_zero():
+            # reference exp_manager.py:640-701 wires a WandBLogger; wandb is
+            # not shipped in this image so the logger degrades gracefully
+            try:
+                import wandb
+
+                self.wandb_run = wandb.init(
+                    dir=str(self.log_dir), name=f"{name}/{version}", config=self.model_config,
+                    **(wandb_kwargs or {}),
+                )
+            except Exception as e:
+                logger.warning(f"WandB logger unavailable: {e}")
 
     def _save_provenance(self):
-        """Git hash + diff + command line into the run dir (reference :347-356)."""
+        """Git hash + FULL working-tree diff + command line + environment into
+        the run dir (reference exp_manager.py:347-356 writes the hash and
+        ``git diff``; cmd-args.log mirrors its argv dump)."""
         try:
             sha = subprocess.run(
                 ["git", "rev-parse", "HEAD"], capture_output=True, text=True, timeout=5
             ).stdout.strip()
+            diff = subprocess.run(
+                ["git", "diff", "HEAD"], capture_output=True, text=True, timeout=15
+            ).stdout
             if sha:
-                (self.log_dir / "git-info.log").write_text(f"commit: {sha}\n")
+                (self.log_dir / "git-info.log").write_text(
+                    f"commit: {sha}\n\n# git diff HEAD\n{diff}"
+                )
         except Exception:
             pass
+        try:
+            import sys
+
+            (self.log_dir / "cmd-args.log").write_text(" ".join(sys.argv) + "\n")
+        except Exception:
+            pass
+
+    def _rotate_previous_logs(self):
+        """Move a previous run's log/event files into run_{N}/ before resuming
+        (reference exp_manager.py:401-471 rotates prior logs on resume)."""
+        stale = [p for p in self.log_dir.iterdir() if p.is_file() and p.suffix == ".log"]
+        stale += [p for p in (self.log_dir / "tb").glob("events.*")] if (self.log_dir / "tb").exists() else []
+        if not stale:
+            return
+        n = 0
+        while (self.log_dir / f"run_{n}").exists():
+            n += 1
+        dest = self.log_dir / f"run_{n}"
+        dest.mkdir()
+        for p in stale:
+            p.rename(dest / p.name)
+        logger.info(f"Rotated previous run logs into {dest}")
 
     def log_scalar(self, tag: str, value: float, step: int):
         if self.writer is not None:
             self.writer.scalar(tag, value, step)
+        if self.wandb_run is not None:
+            self.wandb_run.log({tag: value}, step=step)
 
     def log_image_triplet(self, tag: str, target, prediction, step: int):
         """target/recon/|error| triplet (reference common/nn/base.py:150-176
@@ -102,19 +150,33 @@ class ExpManager:
 
     def on_train_end(self, trainer):
         if trainer.state is not None:
-            self.checkpointer.save(int(trainer.state.step), trainer.state, None)
+            # the final state is saved as a distinct unmanaged "last"
+            # checkpoint so a metric-less save can never perturb the top-k
+            # best bookkeeping (reference keeps always_save_last separate
+            # from the monitored top-k, exp_manager.py:704)
+            self.checkpointer.save_last(trainer.state)
             if is_global_rank_zero():
                 save_archive(self.log_dir / f"{self.name}.mridc", self.model_config, trainer.state.params)
         if self.writer is not None:
             self.writer.flush()
+        if self.wandb_run is not None:
+            self.wandb_run.finish()
 
     def maybe_resume(self, trainer) -> bool:
-        """Restore latest checkpoint into trainer.state (reference check_resume :401)."""
+        """Restore the newest checkpoint — managed top-k latest or the
+        unmanaged "last" (end-of-training/preemption) — into trainer.state
+        (reference check_resume :401)."""
         if not self.resume_if_exists or trainer.state is None:
             return False
+        candidates = []
         restored = self.checkpointer.restore(trainer.state)
-        if restored is None:
+        if restored is not None:
+            candidates.append(restored)
+        last = self.checkpointer.restore_last(trainer.state)
+        if last is not None:
+            candidates.append(last)
+        if not candidates:
             return False
-        trainer.state = restored
+        trainer.state = max(candidates, key=lambda s: int(s.step))
         logger.info(f"Resumed from step {int(trainer.state.step)}")
         return True

@@ -340,7 +340,9 @@ class Trainer:
                     break
             if preempted["flag"]:
                 if self.exp_manager is not None:
-                    self.exp_manager.checkpointer.save(step, self.state, {"val_loss": float("inf")})
+                    # unmanaged "last": a metric-less save must not enter the
+                    # monitored top-k bookkeeping
+                    self.exp_manager.checkpointer.save_last(self.state)
                 break
             epoch_metrics = {"epoch": epoch, "train_loss": float(np.mean(losses)) if losses else float("nan")}
             if val_loader is not None:

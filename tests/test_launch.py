@@ -170,3 +170,67 @@ def test_checkpoint_resume(tmp_path, data_dir):
     leaves2 = jax.tree_util.tree_leaves(jax.device_get(trainer2.state.params))
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(a, b)
+
+
+def test_exp_manager_provenance_and_last_checkpoint(tmp_path, loaders_small=None):
+    """Provenance files (git sha + full diff, cmd args) and the unmanaged
+    'last' checkpoint path (reference exp_manager.py:347-356, :704)."""
+    import jax
+    import numpy as np
+
+    from mridc_tpu.models import build_model
+    from mridc_tpu.train.exp_manager import ExpManager
+    from mridc_tpu.train.trainer import Trainer
+
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    exp = ExpManager(exp_dir=str(tmp_path / "exp"), name="prov", version="v1", model_config=cfg)
+    gi = exp.log_dir / "git-info.log"
+    assert gi.exists() and gi.read_text().startswith("commit: ")
+    assert "# git diff HEAD" in gi.read_text()
+    assert (exp.log_dir / "cmd-args.log").exists()
+
+    model = build_model(cfg)
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, exp_manager=exp)
+    from fixtures import create_dataset
+    from mridc_tpu.data.loaders import BatchLoader, ReconstructionMRIDataset
+    from mridc_tpu.data.subsample import create_masker
+    from mridc_tpu.data.transforms import MRIDataTransforms
+
+    root = tmp_path / "d"
+    create_dataset(root, n_files=1, slices=2, coils=2, h=16, w=16)
+    tfm = MRIDataTransforms(mask_func=[create_masker("random1d", [0.16], [4])],
+                            fft_centered=True, fft_normalization="ortho")
+    loader = BatchLoader(ReconstructionMRIDataset(root=root, transform=tfm), batch_size=2)
+    batch = next(iter(loader))
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    trainer.training_batch(batch)
+    exp.on_train_end(trainer)
+    assert (exp.checkpoint_dir / "last").exists()
+
+    # a metric-less end save must not enter the managed top-k set
+    assert exp.checkpointer.latest_step() is None
+
+    # resume prefers the newest state, including the unmanaged last
+    exp2 = ExpManager(exp_dir=str(tmp_path / "exp"), name="prov", version="v1",
+                      resume_if_exists=True, model_config=cfg)
+    trainer2 = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, exp_manager=exp2)
+    trainer2.setup_optimization()
+    trainer2.init_state(jax.random.PRNGKey(1), batch)
+    assert exp2.maybe_resume(trainer2)
+    assert int(trainer2.state.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exp_manager_rotates_logs_on_resume(tmp_path):
+    from mridc_tpu.train.exp_manager import ExpManager
+
+    exp = ExpManager(exp_dir=str(tmp_path / "exp"), name="rot", version="v1")
+    # simulate a prior run's log file
+    (exp.log_dir / "stale.log").write_text("old logs")
+    exp2 = ExpManager(exp_dir=str(tmp_path / "exp"), name="rot", version="v1", resume_if_exists=True)
+    rotated = list(exp2.log_dir.glob("run_*/stale.log"))
+    assert rotated and rotated[0].read_text() == "old logs"
