@@ -6,9 +6,11 @@ mridc/collections/quantitative/parts/transforms.py (``qMRIDataTransforms`` :21,
 train, phase unwrapping) and qrim/utils.py's
 ``R2star_B0_real_S0_complex_mapping``.
 
-skimage's ``unwrap_phase`` is unavailable here; 2D phase unwrapping uses the
-classical Ghiglia–Romero DCT Poisson solver (same fixed point for smooth
-phase), host-side numpy.
+Phase unwrapping uses our numpy implementation of skimage's own algorithm
+(Herraez reliability-sorted region merging, mridc_tpu/ops/unwrap.py) —
+algorithmic parity with the reference's ``skimage.restoration.unwrap_phase``.
+The previous Ghiglia–Romero DCT Poisson solver remains available as
+``unwrap_phase_dct`` (least-squares approximation).
 """
 
 from __future__ import annotations
@@ -20,12 +22,14 @@ from scipy.fft import dctn, idctn
 
 from mridc_tpu.data.transforms import MRIDataTransforms, _np_ifft2
 
-__all__ = ["unwrap_phase_2d", "fit_quantitative_maps", "qMRIDataTransforms"]
+from mridc_tpu.ops.unwrap import unwrap_phase_2d  # noqa: F401 (Herraez, skimage-equivalent)
+
+__all__ = ["unwrap_phase_2d", "unwrap_phase_dct", "fit_quantitative_maps", "qMRIDataTransforms"]
 
 SCALING = 1e-3
 
 
-def unwrap_phase_2d(phase: np.ndarray) -> np.ndarray:
+def unwrap_phase_dct(phase: np.ndarray) -> np.ndarray:
     """Ghiglia-Romero DCT-based 2D phase unwrapping (least-squares)."""
     h, w = phase.shape
 

@@ -234,3 +234,50 @@ def test_exp_manager_rotates_logs_on_resume(tmp_path):
     exp2 = ExpManager(exp_dir=str(tmp_path / "exp"), name="rot", version="v1", resume_if_exists=True)
     rotated = list(exp2.log_dir.glob("run_*/stale.log"))
     assert rotated and rotated[0].read_text() == "old logs"
+
+
+def test_from_pretrained_roundtrip(tmp_path):
+    """Archive -> register -> from_pretrained by name and by path (reference
+    core/classes/common.py:568-650 + utils/cloud.py cache)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mridc_tpu.models import (
+        PretrainedModelInfo,
+        build_model,
+        from_pretrained,
+        get_available_model_names,
+        register_pretrained_model,
+    )
+    from mridc_tpu.train.checkpoints import save_archive
+
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((1, 2, 16, 16, 2)).astype(np.float32))
+    sens = jnp.asarray(rng.standard_normal((1, 2, 16, 16, 2)).astype(np.float32))
+    mask = jnp.asarray(np.ones((1, 1, 16, 16), np.float32))
+    params = model.init(jax.random.PRNGKey(0), y, sens, mask)["params"]
+    archive = tmp_path / "unet_test.mridc"
+    save_archive(archive, cfg, params)
+
+    register_pretrained_model(PretrainedModelInfo(
+        pretrained_model_name="unet_test",
+        description="test archive",
+        location=str(archive),
+        aliases=("unet-alias",),
+    ))
+    assert "unet_test" in get_available_model_names()
+
+    for key in ("unet_test", "unet-alias", str(archive)):
+        m2, p2, cfg2 = from_pretrained(key)
+        out1 = model.apply({"params": params}, y, sens, mask).prediction
+        out2 = m2.apply({"params": p2}, y, sens, mask).prediction
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        from_pretrained("nonexistent-model")
