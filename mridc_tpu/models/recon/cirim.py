@@ -44,6 +44,10 @@ class CIRIM(BaseReconModel):
     compute_dtype: str = None
     stack_intermediates: bool = True  # False: inference fast path — skip
     # stacking cascades x T per-step predictions (saves HBM traffic/footprint)
+    dc_mode: str = "full"  # "psf1d": exact DC fast path when the sampling
+    # mask is 1D along the phase-encode axis (fastMRI-style column masks) —
+    # the 2D fwd+inv FFT pair per RIM step collapses to one [W, W] matmul
+    # (nn/dc.py psf1d_gauss_mats). Caller asserts the mask really is 1D.
 
     @classmethod
     def from_config(cls, cfg):
@@ -68,6 +72,7 @@ class CIRIM(BaseReconModel):
             keep_prediction=cfg.get("keep_prediction", cfg.get("keep_eta", True)),
             compute_dtype=cfg.get("compute_dtype", None),
             stack_intermediates=cfg.get("stack_intermediates", True),
+            dc_mode=str(cfg.get("dc_mode", "full")).lower(),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -97,6 +102,7 @@ class CIRIM(BaseReconModel):
             coil_dim=self.coil_dim,
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_intermediates,
+            dc_psf1d=self.dc_mode == "psf1d",
         )
         have_init = init_pred is not None and init_pred.ndim >= 4
         eta0 = init_pred if have_init else self.sense_init(y, sens)

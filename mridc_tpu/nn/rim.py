@@ -18,7 +18,15 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mridc_tpu.nn.dc import log_likelihood_gradient, sens_expand, sens_reduce, soft_dc
+from mridc_tpu.nn.dc import (
+    expand_rv_mask,
+    log_likelihood_gradient,
+    log_likelihood_gradient_psf1d,
+    psf1d_gauss_mats,
+    sens_expand,
+    sens_reduce,
+    soft_dc,
+)
 from mridc_tpu.nn.layers import ConvNonlinear
 from mridc_tpu.nn.rnn_cells import make_cell
 
@@ -44,21 +52,27 @@ class _RIMStep(nn.Module):
     compute_dtype: Optional[str] = None
     stack_etas: bool = True  # False: skip stacking per-step etas (inference —
     # saves T x [B, H, W, 2] HBM writes; training needs them for step weighting)
+    dc_psf1d: bool = False  # 1D-mask PSF fast path: mask/z0 pre-folded
 
     @nn.compact
-    def __call__(self, carry, _, y, sens, mask, sigma):
+    def __call__(self, carry, _, y, sens, mask, sigma, psf_mats=None, psf_z0=None):
         eta, hx = carry
-        x = log_likelihood_gradient(
-            eta,
-            y,
-            sens,
-            mask,
-            sigma=sigma,
-            fft_centered=self.fft_centered,
-            fft_normalization=self.fft_normalization,
-            spatial_dims=self.spatial_dims,
-            coil_dim=self.coil_dim,
-        )
+        if self.dc_psf1d:
+            x = log_likelihood_gradient_psf1d(
+                eta, sens, psf_mats, psf_z0, sigma=sigma, coil_dim=self.coil_dim
+            )
+        else:
+            x = log_likelihood_gradient(
+                eta,
+                y,
+                sens,
+                mask,
+                sigma=sigma,
+                fft_centered=self.fft_centered,
+                fft_normalization=self.fft_normalization,
+                spatial_dims=self.spatial_dims,
+                coil_dim=self.coil_dim,
+            )
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
         new_hx = []
@@ -112,6 +126,9 @@ class RIMBlock(nn.Module):
     remat: bool = True  # rematerialize each time step: backward through the
     # scan recomputes activations instead of storing T x (conv stack) in HBM
     stack_etas: bool = True  # False: etas output is None (inference fast path)
+    dc_psf1d: bool = False  # exact DC fast path for 1D (column) masks: the
+    # normal operator A^H M A collapses to one per-example [W, W] matmul
+    # (see nn/dc.py psf1d_gauss_mats) and A^H M y is hoisted out of the scan
 
     @nn.compact
     def __call__(
@@ -140,12 +157,27 @@ class RIMBlock(nn.Module):
         else:
             hx = tuple(h_.astype(hx_dtype) for h_ in hx)
 
+        psf_mats = psf_z0 = None
+        if self.dc_psf1d:
+            # mask is [B, 1, H, W] (or H-broadcastable); a 1D mask's rows are
+            # identical, so row 0 defines the whole operator.
+            mask_row = mask[:, 0, 0, :]
+            psf_mats = psf1d_gauss_mats(mask_row, self.fft_centered, self.fft_normalization)
+            psf_z0 = sens_reduce(
+                expand_rv_mask(mask) * y,
+                sens,
+                self.fft_centered,
+                self.fft_normalization,
+                self.spatial_dims,
+                self.coil_dim,
+            )
+
         step_cls = nn.remat(_RIMStep, prevent_cse=False) if self.remat else _RIMStep
         scan = nn.scan(
             step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast,) * 7,
             out_axes=0,
             length=self.time_steps,
         )(
@@ -164,8 +196,9 @@ class RIMBlock(nn.Module):
             coil_dim=self.coil_dim,
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_etas,
+            dc_psf1d=self.dc_psf1d,
         )
-        (eta, hx_out), etas = scan((eta, hx), None, y, sens, mask, sigma)
+        (eta, hx_out), etas = scan((eta, hx), None, y, sens, mask, sigma, psf_mats, psf_z0)
 
         if self.no_dc:
             if return_hx:

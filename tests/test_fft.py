@@ -137,3 +137,76 @@ def test_batched_mask_center():
     for i in range(3):
         want[i, :, frm[i] : to[i], :] = x[i, :, frm[i] : to[i], :]
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# PSF-1D data consistency (nn/dc.py): for 1D column masks the normal operator
+# IFFT2(mask * FFT2(x)) collapses to one [W, W] matmul along the readout axis.
+# These tests pin the exactness of that identity (the TPU inference fast path).
+# ---------------------------------------------------------------------------
+
+
+def _dc_inputs(rng, b=2, c=3, h=16, w=20):
+    def rv(x):
+        return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
+    y = rv(_rand_complex(rng, (b, c, h, w)))
+    sens = rv(_rand_complex(rng, (b, c, h, w)))
+    eta = rv(_rand_complex(rng, (b, h, w)))
+    mask = np.zeros((b, 1, h, w), np.float32)
+    mask[..., ::3] = 1.0
+    mask[..., w // 2 - 3 : w // 2 + 3] = 1.0
+    mask[1, ..., ::2] = 1.0  # different mask per example: mats are batched
+    return jnp.asarray(y), jnp.asarray(sens), jnp.asarray(eta), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("centered", [False, True])
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_psf1d_gradient_matches_full_path(centered, norm):
+    from mridc_tpu.nn.dc import (
+        expand_rv_mask,
+        log_likelihood_gradient,
+        log_likelihood_gradient_psf1d,
+        psf1d_gauss_mats,
+        sens_reduce,
+    )
+
+    rng = np.random.default_rng(23)
+    y, sens, eta, mask = _dc_inputs(rng)
+    full = log_likelihood_gradient(eta, y, sens, expand_rv_mask(mask), 1.0, centered, norm)
+    mats = psf1d_gauss_mats(mask[:, 0, 0, :], centered, norm)
+    z0 = sens_reduce(expand_rv_mask(mask) * y, sens, centered, norm)
+    fast = log_likelihood_gradient_psf1d(eta, sens, mats, z0, 1.0)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full), rtol=0, atol=2e-4)
+
+
+def test_cirim_psf1d_matches_full_model():
+    """End-to-end: a CIRIM built with dc_mode=psf1d reproduces the full-DC
+    model's prediction with identical weights (exact identity, fp noise only)."""
+    import jax
+
+    from mridc_tpu.models import build_model
+
+    rng = np.random.default_rng(29)
+    y, sens, eta, mask = _dc_inputs(rng, b=2, c=2, h=16, w=16)
+    cfg = {
+        "model_name": "CIRIM",
+        "num_cascades": 2,
+        "time_steps": 3,
+        "recurrent_layer": "IndRNN",
+        "conv_filters": [8, 8, 2],
+        "conv_kernels": [5, 3, 3],
+        "conv_dilations": [1, 2, 1],
+        "recurrent_filters": [8, 8, 0],
+        "recurrent_kernels": [1, 1, 0],
+        "recurrent_dilations": [1, 1, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    m_full = build_model(cfg)
+    m_fast = build_model({**cfg, "dc_mode": "psf1d"})
+    variables = m_full.init(jax.random.PRNGKey(0), y, sens, mask)
+    p_full = np.asarray(m_full.apply(variables, y, sens, mask).prediction)
+    p_fast = np.asarray(m_fast.apply(variables, y, sens, mask).prediction)
+    scale = np.abs(p_full).max()
+    np.testing.assert_allclose(p_fast, p_full, rtol=0, atol=5e-4 * scale)
