@@ -82,7 +82,6 @@ class CIRIM(BaseReconModel):
 
     @nn.compact
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False) -> ModelOutput:
-        del train
         mask = expand_mask(mask)
         block_cfg = dict(
             recurrent_layer=self.recurrent_layer,
@@ -103,6 +102,10 @@ class CIRIM(BaseReconModel):
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_intermediates,
             dc_psf1d=self.dc_mode == "psf1d",
+            # the matmul lowering of the cells' 1x1 convs wins in the training
+            # step (backward) but breaks inference fusion; params identical
+            # either way, so keying it on `train` is checkpoint-safe.
+            pointwise_matmul=train,
         )
         have_init = init_pred is not None and init_pred.ndim >= 4
         eta0 = init_pred if have_init else self.sense_init(y, sens)

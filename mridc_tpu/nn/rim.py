@@ -53,6 +53,9 @@ class _RIMStep(nn.Module):
     stack_etas: bool = True  # False: skip stacking per-step etas (inference —
     # saves T x [B, H, W, 2] HBM writes; training needs them for step weighting)
     dc_psf1d: bool = False  # 1D-mask PSF fast path: mask/z0 pre-folded
+    pointwise_matmul: bool = False  # lower the cells' 1x1 convs to matmuls
+    # (wins in the training step's backward, loses inference fusion — see
+    # nn/layers.py Conv)
 
     @nn.compact
     def __call__(self, carry, _, y, sens, mask, sigma, psf_mats=None, psf_z0=None):
@@ -93,7 +96,15 @@ class _RIMStep(nn.Module):
             conv = ConvNonlinear(cf, ck, cd, cb, nl, dtype=self.compute_dtype) if cf != 0 else None
             if rf != 0 and nl is not None:
                 x = conv(x)
-                cell = make_cell(self.recurrent_layer, rf, rk, rd, rb, dtype=self.compute_dtype)
+                cell = make_cell(
+                    self.recurrent_layer,
+                    rf,
+                    rk,
+                    rd,
+                    rb,
+                    dtype=self.compute_dtype,
+                    pointwise_matmul=self.pointwise_matmul,
+                )
                 x = cell(x, hx[h_idx]).astype(hx[h_idx].dtype)
                 new_hx.append(x)
                 h_idx += 1
@@ -129,6 +140,7 @@ class RIMBlock(nn.Module):
     dc_psf1d: bool = False  # exact DC fast path for 1D (column) masks: the
     # normal operator A^H M A collapses to one per-example [W, W] matmul
     # (see nn/dc.py psf1d_gauss_mats) and A^H M y is hoisted out of the scan
+    pointwise_matmul: bool = False  # cells' 1x1 convs as matmuls (train win)
 
     @nn.compact
     def __call__(
@@ -197,6 +209,7 @@ class RIMBlock(nn.Module):
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_etas,
             dc_psf1d=self.dc_psf1d,
+            pointwise_matmul=self.pointwise_matmul,
         )
         (eta, hx_out), etas = scan((eta, hx), None, y, sens, mask, sigma, psf_mats, psf_z0)
 

@@ -13,11 +13,15 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mridc_tpu.nn.layers import Conv
+
 __all__ = ["ConvGRUCell", "ConvMGUCell", "IndRNNCell", "make_cell"]
 
 
-def _gate_conv(features: int, kernel_size: int, dilation: int, use_bias: bool, dtype=None):
-    return nn.Conv(
+def _gate_conv(
+    features: int, kernel_size: int, dilation: int, use_bias: bool, dtype=None, pointwise_matmul: bool = False
+):
+    return Conv(
         features,
         (kernel_size, kernel_size),
         kernel_dilation=(dilation, dilation),
@@ -25,6 +29,7 @@ def _gate_conv(features: int, kernel_size: int, dilation: int, use_bias: bool, d
         use_bias=use_bias,
         kernel_init=nn.initializers.orthogonal(),
         dtype=dtype,
+        pointwise_matmul=pointwise_matmul,
     )
 
 
@@ -34,11 +39,13 @@ class ConvGRUCell(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: str = None
+    pointwise_matmul: bool = False  # lower 1x1 convs to matmul (training win)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-        ih = _gate_conv(3 * self.hidden_size, self.kernel_size, self.dilation, self.use_bias, self.dtype)(x)
-        hh = _gate_conv(3 * self.hidden_size, self.kernel_size, self.dilation, False, self.dtype)(h)
+        pm = self.pointwise_matmul
+        ih = _gate_conv(3 * self.hidden_size, self.kernel_size, self.dilation, self.use_bias, self.dtype, pm)(x)
+        hh = _gate_conv(3 * self.hidden_size, self.kernel_size, self.dilation, False, self.dtype, pm)(h)
         ih_r, ih_z, ih_n = jnp.split(ih, 3, axis=-1)
         hh_r, hh_z, hh_n = jnp.split(hh, 3, axis=-1)
         r = nn.sigmoid(ih_r + hh_r)
@@ -53,11 +60,13 @@ class ConvMGUCell(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: str = None
+    pointwise_matmul: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-        ih = _gate_conv(2 * self.hidden_size, self.kernel_size, self.dilation, self.use_bias, self.dtype)(x)
-        hh = _gate_conv(2 * self.hidden_size, self.kernel_size, self.dilation, False, self.dtype)(h)
+        pm = self.pointwise_matmul
+        ih = _gate_conv(2 * self.hidden_size, self.kernel_size, self.dilation, self.use_bias, self.dtype, pm)(x)
+        hh = _gate_conv(2 * self.hidden_size, self.kernel_size, self.dilation, False, self.dtype, pm)(h)
         ih_f, ih_c = jnp.split(ih, 2, axis=-1)
         hh_f, hh_c = jnp.split(hh, 2, axis=-1)
         f = nn.sigmoid(ih_f + hh_f)
@@ -71,11 +80,12 @@ class IndRNNCell(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: str = None
+    pointwise_matmul: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         std = 1.0 / (self.hidden_size * (1 + self.kernel_size**2))
-        ih = nn.Conv(
+        ih = Conv(
             self.hidden_size,
             (self.kernel_size, self.kernel_size),
             kernel_dilation=(self.dilation, self.dilation),
@@ -83,6 +93,7 @@ class IndRNNCell(nn.Module):
             use_bias=self.use_bias,
             kernel_init=nn.initializers.normal(stddev=std),
             dtype=self.dtype,
+            pointwise_matmul=self.pointwise_matmul,
         )(x)
         hh = self.param("hh", nn.initializers.normal(stddev=std), (1, 1, 1, self.hidden_size))
         return nn.relu(ih + hh * h)
@@ -91,10 +102,23 @@ class IndRNNCell(nn.Module):
 _CELLS = {"GRU": ConvGRUCell, "MGU": ConvMGUCell, "INDRNN": IndRNNCell}
 
 
-def make_cell(kind: str, hidden_size: int, kernel_size: int, dilation: int, use_bias: bool, dtype=None):
+def make_cell(
+    kind: str,
+    hidden_size: int,
+    kernel_size: int,
+    dilation: int,
+    use_bias: bool,
+    dtype=None,
+    pointwise_matmul: bool = False,
+):
     kind = kind.upper()
     if kind not in _CELLS:
         raise ValueError(f"Unknown recurrent layer {kind!r}; choose from {sorted(_CELLS)}")
     return _CELLS[kind](
-        hidden_size=hidden_size, kernel_size=kernel_size, dilation=dilation, use_bias=use_bias, dtype=dtype
+        hidden_size=hidden_size,
+        kernel_size=kernel_size,
+        dilation=dilation,
+        use_bias=use_bias,
+        dtype=dtype,
+        pointwise_matmul=pointwise_matmul,
     )
