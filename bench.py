@@ -24,8 +24,9 @@ import time
 import numpy as np
 
 COILS, H, W = 15, 320, 320
-# batch 32: +7% over 16 on v5e (19.97 -> 21.09 slices/s); 64 adds <1.5% more
-BATCH = int(os.environ.get("BENCH_BATCH", 32))
+# batch 64: +2.7% over 32 with the psf1d DC path (40.9 vs 39.8 slices/s on
+# v5e; the PSF path frees the HBM the full-FFT chain needed)
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
 WARMUP = 2
 ITERS = 7  # ITERS * BATCH = 112 slices
 CASCADES, TIME_STEPS, FILTERS = 5, 8, 64

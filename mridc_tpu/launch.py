@@ -214,12 +214,21 @@ def main(argv=None):
     parser.add_argument("--config-path", default=".", help="Directory containing the config file")
     parser.add_argument("--config-name", required=True, help="YAML config file name")
     parser.add_argument("overrides", nargs="*", help="key=value dotlist overrides")
+    parser.add_argument(
+        "--skip-validation",
+        action="store_true",
+        help="Skip structured-schema validation of trainer/optim/exp_manager blocks",
+    )
     args = parser.parse_args(argv)
 
     cfg_file = Path(args.config_path) / args.config_name
     if not cfg_file.suffix:
         cfg_file = cfg_file.with_suffix(".yaml")
     cfg = load_config(cfg_file, args.overrides)
+    if not args.skip_validation:
+        from mridc_tpu.train.schemas import validate_config
+
+        validate_config(cfg)
     run_from_config(cfg)
 
 
