@@ -1,8 +1,8 @@
 """Console interface: ``python -m mridc_tpu <subcommand>``.
 
 Functional parity with reference: mridc/cli/ (``mridc run -c config``
-cli/launch.py:48-61; the Streamlit ``mridc app`` GUI is out of scope in this
-environment — ``app`` prints a pointer instead). Adds ``models`` (registry
+cli/launch.py:48-61; ``mridc app`` app/launch.py:29 — rebuilt as a
+dependency-free stdlib HTTP app, mridc_tpu/app/). Adds ``models`` (registry
 listing) and ``sweep`` (multirun, replacing the hydra -m ProcessLauncher).
 """
 
@@ -44,12 +44,10 @@ def _cmd_sweep(args):
     sys.exit(max(codes) if codes else 0)
 
 
-def _cmd_app(_args):
-    print(
-        "The interactive GUI is not bundled in this environment. Use "
-        "`python -m mridc_tpu run -c <config.yaml>` or the python API "
-        "(mridc_tpu.launch.run_from_config)."
-    )
+def _cmd_app(args):
+    from mridc_tpu.app.server import serve
+
+    serve(host=args.host, port=args.port)
 
 
 def main(argv=None):
@@ -71,7 +69,9 @@ def main(argv=None):
     sweep_p.add_argument("--jobs-per-slot", type=int, default=1)
     sweep_p.set_defaults(func=_cmd_sweep)
 
-    app_p = sub.add_parser("app", help="Interactive GUI (pointer only in this build)")
+    app_p = sub.add_parser("app", help="Interactive run-builder GUI (stdlib HTTP, no streamlit needed)")
+    app_p.add_argument("--host", default="127.0.0.1")
+    app_p.add_argument("--port", type=int, default=8501)
     app_p.set_defaults(func=_cmd_app)
 
     args = parser.parse_args(argv)
