@@ -13,6 +13,10 @@ AttributeError as shipped). The test injects the evident intent —
 and our implementation mirrors that. Documented in PARITY.md.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -2,6 +2,10 @@
 mtlrs_base/mtlrs_block.py:20) chained over rs-cascades with the mtlrs.py
 task-adaption wiring (hidden-state injection), imported weights."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

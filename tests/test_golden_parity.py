@@ -11,6 +11,10 @@ Reference: mridc/collections/reconstruction/nn/rim/rim_block.py (RIMBlock),
 rim/rim_utils.py (log_likelihood_gradient), common/parts/fft.py (fft2/ifft2).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -6,6 +6,10 @@ lightning, the test replays the reference forward's documented wiring with the
 reference's actual submodules (same approach as the SERANet recurrent golden).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

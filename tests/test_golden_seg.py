@@ -3,6 +3,10 @@ modules: AttentionUnet (attention_unet_base/attention_unet_block.py:67) and
 the Lambda stack (lambda_unet_base/lambda_unet_block.py:11,134,214), with
 imported weights (eval mode; BatchNorm running stats imported)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -5,6 +5,10 @@ ConvLSTMNormUnet (convlstm_unet.py:13), AttentionGate
 and SERANetRecurrentBlock (seranet_base/recon_block.py:12,240) — all with
 imported weights."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

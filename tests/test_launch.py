@@ -1,6 +1,10 @@
 """CLI entry-point tests (reference style: subprocess config runs,
 tests/hydra/test_hydra_runner.py:13-77) plus use_sens_net wrapping."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import subprocess
 import sys
 

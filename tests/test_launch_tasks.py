@@ -1,5 +1,9 @@
 """End-to-end CLI runs for segmentation and multitask tasks on the fixture."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 import yaml

@@ -2,6 +2,10 @@
 build via the registry, forward, check output spatial shape —
 tests/collections/reconstruction/models/test_*.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

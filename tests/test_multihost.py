@@ -1,6 +1,10 @@
 """Multi-host sharding + metric reduction (reference: PTL DistributedSampler +
 DistributedMetricSum, common/nn/base.py:26-62, nn/base.py:890-913)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from fixtures import create_dataset

@@ -1,5 +1,9 @@
 """Segmentation and multitask trainer end-to-end tests on synthetic data."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,10 @@ reference-format state-dict keys, which are then imported through
 mridc_tpu.utils.torch_import.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Trainer engine tests: optimizers, schedulers, a real multi-device DP fit on
 the synthetic fixture, checkpoint/resume and archive roundtrip."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 import jax
