@@ -143,7 +143,8 @@ def bench_jax_train() -> tuple:
     from mridc_tpu.models import build_model
     from mridc_tpu.train.losses import process_reconstruction_loss
 
-    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 8))  # 12+ OOMs 16GB HBM
+    # batch 16 fits with the psf1d DC (4.46 vs 4.01 slices/s at 8); 32 OOMs 16GB
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 16))
     cfg = {
         "model_name": "CIRIM",
         "num_cascades": CASCADES,

@@ -129,6 +129,39 @@ def maybe_init_distributed(trainer_cfg: dict):
             logger.warning(f"jax.distributed.initialize skipped: {e}")
 
 
+_PSF1D_MASK_TYPES = {"random1d", "equispaced1d", "gaussian1d"}
+_PSF1D_MODELS = {"CIRIM", "RIM"}
+
+
+def _auto_dc_mode(model_cfg: dict) -> dict:
+    """Enable the exact PSF-1D data-consistency fast path (+56% inference on
+    v5e, see docs/performance.md) when the data config guarantees 1D column
+    masks: every dataset block generates a 1D mask type, loads no external
+    mask files, and applies no partial-Fourier half-scan; SSDU is off (its
+    split masks are 2D point subsets). Explicit ``dc_mode`` always wins."""
+    if "dc_mode" in model_cfg or str(model_cfg.get("model_name", "")).upper() not in _PSF1D_MODELS:
+        return model_cfg
+    if model_cfg.get("ssdu") or model_cfg.get("n2r"):
+        return model_cfg
+    blocks = [
+        model_cfg.get(k)
+        for k in ("train_ds", "validation_ds", "test_ds")
+        if isinstance(model_cfg.get(k), dict) and model_cfg[k].get("data_path")
+    ]
+    if not blocks:
+        return model_cfg
+    for ds in blocks:
+        mask_args = ds.get("mask_args") or {}
+        if str(mask_args.get("type", "")).lower() not in _PSF1D_MASK_TYPES:
+            return model_cfg
+        if ds.get("mask_path") or ds.get("half_scan_percentage") or ds.get("ssdu"):
+            return model_cfg
+    model_cfg = dict(model_cfg)
+    model_cfg["dc_mode"] = "psf1d"
+    logger.info("1D column masks detected: enabling dc_mode=psf1d (exact DC fast path)")
+    return model_cfg
+
+
 def run_from_config(cfg: dict):
     model_cfg = dict(cfg.get("model") or {})
     trainer_cfg = dict(cfg.get("trainer") or {})
@@ -136,6 +169,7 @@ def run_from_config(cfg: dict):
     mode = cfg.get("mode", "train")
 
     maybe_init_distributed(trainer_cfg)
+    model_cfg = _auto_dc_mode(model_cfg)
     model = build_model(model_cfg)
 
     exp = ExpManager(

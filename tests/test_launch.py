@@ -285,3 +285,29 @@ def test_from_pretrained_roundtrip(tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         from_pretrained("nonexistent-model")
+
+
+def test_auto_dc_mode_gating():
+    from mridc_tpu.launch import _auto_dc_mode
+
+    base = {
+        "model_name": "CIRIM",
+        "train_ds": {"data_path": "/x", "mask_args": {"type": "equispaced1d"}},
+    }
+    assert _auto_dc_mode(dict(base))["dc_mode"] == "psf1d"
+    # explicit setting wins
+    assert _auto_dc_mode({**base, "dc_mode": "full"})["dc_mode"] == "full"
+    # 2D mask types stay on the full path
+    cfg2d = {**base, "train_ds": {"data_path": "/x", "mask_args": {"type": "poisson2d"}}}
+    assert "dc_mode" not in _auto_dc_mode(cfg2d)
+    # SSDU split masks are 2D point subsets
+    assert "dc_mode" not in _auto_dc_mode({**base, "ssdu": True})
+    # external mask files are unknown; half-scan zeroes rows
+    assert "dc_mode" not in _auto_dc_mode(
+        {**base, "train_ds": {**base["train_ds"], "mask_path": "/m"}}
+    )
+    assert "dc_mode" not in _auto_dc_mode(
+        {**base, "train_ds": {**base["train_ds"], "half_scan_percentage": 0.1}}
+    )
+    # non-RIM models don't take dc_mode
+    assert "dc_mode" not in _auto_dc_mode({**base, "model_name": "VN"})
