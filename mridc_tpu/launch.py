@@ -130,7 +130,7 @@ def maybe_init_distributed(trainer_cfg: dict):
 
 
 _PSF1D_MASK_TYPES = {"random1d", "equispaced1d", "gaussian1d"}
-_PSF1D_MODELS = {"CIRIM", "RIM"}
+_PSF1D_MODELS = {"CIRIM", "RIM", "MTLRS"}
 
 
 def _auto_dc_mode(model_cfg: dict) -> dict:

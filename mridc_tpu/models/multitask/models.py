@@ -79,10 +79,13 @@ class MTLRS(BaseReconModel):
     magnitude_input: bool = False
     normalize_segmentation_output: bool = True
     task_adaption_type: str = "multi_task_learning"
+    dc_mode: str = "full"  # "psf1d": exact DC fast path for 1D column masks
+    # (see nn/dc.py psf1d_gauss_mats; same semantics as CIRIM's dc_mode)
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
+            dc_mode=str(cfg.get("dc_mode", "full")).lower(),
             rs_cascades=cfg.get("joint_reconstruction_segmentation_module_cascades", 5),
             recon_num_cascades=cfg.get("reconstruction_module_num_cascades", 1),
             recon_time_steps=cfg.get("reconstruction_module_time_steps", 8),
@@ -132,6 +135,8 @@ class MTLRS(BaseReconModel):
                     fft_normalization=self.fft_normalization,
                     spatial_dims=self.spatial_dims,
                     coil_dim=self.coil_dim,
+                    dc_psf1d=self.dc_mode == "psf1d",
+                    pointwise_matmul=train,
                 )
                 if init_eta is not None:
                     eta_in = init_eta

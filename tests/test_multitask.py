@@ -96,3 +96,45 @@ def test_seg_path_does_not_backprop_to_recon():
     seg_norms = [jnp.abs(g).max() for p, g in flat if "Unet_1" in str(p)]
     assert max(float(x) for x in recon_norms) == 0.0
     assert max(float(x) for x in seg_norms) > 0.0
+
+
+def test_mtlrs_psf1d_matches_full():
+    """dc_mode=psf1d is an exact identity in the MTLRS recon trunk too."""
+    import jax
+    import numpy as np
+
+    from mridc_tpu.models import build_model
+
+    rng = np.random.default_rng(41)
+
+    def rv(x):
+        return np.stack([x.real, x.imag], -1).astype(np.float32)
+
+    b, c, h, w = 1, 2, 16, 16
+    y = rv((rng.standard_normal((b, c, h, w)) + 1j * rng.standard_normal((b, c, h, w))).astype(np.complex64))
+    sens = rv((rng.standard_normal((b, c, h, w)) + 1j * rng.standard_normal((b, c, h, w))).astype(np.complex64))
+    mask = np.zeros((b, 1, h, w), np.float32)
+    mask[..., ::2] = 1.0
+    cfg = {
+        "model_name": "MTLRS",
+        "joint_reconstruction_segmentation_module_cascades": 2,
+        "reconstruction_module_num_cascades": 1,
+        "reconstruction_module_time_steps": 2,
+        "reconstruction_module_conv_filters": [4, 4, 2],
+        "reconstruction_module_recurrent_filters": [4, 4, 0],
+        "segmentation_module": "unet",
+        "segmentation_module_output_channels": 2,
+        "segmentation_module_channels": 4,
+        "segmentation_module_pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    m_full = build_model(cfg)
+    m_fast = build_model({**cfg, "dc_mode": "psf1d"})
+    variables = m_full.init(jax.random.PRNGKey(0), y, sens, mask)
+    out_full, seg_full = m_full.apply(variables, y, sens, mask)
+    out_fast, seg_fast = m_fast.apply(variables, y, sens, mask)
+    pf, pq = np.asarray(out_full.prediction), np.asarray(out_fast.prediction)
+    np.testing.assert_allclose(pq, pf, rtol=0, atol=5e-4 * np.abs(pf).max())
+    sf, sq = np.asarray(seg_full), np.asarray(seg_fast)
+    np.testing.assert_allclose(sq, sf, rtol=0, atol=5e-4 * max(np.abs(sf).max(), 1e-6))
