@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
-from mridc_tpu.models.multitask.blocks import KSpaceDC, UnetDecoder, UnetEncoder
+from mridc_tpu.models.multitask.blocks import KSpaceDC, UnetDecoder, UnetEncoder, apply_group_norm
 from mridc_tpu.nn.dc import sens_expand, sens_reduce
 from mridc_tpu.nn.rim import RIMBlock
 from mridc_tpu.nn.rnn_cells import ConvGRUCell
@@ -42,13 +42,9 @@ __all__ = ["MTLRS", "IDSLR", "IDSLRUNet", "SegNet", "RecSegUNet", "SERANet"]
 
 
 def _group_norm_nograd(x: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
-    """torch.no_grad F.group_norm equivalent: normalize + stop_gradient."""
-    b = x.shape[0]
-    flat = x.reshape(b, groups, -1)
-    mean = flat.mean(-1, keepdims=True)
-    var = flat.var(-1, keepdims=True)
-    normed = ((flat - mean) / jnp.sqrt(var + 1e-5)).reshape(x.shape)
-    return jax.lax.stop_gradient(normed)
+    """torch.no_grad F.group_norm equivalent (channel groups over the last
+    axis for NHWC inputs): normalize + stop_gradient."""
+    return jax.lax.stop_gradient(apply_group_norm(x, groups))
 
 
 def _make_seg_module(kind: str, classes: int, chans: int, pools: int):
@@ -180,25 +176,41 @@ class MTLRS(BaseReconModel):
 
 
 class IDSLR(BaseReconModel):
-    """Shared encoder; recon decoder + seg decoder; k-space DC per iteration."""
+    """Image-domain Deep Structured Low-Rank network: shared UNet encoder,
+    recon decoder + seg decoder, weighted k-space DC per iteration.
+
+    Functional parity with reference:
+    mridc/collections/multitask/rs/nn/idslr.py:19 (iteration loop :141-160,
+    no-grad group-normed encoder stack into the seg decoder :165-173) and
+    idslr_base/idslr_block.py (normalize=True/padding=True defaults).
+    IDSLRUNet (idslr_unet.py:20) instead segments the final coil-channelized
+    reconstruction with a full UNet (:164-177).
+    """
 
     num_iters: int = 5
     chans: int = 32
     num_pools: int = 4
     seg_classes: int = 2
-    use_seg_unet_decoder_only: bool = False
-    magnitude_input: bool = False
+    seg_head: str = "decoder"  # "decoder" (IDSLR) | "unet" (IDSLRUNet)
+    magnitude_input: bool = True
     norm_groups: int = 2
+    normalize: bool = True
+    padding: bool = True
+    padding_size: int = 11
     normalize_segmentation_output: bool = True
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
             num_iters=cfg.get("num_iters", 5),
-            chans=cfg.get("segmentation_module_channels", cfg.get("channels", 32)),
-            num_pools=cfg.get("segmentation_module_pooling_layers", cfg.get("pooling_layers", 4)),
+            chans=cfg.get("channels", cfg.get("segmentation_module_channels", 32)),
+            num_pools=cfg.get("num_pools", cfg.get("segmentation_module_pooling_layers", 4)),
             seg_classes=cfg.get("segmentation_module_output_channels", 2),
-            magnitude_input=cfg.get("magnitude_input", False),
+            magnitude_input=cfg.get("magnitude_input", True),
+            norm_groups=cfg.get("norm_groups", 2),
+            normalize=cfg.get("normalize", True),
+            padding=cfg.get("padding", True),
+            padding_size=cfg.get("padding_size", 11),
             normalize_segmentation_output=cfg.get("normalize_segmentation_output", True),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
@@ -207,49 +219,67 @@ class IDSLR(BaseReconModel):
             coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
         )
 
-    def _coils_to_channels(self, img):
-        b, c, h, w, _ = img.shape
-        return img.transpose(0, 2, 3, 1, 4).reshape(b, h, w, 2 * c)
-
-    def _channels_to_coils(self, x, coils):
-        b, h, w, _ = x.shape
-        return x.reshape(b, h, w, coils, 2).transpose(0, 3, 1, 2, 4)
-
     @nn.compact
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
         del init_pred
         mask = expand_mask(mask)
         coils = y.shape[1]
-        encoder = UnetEncoder(chans=self.chans, num_pools=self.num_pools)
-        recon_decoder = UnetDecoder(out_chans=2 * coils, chans=self.chans, num_pools=self.num_pools)
-        seg_decoder = (
-            Unet(out_chans=self.seg_classes, chans=self.chans, num_pool_layers=self.num_pools)
-            if self.use_seg_unet_decoder_only
-            else UnetDecoder(out_chans=self.seg_classes, chans=self.chans, num_pools=self.num_pools)
+        encoder = UnetEncoder(
+            chans=self.chans,
+            num_pools=self.num_pools,
+            normalize=self.normalize,
+            padding=self.padding,
+            padding_size=self.padding_size,
+            norm_groups=self.norm_groups,
         )
+        recon_decoder = UnetDecoder(
+            out_chans=2 * coils,
+            chans=self.chans,
+            num_pools=self.num_pools,
+            normalize=self.normalize,
+            padding=self.padding,
+            norm_groups=self.norm_groups,
+        )
+        if self.seg_head == "unet":
+            seg_module = Unet(out_chans=self.seg_classes, chans=self.chans, num_pool_layers=self.num_pools)
+        else:
+            seg_module = UnetDecoder(
+                out_chans=self.seg_classes,
+                chans=self.chans,
+                num_pools=self.num_pools,
+                normalize=self.normalize,
+                padding=self.padding,
+                norm_groups=self.norm_groups,
+            )
         dc = KSpaceDC()
 
         y_pred = y
-        stack = None
+        stack = pad_sizes = None
         for _ in range(self.num_iters):
             img = ifft2_rv(y_pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
-            x = self._coils_to_channels(img)
-            stack = encoder(x, train)
-            delta = recon_decoder(stack, train)
-            recon = self._channels_to_coils(delta, coils) + img
+            x = _coils_to_channels(img)
+            stack, pad_sizes, mean, std = encoder(x, train)
+            delta = recon_decoder(stack, pad_sizes, mean, std, train)
+            recon = _channels_to_coils(delta) + img
             pred_k = fft2_rv(recon, self.fft_centered, self.fft_normalization, self.spatial_dims)
             y_pred = dc(pred_k, y, mask)
 
         image = ifft2_rv(y_pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
         prediction = ccombine(image, sens, self.coil_combination_method, self.coil_dim)
 
-        seg_stack = [_group_norm_nograd(s, self.norm_groups) for s in stack]
-        if self.magnitude_input:
-            seg_stack = [jnp.abs(s) for s in seg_stack]
-        if self.use_seg_unet_decoder_only:
-            seg = seg_decoder(seg_stack[0], train)
+        if self.seg_head == "unet":
+            # reference idslr_unet.py:164-173: final coil-channelized recon,
+            # no-grad group norm (+ magnitude), through a full UNet
+            seg_in = _group_norm_nograd(_coils_to_channels(image), self.norm_groups)
+            if self.magnitude_input:
+                seg_in = jnp.abs(seg_in)
+            seg = seg_module(seg_in, train)
         else:
-            seg = seg_decoder(seg_stack, train)
+            # reference idslr.py:165-173: no-grad group-normed encoder stack
+            seg_stack = [_group_norm_nograd(s, self.norm_groups) for s in stack]
+            if self.magnitude_input:
+                seg_stack = [jnp.abs(s) for s in seg_stack]
+            seg = seg_module(seg_stack, pad_sizes, None, None, train)
         seg = jnp.abs(seg)
         if self.normalize_segmentation_output:
             seg = seg / jnp.maximum(seg.max(), 1e-12)
@@ -260,29 +290,50 @@ class IDSLRUNet(IDSLR):
     """IDSLR variant with a full UNet as the segmentation head
     (reference idslr_unet.py:20)."""
 
-    use_seg_unet_decoder_only: bool = True
+    seg_head: str = "unet"
 
 
 class SegNet(BaseReconModel):
-    """Per-iteration encoders/decoders/seg-decoders + final 1x1 over the
-    concatenated segmentations (reference segnet.py:21)."""
+    """Per-iteration encoders/decoders/seg-decoders + final replication-padded
+    conv over the concatenated segmentations.
+
+    Functional parity with reference:
+    mridc/collections/multitask/rs/nn/segnet.py:21 (normalize=False/
+    padding=False defaults :50-52, per-cascade modules :56-100, final
+    ConvNonlinear :102-112, forward :170-205). Returns the final fused
+    segmentation (the reference also averages the per-cascade segmentation
+    losses during training — documented deviation, PARITY.md).
+    """
 
     num_iters: int = 2
     chans: int = 32
     num_pools: int = 4
     seg_classes: int = 2
     norm_groups: int = 2
-    magnitude_input: bool = False
+    normalize: bool = False
+    padding: bool = False
+    padding_size: int = 11
+    magnitude_input: bool = True
+    seg_final_kernel: int = 3
+    seg_final_bias: bool = False
+    seg_final_nonlinear: str = "relu"
     normalize_segmentation_output: bool = True
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
-            num_iters=cfg.get("num_iters", 2),
-            chans=cfg.get("segmentation_module_channels", cfg.get("channels", 32)),
-            num_pools=cfg.get("segmentation_module_pooling_layers", cfg.get("pooling_layers", 4)),
+            num_iters=cfg.get("num_cascades", cfg.get("num_iters", 2)),
+            chans=cfg.get("channels", cfg.get("segmentation_module_channels", 32)),
+            num_pools=cfg.get("num_pools", cfg.get("segmentation_module_pooling_layers", 4)),
             seg_classes=cfg.get("segmentation_module_output_channels", 2),
-            magnitude_input=cfg.get("magnitude_input", False),
+            norm_groups=cfg.get("norm_groups", 2),
+            normalize=cfg.get("normalize", False),
+            padding=cfg.get("padding", False),
+            padding_size=cfg.get("padding_size", 11),
+            magnitude_input=cfg.get("magnitude_input", True),
+            seg_final_kernel=cfg.get("segmentation_final_layer_kernel_size", 3),
+            seg_final_bias=cfg.get("segmentation_final_layer_bias", False),
+            seg_final_nonlinear=cfg.get("segmentation_final_layer_nonlinear", "relu"),
             normalize_segmentation_output=cfg.get("normalize_segmentation_output", True),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
@@ -293,32 +344,60 @@ class SegNet(BaseReconModel):
 
     @nn.compact
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False):
+        from mridc_tpu.nn.layers import ConvNonlinear
+
         del init_pred
         mask = expand_mask(mask)
         coils = y.shape[1]
-        helper = IDSLR  # reuse coil<->channel reshapes
+        dc = KSpaceDC()  # single shared DC across cascades (reference segnet.py:112)
         y_pred = y
         segs = []
         for _ in range(self.num_iters):
             img = ifft2_rv(y_pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
-            x = helper._coils_to_channels(self, img)
-            stack = UnetEncoder(chans=self.chans, num_pools=self.num_pools)(x, train)
+            x = _coils_to_channels(img)
+            stack, pad_sizes, mean, std = UnetEncoder(
+                chans=self.chans,
+                num_pools=self.num_pools,
+                normalize=self.normalize,
+                padding=self.padding,
+                padding_size=self.padding_size,
+                norm_groups=self.norm_groups,
+            )(x, train)
             seg_stack = [_group_norm_nograd(s, self.norm_groups) for s in stack]
             if self.magnitude_input:
                 seg_stack = [jnp.abs(s) for s in seg_stack]
             segs.append(
-                UnetDecoder(out_chans=self.seg_classes, chans=self.chans, num_pools=self.num_pools)(
-                    seg_stack, train
-                )
+                UnetDecoder(
+                    out_chans=self.seg_classes,
+                    chans=self.chans,
+                    num_pools=self.num_pools,
+                    normalize=self.normalize,
+                    padding=self.padding,
+                    norm_groups=self.norm_groups,
+                )(seg_stack, pad_sizes, None, None, train)
             )
-            delta = UnetDecoder(out_chans=2 * coils, chans=self.chans, num_pools=self.num_pools)(stack, train)
-            recon = helper._channels_to_coils(self, delta, coils) + img
+            delta = UnetDecoder(
+                out_chans=2 * coils,
+                chans=self.chans,
+                num_pools=self.num_pools,
+                normalize=self.normalize,
+                padding=self.padding,
+                norm_groups=self.norm_groups,
+            )(stack, pad_sizes, mean, std, train)
+            # NOTE: unlike IDSLR, the reference SegNet does NOT add the
+            # zero-filled image back (segnet.py:186-193 — no residual)
+            recon = _channels_to_coils(delta)
             pred_k = fft2_rv(recon, self.fft_centered, self.fft_normalization, self.spatial_dims)
-            y_pred = KSpaceDC()(pred_k, y, mask)
+            y_pred = dc(pred_k, y, mask)
 
         image = ifft2_rv(y_pred, self.fft_centered, self.fft_normalization, self.spatial_dims)
         prediction = ccombine(image, sens, self.coil_combination_method, self.coil_dim)
-        seg = nn.Conv(self.seg_classes, (1, 1))(jnp.concatenate(segs, axis=-1))
+        seg = ConvNonlinear(
+            self.seg_classes,
+            kernel_size=self.seg_final_kernel,
+            use_bias=self.seg_final_bias,
+            nonlinear=self.seg_final_nonlinear,
+        )(jnp.concatenate(segs, axis=-1))
         if self.normalize_segmentation_output:
             seg = seg / jnp.maximum(seg.max(), 1e-12)
         return ModelOutput(prediction=prediction), seg

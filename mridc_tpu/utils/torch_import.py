@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params", "import_residual_network_params", "import_rim_block_params", "import_unet_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params", "import_residual_network_params", "import_rim_block_params", "import_unet_params", "import_idslr_encoder_params", "import_idslr_decoder_params", "import_conv_nonlinear_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -661,3 +661,61 @@ def import_unet_params(state: Dict[str, np.ndarray], num_pools: int, prefix: str
     (reference unet_base/unet_block.py:145) — the NormUnet importer's inner
     tree without the NormUnet wrapper."""
     return import_normunet_params(state, chans=0, num_pools=num_pools, prefix=prefix)["Unet_0"]
+
+
+def import_idslr_encoder_params(state: Dict[str, np.ndarray], num_pools: int, prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.models.multitask.blocks.UnetEncoder`
+    from a reference idslr_block.UnetEncoder state dict (reference
+    multitask/rs/nn/idslr_base/idslr_block.py:51 — ConvBlock convs at
+    down_sample_layers.{i}.layers.{0,4}, bottleneck at conv.layers.{0,4})."""
+
+    def conv(key):
+        return {"kernel": oihw_to_hwio(state[prefix + key])}
+
+    tree: Dict = {}
+    for i in range(num_pools):
+        tree[f"ConvBlock_{i}"] = {
+            "Conv_0": conv(f"down_sample_layers.{i}.layers.0.weight"),
+            "Conv_1": conv(f"down_sample_layers.{i}.layers.4.weight"),
+        }
+    tree[f"ConvBlock_{num_pools}"] = {
+        "Conv_0": conv("conv.layers.0.weight"),
+        "Conv_1": conv("conv.layers.4.weight"),
+    }
+    return tree
+
+
+def import_idslr_decoder_params(state: Dict[str, np.ndarray], num_pools: int, prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.models.multitask.blocks.UnetDecoder`
+    from a reference idslr_block.UnetDecoder state dict (reference
+    idslr_block.py:193 — transpose convs at up_transpose_conv.{i}.layers.0,
+    up convs at up_conv.{i}.layers.{0,4} (last level nested in a Sequential
+    with the final 1x1 at up_conv.{last}.1))."""
+
+    def conv(key):
+        return {"kernel": oihw_to_hwio(state[prefix + key])}
+
+    tree: Dict = {}
+    for i in range(num_pools):
+        tree[f"TransposeConvBlock_{i}"] = {
+            "ConvTranspose_0": {
+                "kernel": iohw_to_hwio_flipped(state[prefix + f"up_transpose_conv.{i}.layers.0.weight"])
+            }
+        }
+        key0 = f"up_conv.{i}.layers.0.weight" if i < num_pools - 1 else f"up_conv.{i}.0.layers.0.weight"
+        key1 = f"up_conv.{i}.layers.4.weight" if i < num_pools - 1 else f"up_conv.{i}.0.layers.4.weight"
+        tree[f"ConvBlock_{i}"] = {"Conv_0": conv(key0), "Conv_1": conv(key1)}
+    final = {"kernel": oihw_to_hwio(state[prefix + f"up_conv.{num_pools - 1}.1.weight"])}
+    if prefix + f"up_conv.{num_pools - 1}.1.bias" in state:
+        final["bias"] = state[prefix + f"up_conv.{num_pools - 1}.1.bias"]
+    tree["Conv_0"] = final
+    return tree
+
+
+def import_conv_nonlinear_params(state: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.layers.ConvNonlinear` from a
+    reference rim/conv_layers.py:44 ``ConvNonlinear`` state dict."""
+    tree = {"kernel": oihw_to_hwio(state[prefix + "conv_layer.weight"])}
+    if prefix + "conv_layer.bias" in state:
+        tree["bias"] = state[prefix + "conv_layer.bias"]
+    return {"Conv_0": tree}
