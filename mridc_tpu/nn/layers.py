@@ -166,15 +166,17 @@ def channels_to_coils_complex(x: jnp.ndarray, coils: int) -> jnp.ndarray:
 
 
 class InstanceNorm(nn.Module):
-    """Per-channel, per-sample normalization over H, W (torch InstanceNorm2d,
-    affine=False, eps=1e-5)."""
+    """Per-channel, per-sample normalization over the spatial axes (torch
+    InstanceNorm2d/3d, affine=False, eps=1e-5). Channels-last: normalizes
+    over every axis except batch (first) and channels (last)."""
 
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = x.mean(axis=(-3, -2), keepdims=True)
-        var = x.var(axis=(-3, -2), keepdims=True)
+        axes = tuple(range(1, x.ndim - 1))
+        mean = x.mean(axis=axes, keepdims=True)
+        var = x.var(axis=axes, keepdims=True)
         return (x - mean) * jax.lax.rsqrt(var + self.eps)
 
 

@@ -814,44 +814,67 @@ class UNETR(nn.Module):
         return UnetOutBlock(self.out_chans)(out)
 
 
-class _ConvBlock3D(nn.Module):
-    features: int
+class Conv3dBlock(nn.Module):
+    """Conv3d(3, no bias) + InstanceNorm3d + LeakyReLU(0.2) + Dropout, x2
+    (reference segmentation/nn/unet3d_base/unet3d_block.py:8)."""
+
+    out_chans: int
+    drop_prob: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(2):
-            x = nn.Conv(self.features, (3, 3, 3), padding="SAME", use_bias=False)(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
-            x = nn.relu(x)
+            x = nn.Conv(self.out_chans, (3, 3, 3), padding="SAME", use_bias=False)(x)
+            x = InstanceNorm()(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
         return x
 
 
+class TransposeConv3dBlock(nn.Module):
+    """ConvTranspose3d((1,2,2), no bias) + InstanceNorm3d + LeakyReLU(0.2)
+    (reference unet3d_block.py:44) — upsampling in-plane only, depth kept."""
+
+    out_chans: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(self.out_chans, (1, 2, 2), strides=(1, 2, 2), use_bias=False)(x)
+        x = InstanceNorm()(x)
+        return nn.leaky_relu(x, 0.2)
+
+
 class UNet3D(nn.Module):
-    """3D UNet over [B, D, H, W, C] volumes (reference unet3d_block.py:72)."""
+    """3D UNet over [B, D, H, W, C] volumes — the fastMRI UNet pattern with
+    3D blocks, in-plane (1,2,2) pooling/up-sampling, and reflect padding for
+    odd sizes (reference unet3d_block.py:72-170)."""
 
     out_chans: int
     chans: int = 16
     num_pool_layers: int = 3
+    drop_prob: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ch = self.chans
-        skips = []
+        stack = []
+        out = x
         for i in range(self.num_pool_layers):
-            x = _ConvBlock3D(ch)(x, train)
-            skips.append(x)
-            x = nn.max_pool(x, (1, 2, 2), strides=(1, 2, 2))
+            out = Conv3dBlock(ch, self.drop_prob)(out, train)
+            stack.append(out)
+            out = nn.avg_pool(out, (1, 2, 2), strides=(1, 2, 2))
             if i < self.num_pool_layers - 1:
                 ch *= 2
-        x = _ConvBlock3D(ch * 2)(x, train)
+        out = Conv3dBlock(ch * 2, self.drop_prob)(out, train)
+
         for i in range(self.num_pool_layers):
-            skip = skips.pop()
-            x = nn.ConvTranspose(ch, (1, 2, 2), strides=(1, 2, 2))(x)
-            pads = [(0, skip.shape[d] - x.shape[d]) for d in (1, 2, 3)]
+            skip = stack.pop()
+            out = TransposeConv3dBlock(ch)(out)
+            pads = [(0, skip.shape[d] - out.shape[d]) for d in (1, 2, 3)]
             if any(p[1] for p in pads):
-                x = jnp.pad(x, ((0, 0), *pads, (0, 0)))
-            x = _ConvBlock3D(ch)(jnp.concatenate([x, skip], -1), train)
+                out = jnp.pad(out, ((0, 0), *pads, (0, 0)), mode="reflect")
+            out = Conv3dBlock(ch, self.drop_prob)(jnp.concatenate([out, skip], -1), train)
             if i < self.num_pool_layers - 1:
                 ch //= 2
-        return nn.Conv(self.out_chans, (1, 1, 1))(x)
+        return nn.Conv(self.out_chans, (1, 1, 1))(out)
 

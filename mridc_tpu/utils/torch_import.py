@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params", "import_residual_network_params", "import_rim_block_params", "import_unet_params", "import_idslr_encoder_params", "import_idslr_decoder_params", "import_conv_nonlinear_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params", "import_residual_network_params", "import_rim_block_params", "import_unet_params", "import_idslr_encoder_params", "import_idslr_decoder_params", "import_conv_nonlinear_params", "iodhw_to_dhwio_flipped", "import_unet3d_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -719,3 +719,49 @@ def import_conv_nonlinear_params(state: Dict[str, np.ndarray], prefix: str = "")
     if prefix + "conv_layer.bias" in state:
         tree["bias"] = state[prefix + "conv_layer.bias"]
     return {"Conv_0": tree}
+
+
+def iodhw_to_dhwio_flipped(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose3d (in, out, kD, kH, kW) -> flax ConvTranspose
+    (kD, kH, kW, in, out) with spatial flip (see iohw_to_hwio_flipped)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1])
+
+
+def import_unet3d_params(state: Dict[str, np.ndarray], num_pools: int, prefix: str = "") -> Dict:
+    """Flax param tree for :class:`mridc_tpu.nn.seg_blocks.UNet3D` from a
+    reference UNet3D state dict (reference
+    segmentation/nn/unet3d_base/unet3d_block.py:72 — Conv3dBlock convs at
+    layers.{0,4}, transpose convs at up_transpose_conv.{i}.layers.0, final
+    1x1x1 at up_conv.{last}.1)."""
+
+    def conv(key):
+        return {"kernel": oidhw_to_dhwio(state[prefix + key])}
+
+    tree: Dict = {}
+    blocks = 0
+    for i in range(num_pools):
+        tree[f"Conv3dBlock_{blocks}"] = {
+            "Conv_0": conv(f"down_sample_layers.{i}.layers.0.weight"),
+            "Conv_1": conv(f"down_sample_layers.{i}.layers.4.weight"),
+        }
+        blocks += 1
+    tree[f"Conv3dBlock_{blocks}"] = {
+        "Conv_0": conv("conv.layers.0.weight"),
+        "Conv_1": conv("conv.layers.4.weight"),
+    }
+    blocks += 1
+    for i in range(num_pools):
+        tree[f"TransposeConv3dBlock_{i}"] = {
+            "ConvTranspose_0": {
+                "kernel": iodhw_to_dhwio_flipped(state[prefix + f"up_transpose_conv.{i}.layers.0.weight"])
+            }
+        }
+        key0 = f"up_conv.{i}.layers.0.weight" if i < num_pools - 1 else f"up_conv.{i}.0.layers.0.weight"
+        key1 = f"up_conv.{i}.layers.4.weight" if i < num_pools - 1 else f"up_conv.{i}.0.layers.4.weight"
+        tree[f"Conv3dBlock_{blocks}"] = {"Conv_0": conv(key0), "Conv_1": conv(key1)}
+        blocks += 1
+    tree["Conv_0"] = {
+        "kernel": oidhw_to_dhwio(state[prefix + f"up_conv.{num_pools - 1}.1.weight"]),
+        "bias": state[prefix + f"up_conv.{num_pools - 1}.1.bias"],
+    }
+    return tree

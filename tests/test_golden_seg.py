@@ -204,3 +204,27 @@ def test_unetr_matches_reference():
     params = import_unetr_params({k: v.numpy() for k, v in tnet.state_dict().items()})
     got = net.apply({"params": params}, _nhwc(x))
     np.testing.assert_allclose(_nchw(got), want, rtol=3e-3, atol=3e-4)
+
+
+def test_unet3d_matches_reference():
+    """Golden: 3D UNet vs reference unet3d_base/unet3d_block.py:72 with
+    imported weights (in-plane pooling, InstanceNorm3d, reflect pad)."""
+    import reference_loader
+
+    from mridc_tpu.nn.seg_blocks import UNet3D
+    from mridc_tpu.utils.torch_import import import_unet3d_params
+
+    block = reference_loader.load("mridc.collections.segmentation.nn.unet3d_base.unet3d_block")
+    torch.manual_seed(9)
+    chans, pools, classes = 4, 2, 3
+    tnet = block.UNet3D(in_chans=1, out_chans=classes, chans=chans, num_pool_layers=pools, drop_prob=0.0).eval()
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, 1, 3, 17, 18)).astype(np.float32)  # [B, C, D, H, W] odd H/W
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    net = UNet3D(out_chans=classes, chans=chans, num_pool_layers=pools)
+    params = import_unet3d_params({k: v.numpy() for k, v in tnet.state_dict().items()}, num_pools=pools)
+    x_j = jnp.asarray(np.moveaxis(x, 1, -1))  # NCDHW -> NDHWC
+    got = np.moveaxis(np.asarray(net.apply({"params": params}, x_j)), -1, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
