@@ -44,6 +44,8 @@ class CIRIM(BaseReconModel):
     compute_dtype: str = None
     stack_intermediates: bool = True  # False: inference fast path — skip
     # stacking cascades x T per-step predictions (saves HBM traffic/footprint)
+    lane_fold: str = "auto"  # fold the conv/RNN stack to full MXU lane
+    # width on TPU (exact; nn/fold.py). "auto" | "always" | "never".
     dc_mode: str = "full"  # "psf1d": exact DC fast path when the sampling
     # mask is 1D along the phase-encode axis (fastMRI-style column masks) —
     # the 2D fwd+inv FFT pair per RIM step collapses to one [W, W] matmul
@@ -73,6 +75,7 @@ class CIRIM(BaseReconModel):
             compute_dtype=cfg.get("compute_dtype", None),
             stack_intermediates=cfg.get("stack_intermediates", True),
             dc_mode=str(cfg.get("dc_mode", "full")).lower(),
+            lane_fold=str(cfg.get("lane_fold", "auto")).lower(),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -102,6 +105,7 @@ class CIRIM(BaseReconModel):
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_intermediates,
             dc_psf1d=self.dc_mode == "psf1d",
+            lane_fold=self.lane_fold,
             # the matmul lowering of the cells' 1x1 convs wins in the training
             # step (backward) but breaks inference fusion; params identical
             # either way, so keying it on `train` is checkpoint-safe.

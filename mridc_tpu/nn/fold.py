@@ -1,0 +1,82 @@
+"""Lane folding: run 64-channel convs at full MXU lane width.
+
+TPU MXU lanes are 128 wide; XLA pads both operand channel dims, so a 64->64
+conv wastes 4x (measured: a 3x3 64->64 costs the same as 128->128). Folding
+adjacent W-column pairs into channels — [B, H, W, C] -> [B, H, W/2, 2C] —
+makes the same convolution a [kh, sw, 2C, 2C] conv at half the width:
+2x the nominal FLOPs but ~3x faster in practice (v5e, inside a scan:
+3x3 d1 8.08 -> 2.82 ms/step, 3x3 d2 7.06 -> 2.78, 1x1 4.94 -> 1.80 at
+[32, 320, 320, 64] bf16).
+
+The folded kernel is repacked from the STANDARD [kh, kw, cin, cout] parameter
+at trace time (checkpoint-neutral; XLA hoists the repack out of scans):
+out col x = 2u+p needs source col x + (dx-r)*dw; with the original W axis
+padded by ``pad = 2*ceil(r*dw/2)`` (one folded halo slot for every kernel
+the RIM uses), tap dx of parity p lands at folded offset s = t//2, source
+parity q = t%2 where t = p + (dx-r)*dw + pad. Each (p, dx) maps to a unique
+(s, q) block, so repacking is a pure scatter and the folded conv is EXACT
+(fp-identical modulo reassociation). Dilation along the folded axis becomes
+dense (d=2 hits same-parity columns), so the dilated RIM conv folds to an
+ordinary 3-wide kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fold_w", "unfold_w", "fold_kernel", "fold_pad_amount", "halo_pad_folded"]
+
+
+def fold_w(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H, W/2, 2C]; channel layout (col-parity, C)."""
+    b, h, w, c = x.shape
+    assert w % 2 == 0, f"lane folding needs even W, got {w}"
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def unfold_w(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, Wf, 2C] -> [B, H, 2*Wf, C]."""
+    b, h, wf, c2 = x.shape
+    assert c2 % 2 == 0
+    return x.reshape(b, h, wf * 2, c2 // 2)
+
+
+def fold_pad_amount(kw: int, dw: int) -> int:
+    """Original-axis W padding the folded conv needs (even, >= r*dw)."""
+    r = (kw - 1) // 2
+    return 2 * int(np.ceil(r * dw / 2)) if kw > 1 else 0
+
+
+def fold_kernel(k: jnp.ndarray, dw: int = 1) -> jnp.ndarray:
+    """Standard [kh, kw, cin, cout] -> folded [kh, sw, 2cin, 2cout]."""
+    kh, kw, cin, cout = k.shape
+    r = (kw - 1) // 2
+    pad = fold_pad_amount(kw, dw)
+    if kw == 1:
+        kf = jnp.zeros((kh, 1, 2 * cin, 2 * cout), k.dtype)
+        kf = kf.at[:, 0, :cin, :cout].set(k[:, 0])
+        kf = kf.at[:, 0, cin:, cout:].set(k[:, 0])
+        return kf
+    sw = (1 + r * dw + pad) // 2 + 1
+    kf = jnp.zeros((kh, sw, 2 * cin, 2 * cout), k.dtype)
+    for p in (0, 1):
+        for dx in range(kw):
+            t = p + (dx - r) * dw + pad
+            s, q = t // 2, t % 2
+            kf = kf.at[:, s, q * cin : (q + 1) * cin, p * cout : (p + 1) * cout].set(k[:, dx])
+    return kf
+
+
+def halo_pad_folded(xf: jnp.ndarray, cin: int, mode: str = "edge") -> jnp.ndarray:
+    """Pad the ORIGINAL W axis by 2 columns each side, in folded layout (one
+    halo slot per side). ``edge`` replicates the original edge column into
+    both parities of the halo slot (matching replication-pad-then-fold);
+    ``zero`` matches zero padding."""
+    if mode == "zero":
+        return jnp.pad(xf, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    left = jnp.concatenate([xf[:, :, :1, :cin], xf[:, :, :1, :cin]], axis=-1)
+    right = jnp.concatenate([xf[:, :, -1:, cin:], xf[:, :, -1:, cin:]], axis=-1)
+    return jnp.concatenate([left, xf, right], axis=2)

@@ -45,9 +45,47 @@ class Conv(nn.Conv):
     """
 
     pointwise_matmul: bool = False
+    lane_fold: bool = False  # input/output in folded layout [B, H, W/2, 2C];
+    # params stay in the standard [kh, kw, cin, cout] layout (see nn/fold.py)
+    fold_pad_mode: str = "zero"  # halo semantics: "zero" (SAME) | "edge"
+
+    def _folded_call(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mridc_tpu.nn.fold import fold_kernel, fold_pad_amount, halo_pad_folded
+
+        k = self.kernel_size
+        kh, kw = (k, k) if isinstance(k, int) else tuple(k)
+        d = self.kernel_dilation if self.kernel_dilation is not None else 1
+        dh, dw = (d, d) if isinstance(d, int) else tuple(d)
+        cin = x.shape[-1] // 2
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype) if self.use_bias else None
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        kf = fold_kernel(kernel, dw)
+        rh = (kh - 1) // 2
+        if rh:
+            h_mode = "edge" if self.fold_pad_mode == "edge" else "constant"
+            x = jnp.pad(x, ((0, 0), (rh * dh, rh * dh), (0, 0), (0, 0)), mode=h_mode)
+        pad = fold_pad_amount(kw, dw)
+        assert pad in (0, 2), f"lane folding supports one halo slot, kernel {kw} dilation {dw} needs pad {pad}"
+        if pad:
+            x = halo_pad_folded(x, cin, self.fold_pad_mode)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kf,
+            (1, 1),
+            "VALID",
+            rhs_dilation=(dh, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision,
+        )
+        if bias is not None:
+            y = y + jnp.tile(bias, 2)
+        return y
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.lane_fold:
+            return self._folded_call(x)
         k = self.kernel_size
         k = (k, k) if isinstance(k, int) else tuple(k)
         s = self.strides if self.strides is not None else 1
@@ -192,11 +230,12 @@ class ConvNonlinear(nn.Module):
     use_bias: bool = True
     nonlinear: Optional[str] = "relu"
     dtype: Optional[str] = None
+    lane_fold: bool = False  # folded layout in/out; Conv handles all padding
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = self.dilation * (self.kernel_size - 1) // 2
-        if pad:
+        if pad and not self.lane_fold:
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
         x = Conv(
             self.features,
@@ -206,6 +245,8 @@ class ConvNonlinear(nn.Module):
             use_bias=self.use_bias,
             kernel_init=nn.initializers.kaiming_normal(),
             dtype=self.dtype,
+            lane_fold=self.lane_fold,
+            fold_pad_mode="edge",
         )(x)
         if self.nonlinear is None or self.nonlinear.lower() == "none":
             return x

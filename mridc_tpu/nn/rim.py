@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mridc_tpu.nn.dc import (
@@ -27,6 +28,7 @@ from mridc_tpu.nn.dc import (
     sens_reduce,
     soft_dc,
 )
+from mridc_tpu.nn.fold import fold_w, unfold_w
 from mridc_tpu.nn.layers import ConvNonlinear
 from mridc_tpu.nn.rnn_cells import make_cell
 
@@ -56,6 +58,9 @@ class _RIMStep(nn.Module):
     pointwise_matmul: bool = False  # lower the cells' 1x1 convs to matmuls
     # (wins in the training step's backward, loses inference fusion — see
     # nn/layers.py Conv)
+    lane_fold: bool = False  # run the conv/RNN stack in folded layout
+    # [B, H, W/2, 2C] for full MXU lane width (nn/fold.py) — exact, ~2x on
+    # the conv stack; hidden states are carried folded
 
     @nn.compact
     def __call__(self, carry, _, y, sens, mask, sigma, psf_mats=None, psf_z0=None):
@@ -78,6 +83,8 @@ class _RIMStep(nn.Module):
             )
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
+        if self.lane_fold:
+            x = fold_w(x)
         new_hx = []
         nonlinears = ["relu", "relu", None]
         h_idx = 0
@@ -93,7 +100,11 @@ class _RIMStep(nn.Module):
             self.recurrent_bias,
             nonlinears,
         ):
-            conv = ConvNonlinear(cf, ck, cd, cb, nl, dtype=self.compute_dtype) if cf != 0 else None
+            conv = (
+                ConvNonlinear(cf, ck, cd, cb, nl, dtype=self.compute_dtype, lane_fold=self.lane_fold)
+                if cf != 0
+                else None
+            )
             if rf != 0 and nl is not None:
                 x = conv(x)
                 cell = make_cell(
@@ -104,14 +115,17 @@ class _RIMStep(nn.Module):
                     rb,
                     dtype=self.compute_dtype,
                     pointwise_matmul=self.pointwise_matmul,
+                    lane_fold=self.lane_fold,
                 )
                 x = cell(x, hx[h_idx]).astype(hx[h_idx].dtype)
                 new_hx.append(x)
                 h_idx += 1
             else:
                 final = conv
-        dx = final(x).astype(eta.dtype)  # [B, H, W, 2]
-        eta = eta + dx
+        dx = final(x)
+        if self.lane_fold:
+            dx = unfold_w(dx)
+        eta = eta + dx.astype(eta.dtype)  # [B, H, W, 2]
         return (eta, tuple(new_hx)), (eta if self.stack_etas else None)
 
 
@@ -141,6 +155,9 @@ class RIMBlock(nn.Module):
     # normal operator A^H M A collapses to one per-example [W, W] matmul
     # (see nn/dc.py psf1d_gauss_mats) and A^H M y is hoisted out of the scan
     pointwise_matmul: bool = False  # cells' 1x1 convs as matmuls (train win)
+    lane_fold: str = "never"  # "auto": fold the conv/RNN stack into 2C
+    # channels at W/2 on non-CPU backends (IndRNN only; exact — see
+    # nn/fold.py); "always"/"never" force it
 
     @nn.compact
     def __call__(
@@ -161,10 +178,19 @@ class RIMBlock(nn.Module):
                 y, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
             )
         b, h, w = eta.shape[0], eta.shape[1], eta.shape[2]
+        fold = self.lane_fold == "always" or (
+            self.lane_fold == "auto"
+            and jax.default_backend() != "cpu"
+            and self.recurrent_layer.upper() == "INDRNN"
+            and w % 2 == 0
+        )
         hx_dtype = self.compute_dtype or jnp.float32
         if hx is None:
+            hx_shape = (b, h, w // 2, None) if fold else (b, h, w, None)
             hx = tuple(
-                jnp.zeros((b, h, w, f), hx_dtype) for f in self.recurrent_filters if f != 0
+                jnp.zeros((*hx_shape[:3], 2 * f if fold else f), hx_dtype)
+                for f in self.recurrent_filters
+                if f != 0
             )
         else:
             hx = tuple(h_.astype(hx_dtype) for h_ in hx)
@@ -210,6 +236,7 @@ class RIMBlock(nn.Module):
             stack_etas=self.stack_etas,
             dc_psf1d=self.dc_psf1d,
             pointwise_matmul=self.pointwise_matmul,
+            lane_fold=fold,
         )
         (eta, hx_out), etas = scan((eta, hx), None, y, sens, mask, sigma, psf_mats, psf_z0)
 

@@ -81,6 +81,8 @@ class IndRNNCell(nn.Module):
     use_bias: bool = True
     dtype: str = None
     pointwise_matmul: bool = False
+    lane_fold: bool = False  # folded layout in/out (see nn/fold.py); the
+    # per-channel recurrence weight is tiled over the two column parities
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
@@ -94,8 +96,11 @@ class IndRNNCell(nn.Module):
             kernel_init=nn.initializers.normal(stddev=std),
             dtype=self.dtype,
             pointwise_matmul=self.pointwise_matmul,
+            lane_fold=self.lane_fold,
         )(x)
         hh = self.param("hh", nn.initializers.normal(stddev=std), (1, 1, 1, self.hidden_size))
+        if self.lane_fold:
+            hh = jnp.tile(hh, (1, 1, 1, 2))
         return nn.relu(ih + hh * h)
 
 
@@ -110,11 +115,14 @@ def make_cell(
     use_bias: bool,
     dtype=None,
     pointwise_matmul: bool = False,
+    lane_fold: bool = False,
 ):
     kind = kind.upper()
     if kind not in _CELLS:
         raise ValueError(f"Unknown recurrent layer {kind!r}; choose from {sorted(_CELLS)}")
-    return _CELLS[kind](
+    if lane_fold and kind != "INDRNN":
+        raise ValueError("lane_fold is currently supported for the IndRNN cell only")
+    kwargs = dict(
         hidden_size=hidden_size,
         kernel_size=kernel_size,
         dilation=dilation,
@@ -122,3 +130,6 @@ def make_cell(
         dtype=dtype,
         pointwise_matmul=pointwise_matmul,
     )
+    if kind == "INDRNN":
+        kwargs["lane_fold"] = lane_fold
+    return _CELLS[kind](**kwargs)

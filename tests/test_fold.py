@@ -1,0 +1,117 @@
+"""Lane folding (nn/fold.py): exactness of the folded-conv rewrite and of the
+folded CIRIM path. The fold is a layout change only — parameters stay in the
+standard [kh, kw, cin, cout] form, so the two paths share checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mridc_tpu.nn.fold import fold_kernel, fold_pad_amount, fold_w, halo_pad_folded, unfold_w
+
+
+def _conv_ref(x, k, dw, dh, pad_mode):
+    kh, kw = k.shape[:2]
+    rh, rw = (kh - 1) // 2, (kw - 1) // 2
+    x = jnp.pad(x, ((0, 0), (rh * dh, rh * dh), (rw * dw, rw * dw), (0, 0)), mode=pad_mode)
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "VALID", rhs_dilation=(dh, dw), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@pytest.mark.parametrize("pad_mode", ["edge", "constant"])
+@pytest.mark.parametrize("kh,kw,dw", [(3, 3, 1), (3, 3, 2), (5, 5, 1), (1, 1, 1)])
+def test_folded_conv_exact(kh, kw, dw, pad_mode):
+    rng = np.random.default_rng(0)
+    cin, cout = 4, 6
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, cin)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((kh, kw, cin, cout)).astype(np.float32))
+    want = _conv_ref(x, k, dw, dw, pad_mode)
+
+    xf = fold_w(x)
+    kf = fold_kernel(k, dw)
+    rh = (kh - 1) // 2
+    if rh:
+        xf = jnp.pad(xf, ((0, 0), (rh * dw, rh * dw), (0, 0), (0, 0)), mode=pad_mode)
+    if fold_pad_amount(kw, dw):
+        xf = halo_pad_folded(xf, cin, "edge" if pad_mode == "edge" else "zero")
+    got = unfold_w(
+        jax.lax.conv_general_dilated(
+            xf, kf, (1, 1), "VALID", rhs_dilation=(dw, 1), dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fold_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4, 10, 3)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(unfold_w(fold_w(x))), np.asarray(x))
+
+
+def test_cirim_lane_fold_exact_and_checkpoint_compatible():
+    from mridc_tpu.models import build_model
+
+    rng = np.random.default_rng(2)
+
+    def rv(z):
+        return np.stack([z.real, z.imag], -1).astype(np.float32)
+
+    B, C, H, W = 2, 3, 16, 20
+    y = rv((rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64))
+    s = rv((rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64))
+    mask = np.zeros((B, 1, H, W), np.float32)
+    mask[..., ::2] = 1
+    cfg = {
+        "model_name": "CIRIM",
+        "num_cascades": 2,
+        "time_steps": 3,
+        "recurrent_layer": "IndRNN",
+        "conv_filters": [8, 8, 2],
+        "conv_kernels": [5, 3, 3],
+        "conv_dilations": [1, 2, 1],
+        "recurrent_filters": [8, 8, 0],
+        "recurrent_kernels": [1, 1, 0],
+        "recurrent_dilations": [1, 1, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    m0 = build_model({**cfg, "lane_fold": "never"})
+    m1 = build_model({**cfg, "lane_fold": "always"})
+    v = m0.init(jax.random.PRNGKey(0), y, s, mask)
+    # identical parameter trees: folded is purely an execution-layout change
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), y, s, mask)
+    )
+    p0 = np.asarray(m0.apply(v, y, s, mask).prediction)
+    p1 = np.asarray(m1.apply(v, y, s, mask).prediction)
+    np.testing.assert_allclose(p1, p0, rtol=0, atol=1e-5 * np.abs(p0).max())
+    # gradient flows through the folded path
+    g = jax.grad(lambda p: float(0) + (m1.apply({"params": p}, y, s, mask, train=True).prediction ** 2).mean())(
+        v["params"]
+    )
+    total = float(sum(jnp.abs(x).sum() for x in jax.tree_util.tree_leaves(g)))
+    assert np.isfinite(total) and total > 0
+
+
+def test_lane_fold_auto_resolution():
+    """auto folds only for IndRNN with even W on non-CPU backends (tests run
+    on CPU, so auto must resolve to the unfolded path here)."""
+    from mridc_tpu.nn.rim import RIMBlock
+
+    rng = np.random.default_rng(3)
+
+    def rv(z):
+        return np.stack([z.real, z.imag], -1).astype(np.float32)
+
+    B, C, H, W = 1, 2, 8, 10
+    y = rv((rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64))
+    s = rv((rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64))
+    mask = np.ones((B, 1, H, W), np.float32)
+    block = RIMBlock(
+        conv_filters=(4, 4, 2), recurrent_filters=(4, 4, 0), time_steps=2, lane_fold="auto"
+    )
+    variables = block.init(jax.random.PRNGKey(0), y, s, mask)
+    _, eta = block.apply(variables, y, s, mask)
+    assert eta.shape == (B, H, W, 2)
