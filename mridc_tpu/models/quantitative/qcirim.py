@@ -8,8 +8,13 @@ conv+RNN stack (input_size = depth*4 = 8); R2* is clamped non-negative after
 every step; gradients are evaluated at the maps from the previous cascade
 (reference keeps them fixed within a cascade's time steps).
 
-Optionally a CIRIM reconstruction module runs per echo first (reference
-use_reconstruction_module).
+With ``use_reconstruction_module`` a CIRIM reconstruction runs per echo
+first (reference qcirim.py:176-235): each echo's k-space goes through RIM
+cascades (reference CIRIM chaining semantics), the reconstructed echoes
+replace the measured k-space via the sensitivity expansion, and the
+quantitative maps are RE-INITIALIZED from the reconstructions with the
+jittable MEGRE fit (signal_model.fit_megre_maps — the reference re-fits with
+a host-sequential skimage unwrap; see PARITY.md for the substitution).
 """
 
 from __future__ import annotations
@@ -17,12 +22,16 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
-from mridc_tpu.models.quantitative.signal_model import analytical_log_likelihood_gradient
+from mridc_tpu.models.quantitative.signal_model import analytical_log_likelihood_gradient, fit_megre_maps
 from mridc_tpu.nn.layers import ConvNonlinear
+from mridc_tpu.nn.rim import RIMBlock
 from mridc_tpu.nn.rnn_cells import make_cell
+from mridc_tpu.ops.cplx import cmul
+from mridc_tpu.ops.fft import fft2_rv
 
 __all__ = ["qRIMBlock", "qCIRIM"]
 
@@ -149,11 +158,26 @@ class qCIRIM(BaseReconModel):
     recurrent_dilations: Sequence[int] = (1, 1, 0)
     recurrent_bias: Sequence[bool] = (True, True, False)
     gamma: Sequence[float] = (150.0, 150.0, 600.0, 150.0)
+    use_reconstruction_module: bool = False
+    recon_num_cascades: int = 5
+    recon_time_steps: int = 8
+    recon_recurrent_layer: str = "IndRNN"
+    recon_conv_filters: Sequence[int] = (64, 64, 2)
+    recon_recurrent_filters: Sequence[int] = (64, 64, 0)
+    recon_keep_prediction: bool = True
 
     @classmethod
     def from_config(cls, cfg):
         g = lambda k, d: cfg.get(f"quantitative_module_{k}", d)  # noqa: E731
+        r = lambda k, d: cfg.get(f"reconstruction_module_{k}", d)  # noqa: E731
         return cls(
+            use_reconstruction_module=bool(cfg.get("use_reconstruction_module", False)),
+            recon_num_cascades=r("num_cascades", 5),
+            recon_time_steps=r("time_steps", 8),
+            recon_recurrent_layer=r("recurrent_layer", "IndRNN"),
+            recon_conv_filters=tuple(r("conv_filters", (64, 64, 2))),
+            recon_recurrent_filters=tuple(r("recurrent_filters", (64, 64, 0))),
+            recon_keep_prediction=bool(r("keep_prediction", True)),
             num_cascades=g("num_cascades", 5),
             time_steps=g("time_steps", 8),
             recurrent_layer=g("recurrent_layer", "IndRNN"),
@@ -175,8 +199,45 @@ class qCIRIM(BaseReconModel):
 
     @nn.compact
     def __call__(self, y, sens, sampling_mask, maps_init, tes, train: bool = False) -> ModelOutput:
-        del train
         gamma = jnp.asarray(self.gamma, jnp.float32)
+
+        if self.use_reconstruction_module:
+            # reference qcirim.py:176-210: per-echo CIRIM with the golden-tested
+            # CIRIM chaining (later cascades start from the previous final eta,
+            # detached), then replace y by the expanded reconstructions and
+            # re-initialize the maps from the reconstructed echoes.
+            mask4 = sampling_mask if sampling_mask.ndim == 4 else sampling_mask[:, 0, 0, :, :, 0][:, None]
+            echo_preds = []
+            for e in range(y.shape[1]):
+                eta = None
+                for c in range(self.recon_num_cascades):
+                    block = RIMBlock(
+                        recurrent_layer=self.recon_recurrent_layer,
+                        conv_filters=self.recon_conv_filters,
+                        recurrent_filters=self.recon_recurrent_filters,
+                        time_steps=self.recon_time_steps,
+                        fft_centered=self.fft_centered,
+                        fft_normalization=self.fft_normalization,
+                        spatial_dims=self.spatial_dims,
+                        coil_dim=1,
+                        pointwise_matmul=train,
+                    )
+                    _, eta_final = block(y[:, e], sens, mask4, eta=eta)
+                    eta = (
+                        jax.lax.stop_gradient(eta_final)
+                        if self.recon_keep_prediction
+                        else None
+                    )
+                echo_preds.append(eta_final)
+            pred = jnp.stack(echo_preds, axis=1)  # [B, E, H, W, 2]
+            y = fft2_rv(
+                cmul(pred[:, :, None], sens[:, None]),
+                self.fft_centered,
+                self.fft_normalization,
+                self.spatial_dims,
+            )
+            maps_init = fit_megre_maps(pred, tes)
+
         maps = maps_init / gamma[None, None, None, :]
         if sampling_mask.ndim == 4:  # [B, 1, H, W] -> [B, 1(echo), 1(coil), H, W, 1]
             sampling_mask = sampling_mask[:, None, ..., None]

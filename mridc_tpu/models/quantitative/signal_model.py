@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from mridc_tpu.ops.cplx import cmul, cmul_conj
 from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
 
-__all__ = ["megre_signal", "analytical_log_likelihood_gradient", "rescale_by_max"]
+__all__ = ["megre_signal", "analytical_log_likelihood_gradient", "rescale_by_max", "fit_megre_maps"]
 
 SCALING = 1e-3
 
@@ -94,3 +94,52 @@ def rescale_by_max(data: jnp.ndarray, slack: float = 1e-6):
     """Per-(batch, map) max-rescale; returns (scaled, gamma) (reference RescaleByMax)."""
     gamma = jnp.abs(data).max(axis=(-2, -1), keepdims=True) + slack
     return data / gamma, gamma
+
+
+def fit_megre_maps(echo_images: jnp.ndarray, tes) -> jnp.ndarray:
+    """Inverse of :func:`megre_signal`: echo images [B, E, H, W, 2] (rv) ->
+    maps [B, H, W, 4] = (R2*, S0, B0, phi).
+
+    TPU-native re-initialization used by the qCIRIM reconstruction module
+    (reference qcirim.py:212-235 re-fits with
+    ``transforms.R2star_B0_S0_phi_mapping``, whose B0 step runs skimage's
+    host-sequential ``unwrap_phase`` under an implicit detach). Here the fit
+    is fully jittable AND differentiable:
+
+    - magnitude: log-linear least squares over TE -> R2* (slope) and the
+      complex-S0 amplitude (intercept);
+    - B0: least-squares slope of the PAIRWISE wrapped phase differences
+      ``angle(S_{e+1} conj(S_e))`` — no absolute spatial unwrap needed, exact
+      while ``|B0| * s * dTE < pi`` (documented deviation, PARITY.md);
+    - (S0, phi): amplitude * (cos, sin) of the B0-derotated mean phase.
+    """
+    tes = jnp.asarray(tes, jnp.float32)
+    t = tes * SCALING  # [E]
+    re, im = echo_images[..., 0], echo_images[..., 1]
+    mag = jnp.sqrt(re**2 + im**2)
+    logm = jnp.log(jnp.maximum(mag, 1e-12))  # [B, E, H, W]
+
+    t_mean = t.mean()
+    t_ctr = (t - t_mean)[None, :, None, None]
+    t_var = jnp.maximum((t_ctr**2).sum(1), 1e-20)
+    slope = (logm * t_ctr).sum(axis=1) / t_var  # d log|S| / dt = -R2*
+    r2star = -slope
+    amp = jnp.exp(logm.mean(axis=1) - slope * t_mean)  # sqrt(S0^2 + phi^2)
+
+    # pairwise wrapped phase differences: angle(S_{e+1}) - angle(S_e) mod 2pi
+    zr, zi = re, im
+    pr = zr[:, 1:] * zr[:, :-1] + zi[:, 1:] * zi[:, :-1]
+    pi_ = zi[:, 1:] * zr[:, :-1] - zr[:, 1:] * zi[:, :-1]
+    dphi = jnp.arctan2(pi_, pr)  # [B, E-1, H, W]
+    dt = (t[1:] - t[:-1])[None, :, None, None]
+    # least squares of dphi = -B0 * dt over the pairs
+    b0 = -(dphi * dt).sum(1) / jnp.maximum((dt**2).sum(1), 1e-20)
+
+    # intercept phase: de-rotate each echo by the fitted B0 and average units
+    theta = jnp.arctan2(zi, zr) + t[None, :, None, None] * b0[:, None]
+    ur = jnp.cos(theta).sum(axis=1)
+    ui = jnp.sin(theta).sum(axis=1)
+    theta0 = jnp.arctan2(ui, ur)
+    s0 = amp * jnp.cos(theta0)
+    phi = amp * jnp.sin(theta0)
+    return jnp.nan_to_num(jnp.stack([r2star, s0, b0, phi], axis=-1))

@@ -8,7 +8,11 @@ optional batchnorm).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+from mridc_tpu.nn.fold import fold_w, unfold_w
+from mridc_tpu.nn.layers import Conv
 
 __all__ = ["Conv2dCascade"]
 
@@ -18,15 +22,29 @@ class Conv2dCascade(nn.Module):
     hidden_channels: int = 64
     n_convs: int = 3
     batchnorm: bool = False
+    lane_fold: str = "auto"  # fold the 64-channel convs to full MXU lane
+    # width on non-CPU backends (exact rewrite, nn/fold.py; params are laid
+    # out identically either way). Disabled with batchnorm: folded per-channel
+    # stats would split over column parities.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        fold = self.lane_fold == "always" or (
+            self.lane_fold == "auto"
+            and jax.default_backend() != "cpu"
+            and not self.batchnorm
+            and x.shape[-2] % 2 == 0
+        )
+        if fold:
+            x = fold_w(x)
         for idx in range(self.n_convs):
             feats = self.hidden_channels if idx != self.n_convs - 1 else self.out_channels
-            x = nn.Conv(feats, (3, 3), padding="SAME")(x)
+            x = Conv(feats, (3, 3), padding="SAME", lane_fold=fold, fold_pad_mode="zero")(x)
             if self.batchnorm:
                 x = nn.BatchNorm(use_running_average=not train, epsilon=1e-4)(x)
             if idx != self.n_convs - 1:
                 alpha = self.param(f"prelu_{idx}", nn.initializers.constant(0.25), (1,))
                 x = jnp.where(x >= 0, x, alpha * x)
+        if fold:
+            x = unfold_w(x)
         return x

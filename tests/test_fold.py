@@ -115,3 +115,19 @@ def test_lane_fold_auto_resolution():
     variables = block.init(jax.random.PRNGKey(0), y, s, mask)
     _, eta = block.apply(variables, y, s, mask)
     assert eta.shape == (B, H, W, 2)
+
+
+def test_conv2d_cascade_lane_fold_exact():
+    """CCNN/CRNN-style Conv2dCascade: folded path equals the standard path
+    with shared params (zero-pad SAME semantics)."""
+    from mridc_tpu.nn.conv2d import Conv2dCascade
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 2)).astype(np.float32))
+    m0 = Conv2dCascade(out_channels=2, hidden_channels=8, n_convs=3, lane_fold="never")
+    m1 = Conv2dCascade(out_channels=2, hidden_channels=8, n_convs=3, lane_fold="always")
+    v = m0.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(m1.init(jax.random.PRNGKey(0), x))
+    a = np.asarray(m0.apply(v, x))
+    b = np.asarray(m1.apply(v, x))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-5 * np.abs(a).max())
