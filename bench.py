@@ -24,9 +24,8 @@ import time
 import numpy as np
 
 COILS, H, W = 15, 320, 320
-# batch 64: +2.7% over 32 with the psf1d DC path (40.9 vs 39.8 slices/s on
-# v5e; the PSF path frees the HBM the full-FFT chain needed)
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
+# batch 96: +2% over 64 with psf1d + lane folding (62.5 vs 61.3 slices/s v5e)
+BATCH = int(os.environ.get("BENCH_BATCH", 96))
 WARMUP = 2
 ITERS = 7  # ITERS * BATCH = 112 slices
 CASCADES, TIME_STEPS, FILTERS = 5, 8, 64

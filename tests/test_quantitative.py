@@ -182,3 +182,47 @@ def test_fit_megre_maps_roundtrip():
     maps = fit_megre_maps(megre_signal(r2, s0, b0, phi, tes), tes)
     for i, ref in enumerate((r2, s0, b0, phi)):
         np.testing.assert_allclose(np.asarray(maps[..., i]), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_qvn_with_reconstruction_module():
+    """qVarNet use_reconstruction_module: per-echo VarNet cascades (shared
+    across echoes, like the reference ModuleList), k-space replacement, map
+    re-init (reference qvn.py:145-175)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+
+    rng = np.random.default_rng(37)
+    B, E, C, H, W = 1, 2, 2, 16, 16
+
+    def rv(s):
+        return np.stack([rng.standard_normal(s), rng.standard_normal(s)], -1).astype(np.float32)
+
+    y = jnp.asarray(rv((B, E, C, H, W)))
+    sens = rv((B, C, H, W))
+    sens /= np.sqrt((sens**2).sum(axis=(1, -1), keepdims=True))
+    sens = jnp.asarray(sens)
+    mask = np.zeros((B, 1, H, W), np.float32)
+    mask[..., ::2] = 1
+    maps0 = jnp.asarray(rng.random((B, H, W, 4)).astype(np.float32))
+    tes = [3.0, 11.5]
+
+    cfg = {
+        "model_name": "QVN",
+        "use_reconstruction_module": True,
+        "reconstruction_module_num_cascades": 2,
+        "reconstruction_module_channels": 4,
+        "reconstruction_module_pooling_layers": 2,
+        "quantitative_module_num_cascades": 1,
+        "quantitative_module_channels": 4,
+        "quantitative_module_pooling_layers": 2,
+        "fft_centered": False,
+        "fft_normalization": "backward",
+    }
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), y, sens, jnp.asarray(mask), maps0, jnp.asarray(tes))
+    out = model.apply(v, y, sens, jnp.asarray(mask), maps0, jnp.asarray(tes))
+    assert out.prediction.shape == (B, H, W, 4)
+    assert np.isfinite(np.asarray(out.prediction)).all()
+    assert any("VarNetBlock" in k for k in v["params"]), sorted(v["params"])[:5]
