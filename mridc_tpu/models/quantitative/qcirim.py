@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
 from mridc_tpu.models.quantitative.signal_model import analytical_log_likelihood_gradient, fit_megre_maps
+from mridc_tpu.nn.fold import fold_w, unfold_w
 from mridc_tpu.nn.layers import ConvNonlinear
 from mridc_tpu.nn.rim import RIMBlock
 from mridc_tpu.nn.rnn_cells import make_cell
@@ -46,11 +47,14 @@ class _QRIMStep(nn.Module):
     recurrent_kernels: Sequence[int] = (1, 1, 0)
     recurrent_dilations: Sequence[int] = (1, 1, 0)
     recurrent_bias: Sequence[bool] = (True, True, False)
+    lane_fold: bool = False  # folded conv stack (nn/fold.py; exact)
 
     @nn.compact
     def __call__(self, carry, _, grad_channels):
         maps, hx = carry  # maps [B, H, W, 4]
         x = jnp.concatenate([grad_channels, maps], axis=-1)  # [B, H, W, 8]
+        if self.lane_fold:
+            x = fold_w(x)
         new_hx = []
         nonlinears = ["relu", "relu", None]
         h_idx = 0
@@ -66,16 +70,19 @@ class _QRIMStep(nn.Module):
             self.recurrent_bias,
             nonlinears,
         ):
-            conv = ConvNonlinear(cf, ck, cd, cb, nl) if cf != 0 else None
+            conv = ConvNonlinear(cf, ck, cd, cb, nl, lane_fold=self.lane_fold) if cf != 0 else None
             if rf != 0 and nl is not None:
                 x = conv(x)
-                cell = make_cell(self.recurrent_layer, rf, rk, rd, rb)
+                cell = make_cell(self.recurrent_layer, rf, rk, rd, rb, lane_fold=self.lane_fold)
                 x = cell(x, hx[h_idx])
                 new_hx.append(x)
                 h_idx += 1
             else:
                 final = conv
-        maps = maps + final(x)
+        dx = final(x)
+        if self.lane_fold:
+            dx = unfold_w(dx)
+        maps = maps + dx
         # clamp R2* (channel 0) non-negative
         maps = maps.at[..., 0].set(jnp.maximum(maps[..., 0], 0.0))
         return (maps, tuple(new_hx)), maps
@@ -92,6 +99,8 @@ class qRIMBlock(BaseReconModel):
     recurrent_dilations: Sequence[int] = (1, 1, 0)
     recurrent_bias: Sequence[bool] = (True, True, False)
     time_steps: int = 8
+    lane_fold: str = "auto"  # fold the conv/RNN stack on non-CPU backends
+    # (IndRNN only, even W; exact — see nn/fold.py)
 
     @nn.compact
     def __call__(self, y, maps, tes, sens, sampling_mask, gamma):
@@ -117,7 +126,18 @@ class qRIMBlock(BaseReconModel):
         grad = jnp.nan_to_num(jnp.transpose(grad, (0, 2, 3, 1)) / 100.0)  # [B, H, W, 4]
 
         b, h, w = maps.shape[0], maps.shape[1], maps.shape[2]
-        hx = tuple(jnp.zeros((b, h, w, f), jnp.float32) for f in self.recurrent_filters if f != 0)
+        fold = self.lane_fold == "always" or (
+            self.lane_fold == "auto"
+            and jax.default_backend() != "cpu"
+            and self.recurrent_layer.upper() == "INDRNN"
+            and w % 2 == 0
+        )
+        hx_w = w // 2 if fold else w
+        hx = tuple(
+            jnp.zeros((b, h, hx_w, 2 * f if fold else f), jnp.float32)
+            for f in self.recurrent_filters
+            if f != 0
+        )
         scan = nn.scan(
             _QRIMStep,
             variable_broadcast="params",
@@ -135,6 +155,7 @@ class qRIMBlock(BaseReconModel):
             recurrent_kernels=self.recurrent_kernels,
             recurrent_dilations=self.recurrent_dilations,
             recurrent_bias=self.recurrent_bias,
+            lane_fold=fold,
         )
         (maps, _), all_maps = scan((maps, hx), None, grad)
         return all_maps, maps

@@ -131,3 +131,30 @@ def test_conv2d_cascade_lane_fold_exact():
     a = np.asarray(m0.apply(v, x))
     b = np.asarray(m1.apply(v, x))
     np.testing.assert_allclose(b, a, rtol=0, atol=1e-5 * np.abs(a).max())
+
+
+def test_qrim_lane_fold_exact():
+    """qRIMBlock folded conv stack equals the standard path with shared params."""
+    from mridc_tpu.models.quantitative.qcirim import qRIMBlock
+
+    rng = np.random.default_rng(9)
+    B, E, C, H, W = 1, 2, 2, 12, 16
+    y = jnp.asarray(rng.standard_normal((B, E, C, H, W, 2)).astype(np.float32))
+    sens = jnp.asarray(rng.standard_normal((B, C, H, W, 2)).astype(np.float32))
+    mask = jnp.asarray((rng.random((B, 1, 1, H, W, 1)) > 0.4).astype(np.float32))
+    maps = jnp.asarray(rng.random((B, H, W, 4)).astype(np.float32))
+    gamma = jnp.asarray([150.0, 150.0, 600.0, 150.0])
+    tes = jnp.asarray([3.0, 11.5])
+    kw = dict(
+        conv_filters=(8, 8, 4), recurrent_filters=(8, 8, 0), time_steps=2,
+        fft_centered=False, fft_normalization="backward",
+    )
+    b0 = qRIMBlock(lane_fold="never", **kw)
+    b1 = qRIMBlock(lane_fold="always", **kw)
+    v = b0.init(jax.random.PRNGKey(0), y, maps, tes, sens, mask, gamma)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        b1.init(jax.random.PRNGKey(0), y, maps, tes, sens, mask, gamma)
+    )
+    _, m0 = b0.apply(v, y, maps, tes, sens, mask, gamma)
+    _, m1 = b1.apply(v, y, maps, tes, sens, mask, gamma)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=0, atol=1e-5 * float(jnp.abs(m0).max()))
