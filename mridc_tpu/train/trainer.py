@@ -41,6 +41,25 @@ logger = get_logger()
 __all__ = ["TrainState", "Trainer"]
 
 
+def _limit_batches(limit, loader):
+    """PTL ``limit_{train,val}_batches`` semantics: float fraction of the
+    loader length (when known) or an absolute batch count; None/1.0 = all."""
+    if limit is None or loader is None:
+        return None
+    if isinstance(limit, bool):
+        return None
+    if isinstance(limit, float):
+        if limit >= 1.0:
+            return None
+        try:
+            n = len(loader)
+        except TypeError:
+            return None
+        return max(1, int(np.ceil(limit * n)))
+    limit = int(limit)
+    return limit if limit >= 0 else None
+
+
 def _host_mag(x: np.ndarray) -> np.ndarray:
     """Magnitude of a host array in any layout (complex, [..., 2] rv, or real)."""
     x = np.asarray(x)
@@ -277,6 +296,23 @@ class Trainer:
         max_steps = self.trainer_cfg.get("max_steps") or float("inf")
         if max_steps is not None and max_steps < 0:
             max_steps = float("inf")
+        # PTL-compatible knobs (reference core/conf/trainer.py TrainerConfig)
+        log_every_n_steps = int(self.trainer_cfg.get("log_every_n_steps", log_every_n_steps))
+        check_val_every = int(self.trainer_cfg.get("check_val_every_n_epoch", 1) or 1)
+        limit_train = _limit_batches(self.trainer_cfg.get("limit_train_batches", 1.0), train_loader)
+        limit_val = _limit_batches(self.trainer_cfg.get("limit_val_batches", 1.0), val_loader)
+        sanity_steps = int(self.trainer_cfg.get("num_sanity_val_steps", 0) or 0)
+        val_interval_steps = None
+        vci = self.trainer_cfg.get("val_check_interval")
+        if vci is not None:
+            if isinstance(vci, float) and vci < 1.0:
+                try:
+                    n_batches = len(train_loader)
+                    val_interval_steps = max(1, int(round(vci * n_batches)))
+                except TypeError:
+                    val_interval_steps = None
+            elif int(vci) >= 1:
+                val_interval_steps = int(vci)
 
         if self._tx is None:
             self.setup_optimization(num_samples=len(getattr(train_loader, "dataset", [])) or 1,
@@ -287,6 +323,14 @@ class Trainer:
 
         step = int(self.state.step)
         history = []
+
+        if sanity_steps and val_loader is not None:
+            # reference num_sanity_val_steps: run a few val batches before
+            # training to fail fast on broken eval paths
+            sanity = self.validate(val_loader, limit=sanity_steps)
+            logger.info(
+                "sanity check: " + " ".join(f"{k}={v:.5f}" for k, v in sanity.items() if isinstance(v, float))
+            )
 
         # preemption-aware save: on SIGTERM (TPU maintenance / SLURM requeue)
         # checkpoint the current state before exiting so resume_if_exists can
@@ -317,7 +361,9 @@ class Trainer:
         for epoch in range(max_epochs):
             epoch_start = time.perf_counter()
             losses = []
-            for batch in train_loader:
+            for batch_idx, batch in enumerate(train_loader):
+                if limit_train is not None and batch_idx >= limit_train:
+                    break
                 if profile_dir is not None:
                     if not profiling and step == profile_start:
                         jax.profiler.start_trace(str(profile_dir))
@@ -336,6 +382,12 @@ class Trainer:
                     logger.info(f"epoch {epoch} step {step} loss {loss:.5f} step_time {dt:.3f}s")
                 if self.exp_manager is not None:
                     self.exp_manager.log_scalar("train_loss", loss, step)
+                if val_interval_steps and val_loader is not None and step % val_interval_steps == 0:
+                    val = self._run_validation(val_loader, step, limit_val)
+                    logger.info(
+                        f"step {step} validation: "
+                        + " ".join(f"{k}={v:.5f}" for k, v in val.items() if isinstance(v, float))
+                    )
                 if step >= max_steps or preempted["flag"]:
                     break
             if preempted["flag"]:
@@ -345,22 +397,9 @@ class Trainer:
                     self.exp_manager.checkpointer.save_last(self.state)
                 break
             epoch_metrics = {"epoch": epoch, "train_loss": float(np.mean(losses)) if losses else float("nan")}
-            if val_loader is not None:
-                val = self.validate(val_loader)
+            if val_loader is not None and (epoch + 1) % check_val_every == 0:
+                val = self._run_validation(val_loader, step, limit_val)
                 epoch_metrics.update(val)
-                if self.plateau is not None:
-                    old_lr = self.plateau.lr
-                    self.plateau.update(val["val_loss"])
-                    if self.plateau.lr != old_lr:
-                        # the jitted step baked the old lr in as a constant —
-                        # rebuild the optimizer chain and step at the new lr
-                        logger.info(f"ReduceLROnPlateau: lr {old_lr:.2e} -> {self.plateau.lr:.2e}")
-                        opt_state = self.state.opt_state
-                        self.setup_optimization()
-                        self.state = self.state.replace(opt_state=opt_state)
-                        self._train_step = None
-                if self.exp_manager is not None:
-                    self.exp_manager.on_validation_end(self, val, step)
             logger.info(
                 f"epoch {epoch} done in {time.perf_counter() - epoch_start:.1f}s: "
                 + " ".join(f"{k}={v:.5f}" for k, v in epoch_metrics.items() if isinstance(v, float))
@@ -376,7 +415,28 @@ class Trainer:
             self.exp_manager.on_train_end(self)
         return history
 
-    def validate(self, val_loader: Iterable, use_ema: Optional[bool] = None) -> Dict[str, float]:
+    def _run_validation(self, val_loader, step, limit_val=None) -> Dict[str, float]:
+        """Validate + plateau-scheduler update + exp-manager hooks (shared by
+        epoch-end and mid-epoch ``val_check_interval`` validation)."""
+        val = self.validate(val_loader, limit=limit_val)
+        if self.plateau is not None:
+            old_lr = self.plateau.lr
+            self.plateau.update(val["val_loss"])
+            if self.plateau.lr != old_lr:
+                # the jitted step baked the old lr in as a constant —
+                # rebuild the optimizer chain and step at the new lr
+                logger.info(f"ReduceLROnPlateau: lr {old_lr:.2e} -> {self.plateau.lr:.2e}")
+                opt_state = self.state.opt_state
+                self.setup_optimization()
+                self.state = self.state.replace(opt_state=opt_state)
+                self._train_step = None
+        if self.exp_manager is not None:
+            self.exp_manager.on_validation_end(self, val, step)
+        return val
+
+    def validate(
+        self, val_loader: Iterable, use_ema: Optional[bool] = None, limit: Optional[int] = None
+    ) -> Dict[str, float]:
         """Host-side metric computation at skimage parity (reference
         validation_epoch_end nn/base.py:857-913).
 
@@ -388,7 +448,9 @@ class Trainer:
         use_ema = self.use_ema if use_ema is None else use_ema
         losses = []
         metrics = ReconstructionMetrics(METRIC_FUNCS)
-        for batch in val_loader:
+        for batch_idx, batch in enumerate(val_loader):
+            if limit is not None and batch_idx >= limit:
+                break
             pred = self.predict_batch(batch, use_ema=use_ema)
             target = np.asarray(batch["target"])
             t = _host_mag(target)

@@ -274,3 +274,65 @@ def test_profiler_trace_capture(loaders, tmp_path):
     trainer.fit(train, max_epochs=4, log_every_n_steps=1000)
     traces = list(pdir.rglob("*.xplane.pb"))
     assert traces, f"no xplane trace under {pdir}"
+
+
+def test_trainer_ptl_knobs(tmp_path, loaders):
+    """limit_train/val_batches, check_val_every_n_epoch, num_sanity_val_steps,
+    val_check_interval, log_every_n_steps from the trainer config (reference
+    TrainerConfig semantics, core/conf/trainer.py)."""
+    import jax
+
+    from mridc_tpu.train.trainer import Trainer, _limit_batches
+
+    # _limit_batches semantics
+    class L(list):
+        pass
+
+    loader = L(range(10))
+    assert _limit_batches(1.0, loader) is None
+    assert _limit_batches(0.25, loader) == 3
+    assert _limit_batches(4, loader) == 4
+    assert _limit_batches(None, loader) is None
+
+    cfg = {
+        "model_name": "UNet",
+        "channels": 4,
+        "pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+
+    calls = {"val": 0}
+    orig_validate = Trainer.validate
+
+    def counting_validate(self, vl, use_ema=None, limit=None):
+        calls["val"] += 1
+        calls["last_limit"] = limit
+        return orig_validate(self, vl, use_ema=use_ema, limit=limit)
+
+    Trainer.validate = counting_validate
+    try:
+        trainer = Trainer(
+            model,
+            optim_cfg={"name": "adam", "lr": 1e-3},
+            trainer_cfg={
+                "max_epochs": 2,
+                "limit_train_batches": 1,
+                "limit_val_batches": 1,
+                "check_val_every_n_epoch": 2,
+                "num_sanity_val_steps": 1,
+                "log_every_n_steps": 1,
+            },
+        )
+        train_loader, val_loader = loaders
+        history = trainer.fit(train_loader, val_loader, max_epochs=2)
+    finally:
+        Trainer.validate = orig_validate
+    # sanity (1) + epoch-2 validation (1); epoch 1 skipped by check_val_every
+    assert calls["val"] == 2
+    assert calls["last_limit"] == 1
+    # limit_train_batches=1: only one optimizer step per epoch
+    assert int(trainer.state.step) == 2
+    assert "val_loss" in history[-1]
+    assert "val_loss" not in history[0]
