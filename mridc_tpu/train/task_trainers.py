@@ -101,13 +101,15 @@ class SegmentationTrainer(Trainer):
         params = self.state.ema_params if (use_ema and self.state.ema_params is not None) else self.state.params
         return np.asarray(self._eval_step(params, jnp.asarray(b["image"])))
 
-    def validate(self, val_loader: Iterable, use_ema=None) -> Dict[str, float]:
+    def validate(self, val_loader: Iterable, use_ema=None, limit=None) -> Dict[str, float]:
         from mridc_tpu.parallel.multihost import reduce_mean_stats
 
         use_ema = self.use_ema if use_ema is None else use_ema
         metrics = SegmentationMetrics()
         dices, losses = [], []
-        for batch in val_loader:
+        for batch_idx, batch in enumerate(val_loader):
+            if limit is not None and batch_idx >= limit:
+                break
             logits = self.predict_batch(batch, use_ema=use_ema)
             target = np.asarray(batch["segmentation"])
             losses.append(
@@ -182,14 +184,16 @@ class MultitaskTrainer(Trainer):
         pred, seg = self._eval_step(params, y, sens, mask, init_pred)
         return np.asarray(pred), np.asarray(seg)
 
-    def validate(self, val_loader: Iterable, use_ema=None) -> Dict[str, float]:
+    def validate(self, val_loader: Iterable, use_ema=None, limit=None) -> Dict[str, float]:
         from mridc_tpu.metrics.reconstruction import ssim
         from mridc_tpu.parallel.multihost import reduce_mean_stats
 
         use_ema = self.use_ema if use_ema is None else use_ema
         seg_metrics = SegmentationMetrics()
         losses, ssims, dices = [], [], []
-        for batch in val_loader:
+        for batch_idx, batch in enumerate(val_loader):
+            if limit is not None and batch_idx >= limit:
+                break
             pred, seg_logits = self.predict_batch(batch, use_ema=use_ema)
             target = _host_mag(np.asarray(batch["target"]))
             p = _host_mag(pred)
