@@ -289,3 +289,51 @@ class QuantitativeTrainer(Trainer):
             mask_brain,
         )
         return metrics
+
+    def predict_batch(self, batch, use_ema: bool = False):
+        if self._eval_step is None:
+            model = self.model
+
+            def eval_step(params, y, sens, mask, maps_init, tes):
+                return model.apply({"params": params}, y, sens, mask, maps_init, tes, train=False).prediction
+
+            self._eval_step = jax.jit(eval_step)
+        b = self._device_batch(batch)
+        params = self.state.ema_params if (use_ema and self.state.ema_params is not None) else self.state.params
+        return np.asarray(
+            self._eval_step(
+                params,
+                jnp.asarray(b["kspace"]),
+                jnp.asarray(b["sensitivity_maps"]),
+                jnp.asarray(b["mask"]),
+                jnp.asarray(b["maps_init"]),
+                jnp.asarray(b["TEs"]),
+            )
+        )
+
+    def validate(self, val_loader: Iterable, use_ema=None, limit=None) -> Dict[str, float]:
+        """Per-map normalized L1 + NMSE over R2*/S0/B0/phi (reference
+        quantitative base logs per-map losses, quantitative/nn/base.py)."""
+        from mridc_tpu.parallel.multihost import reduce_mean_stats
+
+        use_ema = self.use_ema if use_ema is None else use_ema
+        names = ("R2star", "S0", "B0", "phi")
+        sums = {"loss": 0.0, **{f"NMSE_{n}": 0.0 for n in names}}
+        counts = {k: 0.0 for k in sums}
+        for batch_idx, batch in enumerate(val_loader):
+            if limit is not None and batch_idx >= limit:
+                break
+            pred = self.predict_batch(batch, use_ema=use_ema)
+            target = np.asarray(batch["maps_target"])
+            scale = np.maximum(np.abs(target).max(axis=(0, 1, 2), keepdims=True), 1e-12)
+            sums["loss"] += float(np.abs((pred - target) / scale).mean())
+            counts["loss"] += 1.0
+            for i, n in enumerate(names):
+                t, p = target[..., i], pred[..., i]
+                denom = float((t**2).sum()) or 1.0
+                sums[f"NMSE_{n}"] += float(((p - t) ** 2).sum()) / denom
+                counts[f"NMSE_{n}"] += 1.0
+        reduced = reduce_mean_stats(sums, counts)
+        out = {"val_loss": reduced.pop("loss")}
+        out.update({f"val_{k}": float(v) for k, v in reduced.items()})
+        return out

@@ -143,3 +143,36 @@ def test_quantitative_trainer_step():
     m1 = trainer.training_batch(batch)
     m2 = trainer.training_batch(batch)
     assert np.isfinite(float(m1["loss"])) and float(m2["loss"]) <= float(m1["loss"]) * 1.5
+
+
+def test_quantitative_trainer_validate():
+    """QuantitativeTrainer.validate: per-map NMSE on quantitative batches."""
+    from mridc_tpu.train.task_trainers import QuantitativeTrainer
+
+    cfg = {
+        "model_name": "QCIRIM",
+        "quantitative_module_num_cascades": 1,
+        "quantitative_module_time_steps": 2,
+        "quantitative_module_conv_filters": [4, 4, 4],
+        "quantitative_module_recurrent_filters": [4, 4, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    rng = np.random.default_rng(3)
+    b, e, c, h, w = 1, 4, 2, 16, 16
+    batch = {
+        "kspace": rng.standard_normal((b, e, c, h, w, 2)).astype(np.float32),
+        "sensitivity_maps": rng.standard_normal((b, c, h, w, 2)).astype(np.float32),
+        "mask": np.ones((b, 1, h, w), np.float32),
+        "maps_init": np.abs(rng.standard_normal((b, h, w, 4))).astype(np.float32),
+        "maps_target": np.abs(rng.standard_normal((b, h, w, 4))).astype(np.float32),
+        "TEs": np.asarray([3.0, 11.5, 20.0, 28.5], np.float32),
+    }
+    trainer = QuantitativeTrainer(
+        build_model(cfg), optim_cfg={"name": "adam", "lr": 1e-3}, trainer_cfg={"max_epochs": 1}
+    )
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    out = trainer.validate([batch, batch], limit=1)
+    assert "val_loss" in out and np.isfinite(out["val_loss"])
+    assert "val_NMSE_R2star" in out and np.isfinite(out["val_NMSE_R2star"])
