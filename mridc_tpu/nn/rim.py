@@ -17,6 +17,7 @@ from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from mridc_tpu.nn.dc import (
@@ -81,6 +82,9 @@ class _RIMStep(nn.Module):
                 spatial_dims=self.spatial_dims,
                 coil_dim=self.coil_dim,
             )
+        # named for the remat policy: saving the DC gradient avoids
+        # recomputing the likelihood-gradient matmul chain in the backward
+        x = jax.ad_checkpoint.checkpoint_name(x, "dc_grad")
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
         if self.lane_fold:
@@ -210,7 +214,14 @@ class RIMBlock(nn.Module):
                 self.coil_dim,
             )
 
-        step_cls = nn.remat(_RIMStep, prevent_cse=False) if self.remat else _RIMStep
+        if self.remat:
+            # store each step's DC gradient ([B, H, W, 4] — small next to the
+            # hidden states) so the backward's step recompute skips the DC
+            # matmul chain; everything else is rematerialized as before
+            policy = jax.checkpoint_policies.save_only_these_names("dc_grad")
+            step_cls = nn.remat(_RIMStep, prevent_cse=False, policy=policy)
+        else:
+            step_cls = _RIMStep
         scan = nn.scan(
             step_cls,
             variable_broadcast="params",
