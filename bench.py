@@ -131,6 +131,46 @@ def bench_jax() -> float:
     return sps, tflops
 
 
+def bench_quality() -> float:
+    """SSIM of the benchmarked fast path (bf16 compute + psf1d DC + lane
+    folding) against the f32 full-DC unfolded path with the SAME weights, on
+    a small batch — certifies the speed is not bought with accuracy (quality
+    budget: SSIM within 1e-3 of the exact path, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.metrics.reconstruction import ssim
+    from mridc_tpu.models import build_model
+
+    base = {
+        "model_name": "CIRIM",
+        "num_cascades": CASCADES,
+        "time_steps": TIME_STEPS,
+        "recurrent_layer": "IndRNN",
+        "conv_filters": [FILTERS, FILTERS, 2],
+        "conv_kernels": [5, 3, 3],
+        "conv_dilations": [1, 2, 1],
+        "recurrent_filters": [FILTERS, FILTERS, 0],
+        "recurrent_kernels": [1, 1, 0],
+        "recurrent_dilations": [1, 1, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+        "stack_intermediates": False,
+    }
+    fast = build_model({**base, "compute_dtype": "bfloat16", "dc_mode": "psf1d", "lane_fold": "always"})
+    exact = build_model({**base, "dc_mode": "full", "lane_fold": "never"})
+    y, sens, mask = (jnp.asarray(x) for x in _data(2))
+    variables = jax.jit(exact.init)(jax.random.PRNGKey(0), y, sens, mask)
+    p_fast = np.asarray(jax.jit(lambda v, y, s, m: fast.apply(v, y, s, m).prediction)(variables, y, sens, mask))
+    p_ref = np.asarray(jax.jit(lambda v, y, s, m: exact.apply(v, y, s, m).prediction)(variables, y, sens, mask))
+
+    def mag(x):
+        m = np.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+        return m / (m.max() or 1.0)
+
+    return float(ssim(mag(p_ref), mag(p_fast)))
+
+
 def bench_jax_train() -> tuple:
     """Jitted training-step (forward + backward + adam) throughput at the
     reference training batch size, with achieved TFLOP/s from the compiled
@@ -268,6 +308,10 @@ def main():
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
     jax_sps, infer_tflops = bench_jax()
     try:
+        quality_ssim = bench_quality()
+    except Exception:
+        quality_ssim = None
+    try:
         train_sps, train_tflops = bench_jax_train()
     except Exception:
         train_sps = train_tflops = None
@@ -288,6 +332,9 @@ def main():
                 "train_tflops": round(train_tflops, 1) if train_tflops else None,
                 "infer_mfu": round(infer_tflops / peak_tflops, 3) if infer_tflops else None,
                 "train_mfu": round(train_tflops / peak_tflops, 3) if train_tflops else None,
+                # fast path (bf16 + psf1d + lane folding) vs f32 full-DC path,
+                # same weights — certifies speed is not bought with accuracy
+                "quality_ssim_vs_f32": round(quality_ssim, 6) if quality_ssim is not None else None,
             }
         )
     )
