@@ -93,7 +93,9 @@ def log_likelihood_gradient(
     ``[re(eta), im(eta), re(grad), im(grad)]`` (reference rim_utils.py:11-85)."""
     if mask.ndim == masked_kspace.ndim - 1:
         mask = mask[..., None]
-    pred_k = fft2_rv(cmul(eta[:, None], sens), fft_centered, fft_normalization, spatial_dims)
+    pred_k = fft2_rv(
+        cmul(jnp.expand_dims(eta, coil_dim), sens), fft_centered, fft_normalization, spatial_dims
+    )
     resid = ifft2_rv(mask * (pred_k - masked_kspace), fft_centered, fft_normalization, spatial_dims)
     grad = cmul_conj(resid, sens).sum(axis=coil_dim) / (sigma**2)
     return jnp.concatenate([eta, grad], axis=-1)
@@ -124,7 +126,7 @@ def psf1d_gauss_mats(
     """[B, W] 1D mask rows -> [B, 3, W, W] Gauss-form matrices of the DC
     normal operator ``C = F_w^{-1} diag(m) F_w`` (shifts/norm folded in):
     stacked (Cr, Cr+Ci, Ci-Cr) so each application is 3 real matmuls."""
-    from mridc_tpu.ops.fft import _dft_mats
+    from mridc_tpu.ops.fft import dft_mats as _dft_mats
 
     w = mask_row.shape[-1]
     fr, fi = _dft_mats(w, False, fft_centered, fft_normalization)
@@ -168,8 +170,10 @@ def log_likelihood_gradient_psf1d(
     """RIM likelihood gradient via the PSF-1D normal operator:
     ``grad = sum_c s_c^* (C (s_c eta)) - z0`` with
     ``z0 = sens_reduce(mask * y)`` precomputed once per forward.
-    Bit-exact alternative to :func:`log_likelihood_gradient` for 1D masks."""
-    coil = cmul(eta[:, None], sens)
+    Mathematically exact alternative to :func:`log_likelihood_gradient` for
+    1D masks (floating-point op order differs, so outputs match to fp noise,
+    not bit-for-bit)."""
+    coil = cmul(jnp.expand_dims(eta, coil_dim), sens)
     filt = apply_psf1d(coil, mats)
     grad = (cmul_conj(filt, sens).sum(axis=coil_dim) - z0) / (sigma**2)
     return jnp.concatenate([eta, grad], axis=-1)

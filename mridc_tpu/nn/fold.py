@@ -77,6 +77,8 @@ def halo_pad_folded(xf: jnp.ndarray, cin: int, mode: str = "edge") -> jnp.ndarra
     ``zero`` matches zero padding."""
     if mode == "zero":
         return jnp.pad(xf, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    if mode != "edge":
+        raise ValueError(f"halo_pad_folded mode must be 'zero' or 'edge', got {mode!r}")
     left = jnp.concatenate([xf[:, :, :1, :cin], xf[:, :, :1, :cin]], axis=-1)
     right = jnp.concatenate([xf[:, :, -1:, cin:], xf[:, :, -1:, cin:]], axis=-1)
     return jnp.concatenate([left, xf, right], axis=2)

@@ -52,6 +52,8 @@ class Conv(nn.Conv):
     def _folded_call(self, x: jnp.ndarray) -> jnp.ndarray:
         from mridc_tpu.nn.fold import fold_kernel, fold_pad_amount, halo_pad_folded
 
+        if self.fold_pad_mode not in ("zero", "edge"):
+            raise ValueError(f"fold_pad_mode must be 'zero' or 'edge', got {self.fold_pad_mode!r}")
         k = self.kernel_size
         kh, kw = (k, k) if isinstance(k, int) else tuple(k)
         d = self.kernel_dilation if self.kernel_dilation is not None else 1

@@ -18,7 +18,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
-__all__ = ["fft2c", "ifft2c", "fft2", "ifft2", "fftshift", "ifftshift", "fft2_rv", "ifft2_rv"]
+__all__ = ["fft2c", "ifft2c", "fft2", "ifft2", "fftshift", "ifftshift", "fft2_rv", "ifft2_rv", "dft_mats"]
 
 
 def _norm(normalization: Optional[str]) -> Optional[str]:
@@ -141,6 +141,12 @@ def _dft_mats(n: int, inverse: bool, centered: bool, normalization: str):
     if centered:
         mat = _np.fft.fftshift(mat, axes=0)
     return mat.real.astype(_np.float32), mat.imag.astype(_np.float32)
+
+
+def dft_mats(n: int, inverse: bool, centered: bool, normalization: str):
+    """Public accessor for the combined shift+DFT matrices (real, imag) —
+    the external contract for consumers like nn/dc.py's PSF-1D operator."""
+    return _dft_mats(n, inverse, centered, normalization)
 
 
 @functools.lru_cache(maxsize=64)
