@@ -205,6 +205,7 @@ def run_from_config(cfg: dict):
         optim_cfg=model_cfg.get("optim"),
         trainer_cfg=trainer_cfg,
         loss_type=model_cfg.get("train_loss_fn", "l1"),
+        val_loss_type=model_cfg.get("val_loss_fn"),
         use_ema=use_ema,
         exp_manager=exp,
         ssdu=bool(model_cfg.get("ssdu", False)),

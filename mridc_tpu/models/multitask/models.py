@@ -146,6 +146,11 @@ class MTLRS(BaseReconModel):
             all_recons.append(jnp.stack(cascade_etas, 0))  # [C, T, B, H, W, 2]
 
             # segmentation head on the (no-grad group-normed) reconstruction
+            if self.input_channels == 2 and self.magnitude_input:
+                raise ValueError(
+                    "Magnitude input is not supported for 2-channel input "
+                    "(reference mtlrs_base/mtlrs_block.py:312)"
+                )
             if self.input_channels == 1 or self.magnitude_input:
                 seg_in = cabs(eta)[..., None]
             else:
@@ -471,16 +476,17 @@ class SERANetDC(nn.Module):
 
     fft_centered: bool = False
     fft_normalization: str = "backward"
+    spatial_dims: tuple = (-2, -1)
 
     @nn.compact
     def __call__(self, prediction, prev_prediction, ref_kspace, mask):
         w = self.param("dc_weight", nn.initializers.ones, (1,))
-        pred_k = fft2_rv(prediction, self.fft_centered, self.fft_normalization)
+        pred_k = fft2_rv(prediction, self.fft_centered, self.fft_normalization, self.spatial_dims)
         if pred_k.ndim < ref_kspace.ndim:
             pred_k = pred_k[:, None]
         soft_dc = jnp.where(mask.astype(bool), pred_k - ref_kspace, 0.0) * w
         out = prev_prediction - soft_dc - pred_k
-        return ifft2_rv(out, self.fft_centered, self.fft_normalization)
+        return ifft2_rv(out, self.fft_centered, self.fft_normalization, self.spatial_dims)
 
 
 class SERANet(BaseReconModel):
@@ -549,7 +555,7 @@ class SERANet(BaseReconModel):
         reconstructions = []
         prev = y
         for _ in range(self.num_blocks):
-            prev = SERANetDC(self.fft_centered, self.fft_normalization)(unet_recon, prev, y, m)
+            prev = SERANetDC(self.fft_centered, self.fft_normalization, tuple(self.spatial_dims))(unet_recon, prev, y, m)
             reconstructions.append(prev)  # [B, C, H, W, 2]
         pred_recon = reconstructions[-2] if len(reconstructions) > 1 else reconstructions[-1]
 
@@ -575,7 +581,7 @@ class SERANet(BaseReconModel):
             chans=self.attention_chans, num_pools=self.attention_pools,
             in_chans=self.seg_in_chans * 2, out_chans=self.seg_classes,
         )
-        dc = SERANetDC(self.fft_centered, self.fft_normalization)
+        dc = SERANetDC(self.fft_centered, self.fft_normalization, tuple(self.spatial_dims))
         attention_map = segmentation
         prev = y
         for _ in range(self.num_iterations):

@@ -41,6 +41,19 @@ logger = get_logger()
 __all__ = ["TrainState", "Trainer"]
 
 
+def _host_val_loss(t: np.ndarray, p: np.ndarray, kind: str) -> float:
+    """Validation loss in the family of the configured val_loss_fn (reference
+    models compute val_loss with val_loss_fn, nn/base.py): l1 | l2/mse |
+    ssim (as 1 - SSIM, the fastMRI SSIMLoss convention)."""
+    if kind in ("l2", "mse"):
+        return float(((t - p) ** 2).mean())
+    if kind == "ssim":
+        from mridc_tpu.metrics.reconstruction import ssim as _ssim
+
+        return float(1.0 - _ssim(t, p))
+    return float(np.abs(t - p).mean())
+
+
 def _limit_batches(limit, loader):
     """PTL ``limit_{train,val}_batches`` semantics: float fraction of the
     loader length (when known) or an absolute batch count; None/1.0 = all."""
@@ -101,6 +114,7 @@ class Trainer:
         optim_cfg: Optional[Dict] = None,
         trainer_cfg: Optional[Dict] = None,
         loss_type: str = "l1",
+        val_loss_type: Optional[str] = None,
         mesh=None,
         use_ema: bool = False,
         ema_decay: float = 0.999,
@@ -113,6 +127,9 @@ class Trainer:
         self.optim_cfg = dict(optim_cfg or {"name": "adam", "lr": 1e-3})
         self.trainer_cfg = dict(trainer_cfg or {})
         self.loss_type = loss_type
+        # reference models carry a separate val_loss_fn (usually = train's);
+        # the monitored val_loss and plateau scheduling follow it
+        self.val_loss_type = (val_loss_type or loss_type).lower()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.use_ema = use_ema
         self.ema_decay = ema_decay
@@ -137,7 +154,11 @@ class Trainer:
         lr = self.optim_cfg.get("lr", 1e-3)
         sched = prepare_lr_schedule(self.optim_cfg, num_samples, batch_size, self.trainer_cfg)
         if isinstance(sched, ReduceLROnPlateau):
-            self.plateau = sched
+            if self.plateau is None:
+                self.plateau = sched
+            # else: keep the live plateau (setup_optimization is re-run after
+            # an LR drop to re-trace the step — replacing it would reset the
+            # reduced lr and the patience bookkeeping)
             self.schedule = None
             lr_or_sched = lambda step: self.plateau.lr  # noqa: E731 — re-built each fit step below
         else:
@@ -176,13 +197,24 @@ class Trainer:
         return x
 
     @staticmethod
+    def _num_slices(batch: Dict) -> int:
+        """Consecutive-slice count S when batches are [B, S, C, H, W, 2]."""
+        y = batch["masked_kspace"]
+        return int(y.shape[1]) if getattr(y, "ndim", 0) == 6 else 1
+
+    @staticmethod
     def _model_inputs(batch: Dict):
+        slices = Trainer._num_slices(batch)
         y = Trainer._fold_slices(jnp.asarray(batch["masked_kspace"]))
         sens = Trainer._fold_slices(jnp.asarray(batch["sensitivity_maps"]))
         mask = jnp.asarray(batch["mask"])
         if mask.ndim == 5 and mask.shape[1] == 2:  # SSDU [B, 2, 1, H, W]: train mask
             mask = mask[:, 0]
+        if slices > 1 and mask.shape[0] * slices == y.shape[0]:
+            mask = jnp.repeat(mask, slices, axis=0)  # same mask for each slice
         init_pred = jnp.asarray(batch["initial_prediction"]) if "initial_prediction" in batch else None
+        if init_pred is not None and slices > 1 and init_pred.ndim == 5:
+            init_pred = init_pred.reshape((-1,) + init_pred.shape[2:])
         return y, sens, mask, init_pred
 
     # ------------------------------------------------------------- jitted fns
@@ -199,36 +231,49 @@ class Trainer:
         fft_centered = bool(getattr(model, "fft_centered", False))
         fft_normalization = str(getattr(model, "fft_normalization", "backward"))
 
-        def train_step(state: TrainState, y, sens, mask, init_pred, target, loss_mask, n2r_y=None, n2r_mask=None):
-            # Reference gating (nn/base.py:439,464,483): the k-space branch runs
-            # when kspace_reconstruction_loss is configured, or — for the
-            # n2r+ssdu pseudo-supervised term — when ssdu is on.
-            kspace_loss = self.kspace_reconstruction_loss or (self.ssdu and n2r_y is not None)
+        def train_step(
+            state: TrainState, y, sens, mask, init_pred, target, loss_mask,
+            n2r_y=None, n2r_mask=None, n2r_supervised=None,
+        ):
+            # Reference gating (nn/base.py:427-455): with n2r predictions the
+            # branches are EXCLUSIVE — (ssdu or attrs['n2r_supervised']) picks
+            # the (pseudo-)supervised term with kspace_loss=ssdu; otherwise
+            # ONLY the n2r consistency term trains (with loss_mask and the
+            # configured kspace gating, gradients flowing through both
+            # predictions). Without n2r, the plain supervised loss runs.
+            kspace_sup = self.kspace_reconstruction_loss or (self.ssdu and n2r_y is not None)
 
             def loss_fn(params):
                 out: ModelOutput = model.apply({"params": params}, y, sens, mask, init_pred, train=True)
-                loss = process_reconstruction_loss(
+                loss_sup = process_reconstruction_loss(
                     out,
                     target,
                     loss_type,
                     reg,
                     loss_mask,
                     sensitivity_maps=sens,
-                    kspace_loss=kspace_loss,
+                    kspace_loss=kspace_sup,
                     fft_centered=fft_centered,
                     fft_normalization=fft_normalization,
                 )
-                if n2r_y is not None:
-                    # Noise-to-Reconstruction consistency: recon of the extra
-                    # noise-masked k-space must match the clean recon
-                    # (reference reconstruction/nn/base.py n2r branch).
-                    out_n = model.apply({"params": params}, n2r_y, sens, n2r_mask, init_pred, train=True)
-                    loss = loss + n2r_weight * process_reconstruction_loss(
-                        ModelOutput(prediction=out_n.prediction),
-                        jax.lax.stop_gradient(out.prediction),
-                        loss_type,
-                    )
-                return loss
+                if n2r_y is None:
+                    return loss_sup
+                out_n = model.apply({"params": params}, n2r_y, sens, n2r_mask, init_pred, train=True)
+                loss_cons = n2r_weight * process_reconstruction_loss(
+                    ModelOutput(prediction=out_n.prediction),
+                    out.prediction,
+                    loss_type,
+                    reg,
+                    loss_mask,
+                    sensitivity_maps=sens,
+                    kspace_loss=self.kspace_reconstruction_loss,
+                    fft_centered=fft_centered,
+                    fft_normalization=fft_normalization,
+                )
+                if self.ssdu:
+                    return loss_sup  # pseudo-supervised branch always wins
+                sup = n2r_supervised if n2r_supervised is not None else jnp.asarray(False)
+                return jnp.where(sup, loss_sup, loss_cons)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -262,16 +307,27 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         b = self._device_batch(batch)
+        slices = self._num_slices(b)
         y, sens, mask, init_pred = self._model_inputs(b)
         target = jnp.asarray(b["target"])
+        if slices > 1 and target.ndim == 5:
+            target = target.reshape((-1,) + target.shape[2:])
         loss_mask = None
         raw_mask = jnp.asarray(b["mask"])
         if raw_mask.ndim >= 4 and raw_mask.shape[1] == 2:  # SSDU loss mask
             loss_mask = raw_mask[:, 1, 0] if raw_mask.ndim == 5 else raw_mask[:, 1]
+            if slices > 1 and loss_mask.shape[0] * slices == y.shape[0]:
+                loss_mask = jnp.repeat(loss_mask, slices, axis=0)
         n2r_y = jnp.asarray(b["n2r_masked_kspace"]) if "n2r_masked_kspace" in b else None
         n2r_mask = jnp.asarray(b["n2r_mask"]) if "n2r_mask" in b else None
+        # reference gates the n2r branches on attrs['n2r_supervised'] (one
+        # flag per batch; any-supervised selects the supervised term)
+        n2r_sup = None
+        if n2r_y is not None:
+            attrs = batch.get("attrs") or []
+            n2r_sup = jnp.asarray(any(bool(a.get("n2r_supervised", False)) for a in attrs))
         self.state, metrics = self._train_step(
-            self.state, y, sens, mask, init_pred, target, loss_mask, n2r_y, n2r_mask
+            self.state, y, sens, mask, init_pred, target, loss_mask, n2r_y, n2r_mask, n2r_sup
         )
         return metrics
 
@@ -293,9 +349,12 @@ class Trainer:
         rng: Optional[jax.Array] = None,
     ):
         max_epochs = max_epochs or self.trainer_cfg.get("max_epochs", 1)
-        max_steps = self.trainer_cfg.get("max_steps") or float("inf")
-        if max_steps is not None and max_steps < 0:
-            max_steps = float("inf")
+        ms = self.trainer_cfg.get("max_steps")
+        max_steps = float("inf") if ms is None or float(ms) < 0 else float(ms)
+        # PTL max_steps counts OPTIMIZER steps; the loop counts micro-batches,
+        # so scale by the accumulation factor
+        accum = max(1, int(self.trainer_cfg.get("accumulate_grad_batches", 1) or 1))
+        max_micro_steps = max_steps * accum
         # PTL-compatible knobs (reference core/conf/trainer.py TrainerConfig)
         log_every_n_steps = int(self.trainer_cfg.get("log_every_n_steps", log_every_n_steps))
         check_val_every = int(self.trainer_cfg.get("check_val_every_n_epoch", 1) or 1)
@@ -358,61 +417,70 @@ class Trainer:
         profile_len = int(self.trainer_cfg.get("profile_steps", 5))
         profiling = False
 
-        for epoch in range(max_epochs):
-            epoch_start = time.perf_counter()
-            losses = []
-            for batch_idx, batch in enumerate(train_loader):
-                if limit_train is not None and batch_idx >= limit_train:
+        try:
+            for epoch in range(max_epochs):
+                epoch_start = time.perf_counter()
+                losses = []
+                for batch_idx, batch in enumerate(train_loader):
+                    if step >= max_micro_steps:
+                        break
+                    if limit_train is not None and batch_idx >= limit_train:
+                        break
+                    if profile_dir is not None:
+                        if not profiling and step == profile_start:
+                            jax.profiler.start_trace(str(profile_dir))
+                            profiling = True
+                        elif profiling and step >= profile_start + profile_len:
+                            jax.profiler.stop_trace()
+                            profiling = False
+                            logger.info(f"Wrote profiler trace to {profile_dir}")
+                    t0 = time.perf_counter()
+                    metrics = self.training_batch(batch)
+                    # keep the loss on device: a float() here would sync the host
+                    # with the TPU every step and serialize input pipeline/compute
+                    losses.append(metrics["loss"])
+                    step += 1
+                    if step % log_every_n_steps == 0:
+                        loss = float(metrics["loss"])
+                        dt = time.perf_counter() - t0
+                        logger.info(f"epoch {epoch} step {step} loss {loss:.5f} step_time {dt:.3f}s")
+                        if self.exp_manager is not None:
+                            self.exp_manager.log_scalar("train_loss", loss, step)
+                    if val_interval_steps and val_loader is not None and step % val_interval_steps == 0:
+                        val = self._run_validation(val_loader, step, limit_val)
+                        logger.info(
+                            f"step {step} validation: "
+                            + " ".join(f"{k}={v:.5f}" for k, v in val.items() if isinstance(v, float))
+                        )
+                    if step >= max_micro_steps or preempted["flag"]:
+                        break
+                if preempted["flag"]:
+                    if self.exp_manager is not None:
+                        # unmanaged "last": a metric-less save must not enter the
+                        # monitored top-k bookkeeping
+                        self.exp_manager.checkpointer.save_last(self.state)
                     break
-                if profile_dir is not None:
-                    if not profiling and step == profile_start:
-                        jax.profiler.start_trace(str(profile_dir))
-                        profiling = True
-                    elif profiling and step >= profile_start + profile_len:
-                        jax.profiler.stop_trace()
-                        profiling = False
-                        logger.info(f"Wrote profiler trace to {profile_dir}")
-                t0 = time.perf_counter()
-                metrics = self.training_batch(batch)
-                loss = float(metrics["loss"])
-                losses.append(loss)
-                step += 1
-                if step % log_every_n_steps == 0:
-                    dt = time.perf_counter() - t0
-                    logger.info(f"epoch {epoch} step {step} loss {loss:.5f} step_time {dt:.3f}s")
-                if self.exp_manager is not None:
-                    self.exp_manager.log_scalar("train_loss", loss, step)
-                if val_interval_steps and val_loader is not None and step % val_interval_steps == 0:
+                epoch_metrics = {
+                    "epoch": epoch,
+                    "train_loss": float(np.mean(jax.device_get(losses))) if losses else float("nan"),
+                }
+                if val_loader is not None and (epoch + 1) % check_val_every == 0:
                     val = self._run_validation(val_loader, step, limit_val)
-                    logger.info(
-                        f"step {step} validation: "
-                        + " ".join(f"{k}={v:.5f}" for k, v in val.items() if isinstance(v, float))
-                    )
-                if step >= max_steps or preempted["flag"]:
+                    epoch_metrics.update(val)
+                logger.info(
+                    f"epoch {epoch} done in {time.perf_counter() - epoch_start:.1f}s: "
+                    + " ".join(f"{k}={v:.5f}" for k, v in epoch_metrics.items() if isinstance(v, float))
+                )
+                history.append(epoch_metrics)
+                if step >= max_micro_steps:
                     break
-            if preempted["flag"]:
-                if self.exp_manager is not None:
-                    # unmanaged "last": a metric-less save must not enter the
-                    # monitored top-k bookkeeping
-                    self.exp_manager.checkpointer.save_last(self.state)
-                break
-            epoch_metrics = {"epoch": epoch, "train_loss": float(np.mean(losses)) if losses else float("nan")}
-            if val_loader is not None and (epoch + 1) % check_val_every == 0:
-                val = self._run_validation(val_loader, step, limit_val)
-                epoch_metrics.update(val)
-            logger.info(
-                f"epoch {epoch} done in {time.perf_counter() - epoch_start:.1f}s: "
-                + " ".join(f"{k}={v:.5f}" for k, v in epoch_metrics.items() if isinstance(v, float))
-            )
-            history.append(epoch_metrics)
-            if step >= max_steps:
-                break
-        if profiling:
-            jax.profiler.stop_trace()
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
-        if self.exp_manager is not None:
-            self.exp_manager.on_train_end(self)
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+            if self.exp_manager is not None:
+                self.exp_manager.on_train_end(self)
         return history
 
     def _run_validation(self, val_loader, step, limit_val=None) -> Dict[str, float]:
@@ -458,7 +526,7 @@ class Trainer:
             tmax = t.max() or 1.0
             t = t / tmax
             p = p / (p.max() or 1.0)
-            losses.append(float(np.abs(t - p).mean()))
+            losses.append(_host_val_loss(t, p, self.val_loss_type))
             for i in range(t.shape[0]):
                 metrics.push(t[i : i + 1], p[i : i + 1])
         # cross-process reduction (reference DistributedMetricSum sums metric

@@ -336,3 +336,65 @@ def test_trainer_ptl_knobs(tmp_path, loaders):
     assert int(trainer.state.step) == 2
     assert "val_loss" in history[-1]
     assert "val_loss" not in history[0]
+
+
+def test_plateau_scheduler_survives_step_rebuild():
+    """An LR drop re-traces the jitted step via setup_optimization; the live
+    plateau (reduced lr + patience state) must survive the rebuild."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.train.trainer import Trainer
+
+    trainer = Trainer(
+        build_model({"model_name": "UNet", "channels": 4, "pooling_layers": 2}),
+        optim_cfg={"name": "adam", "lr": 1e-3, "sched": {"name": "ReduceLROnPlateau", "factor": 0.5, "patience": 0}},
+    )
+    trainer.setup_optimization()
+    plateau = trainer.plateau
+    assert plateau is not None
+    plateau.update(1.0)
+    plateau.update(1.0)  # patience 0: second non-improving step halves lr
+    reduced = plateau.lr
+    assert reduced < 1e-3
+    trainer.setup_optimization()  # the post-drop rebuild
+    assert trainer.plateau is plateau
+    assert trainer.plateau.lr == reduced
+
+
+def test_max_steps_zero_and_accumulation_scaling(loaders):
+    """max_steps=0 runs no training steps; with accumulate_grad_batches the
+    limit counts optimizer steps (PTL semantics)."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.train.trainer import Trainer
+
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    train_loader, _ = loaders
+    t0 = Trainer(build_model(cfg), optim_cfg={"name": "adam", "lr": 1e-3},
+                 trainer_cfg={"max_epochs": 2, "max_steps": 0})
+    t0.fit(train_loader, max_epochs=2)
+    assert int(t0.state.step) == 0
+
+    t1 = Trainer(build_model(cfg), optim_cfg={"name": "adam", "lr": 1e-3},
+                 trainer_cfg={"max_epochs": 8, "max_steps": 1, "accumulate_grad_batches": 2})
+    t1.fit(train_loader, max_epochs=8)
+    # 1 optimizer step x accumulation 2 = 2 micro-steps
+    assert int(t1.state.step) == 2
+
+
+def test_model_inputs_fold_consecutive_slices():
+    """[B, S, C, H, W, 2] batches fold S into batch for every model input."""
+    from mridc_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    B, S, C, H, W = 2, 3, 4, 8, 8
+    batch = {
+        "masked_kspace": rng.standard_normal((B, S, C, H, W, 2)).astype(np.float32),
+        "sensitivity_maps": rng.standard_normal((B, S, C, H, W, 2)).astype(np.float32),
+        "mask": np.ones((B, 1, H, W), np.float32),
+        "initial_prediction": rng.standard_normal((B, S, H, W, 2)).astype(np.float32),
+    }
+    y, sens, mask, init_pred = Trainer._model_inputs(batch)
+    assert y.shape == (B * S, C, H, W, 2)
+    assert sens.shape == (B * S, C, H, W, 2)
+    assert mask.shape == (B * S, 1, H, W)
+    assert init_pred.shape == (B * S, H, W, 2)
