@@ -11,7 +11,6 @@ before export/launch.
 
 from __future__ import annotations
 
-import copy
 import os
 import subprocess
 import sys
@@ -72,7 +71,7 @@ def list_models(task: str) -> List[Dict[str, Any]]:
     for entry in found.values():
         first = next(iter(entry["modes"].values()))
         try:
-            cfg = yaml.safe_load(open(first)) or {}
+            cfg = yaml.safe_load(Path(first).read_text()) or {}
             entry["display"] = (cfg.get("model") or {}).get("model_name", entry["name"])
         except Exception:
             entry["display"] = entry["name"]
@@ -108,7 +107,6 @@ def build_config(task: str, model: str, mode: str, overrides: Optional[Dict[str,
     """Defaults + user edits, schema-validated. ``overrides`` maps dotkeys to
     already-typed values (the server parses form text with YAML semantics)."""
     cfg = load_defaults(task, model, mode)
-    cfg = copy.deepcopy(cfg)
     for key, value in (overrides or {}).items():
         node = cfg
         parts = key.split(".")
@@ -152,12 +150,16 @@ def run_command(config_path: str) -> List[str]:
     ]
 
 
-def launch_run(config_path: str, log_path: Optional[str] = None) -> subprocess.Popen:
-    """Launch the run detached, stdout/stderr into ``log_path``
-    (reference run.py:2829-2833 spawns a terminal running ``mridc run``)."""
+def launch_run(config_path: str, log_path: Optional[str] = None) -> Tuple[subprocess.Popen, Path]:
+    """Launch the run detached, stdout/stderr into ``log_path``; returns
+    ``(process, log_path)`` (reference run.py:2829-2833 spawns a terminal
+    running ``mridc run``)."""
     log = Path(log_path) if log_path else Path(config_path).with_suffix(".log")
     log.parent.mkdir(parents=True, exist_ok=True)
-    handle = open(log, "ab")
     env = dict(os.environ)
     env.setdefault("PYTHONPATH", str(Path(__file__).resolve().parents[2]))
-    return subprocess.Popen(run_command(config_path), stdout=handle, stderr=subprocess.STDOUT, env=env)
+    with open(log, "ab") as handle:
+        # the child keeps its own duplicated descriptor; closing the parent's
+        # copy on exit of this block avoids leaking one fd per launched run
+        proc = subprocess.Popen(run_command(config_path), stdout=handle, stderr=subprocess.STDOUT, env=env)
+    return proc, log

@@ -21,6 +21,7 @@ run.py:2799-2833.
 from __future__ import annotations
 
 import json
+import shlex
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -83,6 +84,24 @@ loadTasks();
 </script></body></html>"""
 
 
+_LAUNCHED_LOGS: set = set()  # /api/log may only serve these
+
+
+def _field_text(v) -> str:
+    """Render a config leaf for an HTML text input. Strings/None pass
+    through verbatim (yaml.safe_dump would append a document-end marker,
+    which browsers mangle); containers render as flow-style YAML."""
+    if v is None:
+        return ""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return yaml.safe_dump(v, default_flow_style=True, width=10**6).strip()
+
+
 def _parse_overrides(raw: Dict[str, Any]) -> Dict[str, Any]:
     """Form values arrive as text; give them YAML semantics (like dotlist
     overrides, train/config.py parse_value)."""
@@ -122,12 +141,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(200, core.list_models(q["task"]))
             if url.path == "/api/config":
                 cfg = core.load_defaults(q["task"], q["model"], q.get("mode", "train"))
-                fields = [[k, "" if v is None else yaml.safe_dump(v, default_flow_style=True).strip()]
-                          for k, v in core.flatten_config(cfg)]
+                fields = [[k, _field_text(v)] for k, v in core.flatten_config(cfg)]
                 return self._send(200, {"fields": fields})
             if url.path == "/api/log":
                 tail = int(q.get("tail", 4000))
-                text = Path(q["path"]).read_text(errors="replace")[-tail:]
+                path = str(Path(q["path"]).resolve())
+                # only logs of runs this server launched (no arbitrary reads)
+                if path not in _LAUNCHED_LOGS:
+                    return self._send(403, {"error": "unknown log path (not launched by this app)"})
+                text = Path(path).read_text(errors="replace")[-tail:]
                 return self._send(200, {"log": text})
             return self._send(404, {"error": f"unknown path {url.path}"})
         except (KeyError, FileNotFoundError) as e:
@@ -144,10 +166,11 @@ class _Handler(BaseHTTPRequestHandler):
                     req["task"], req["model"], req.get("mode", "train"), _parse_overrides(req.get("overrides"))
                 )
                 path = core.export_config(cfg, req.get("export_dir", "./app_runs"), req.get("name"))
-                resp = {"path": str(path), "command": " ".join(core.run_command(str(path)))}
+                resp = {"path": str(path), "command": shlex.join(core.run_command(str(path)))}
                 if url.path == "/api/run":
-                    proc = core.launch_run(str(path))
-                    resp.update(pid=proc.pid, log=str(Path(path).with_suffix(".log")))
+                    proc, log = core.launch_run(str(path))
+                    _LAUNCHED_LOGS.add(str(log.resolve()))
+                    resp.update(pid=proc.pid, log=str(log))
                 return self._send(200, resp)
             return self._send(404, {"error": f"unknown path {url.path}"})
         except ConfigValidationError as e:

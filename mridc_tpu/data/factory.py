@@ -16,7 +16,10 @@ def is_none(x) -> bool:
     return x is None or str(x).lower() == "none"
 
 
-def build_transforms(ds_cfg: Dict, model_cfg: Optional[Dict] = None) -> MRIDataTransforms:
+def transform_kwargs(ds_cfg: Dict, model_cfg: Optional[Dict] = None) -> Dict:
+    """The full MRIDataTransforms kwargs a dataset config implies — shared by
+    the reconstruction loader and the task pipelines (multitask wraps these
+    in RSMRIDataTransforms) so every ds_cfg knob applies identically."""
     model_cfg = model_cfg or {}
     mask_args = ds_cfg.get("mask_args") or {}
     mask_func = None
@@ -39,7 +42,7 @@ def build_transforms(ds_cfg: Dict, model_cfg: Optional[Dict] = None) -> MRIDataT
     if is_none(zf_size):
         zf_size = None
 
-    return MRIDataTransforms(
+    return dict(
         apply_prewhitening=ds_cfg.get("apply_prewhitening", False),
         apply_gcc=ds_cfg.get("apply_gcc", False),
         gcc_virtual_coils=ds_cfg.get("gcc_virtual_coils", 10),
@@ -79,6 +82,10 @@ def build_transforms(ds_cfg: Dict, model_cfg: Optional[Dict] = None) -> MRIDataT
         consecutive_slices=ds_cfg.get("consecutive_slices", 1),
         use_seed=ds_cfg.get("use_seed", True),
     )
+
+
+def build_transforms(ds_cfg: Dict, model_cfg: Optional[Dict] = None) -> MRIDataTransforms:
+    return MRIDataTransforms(**transform_kwargs(ds_cfg, model_cfg))
 
 
 def build_dataloader(ds_cfg: Dict, model_cfg: Optional[Dict] = None, shuffle: Optional[bool] = None) -> BatchLoader:

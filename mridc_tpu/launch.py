@@ -65,16 +65,15 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
         )
         return SegBatchLoader(ds, batch_size=ds_cfg.get("batch_size", 1), shuffle=shuffle)
     if task == "multitask":
-        from mridc_tpu.data.factory import build_transforms
+        from mridc_tpu.data.factory import transform_kwargs
         from mridc_tpu.data.seg_pipeline import RSBatchLoader, RSMRIDataTransforms
         from mridc_tpu.data.task_loaders import RSMRIDataset
 
-        base_tfm = build_transforms(ds_cfg, model_cfg)
+        # forward EVERY ds_cfg transform knob (crop/zero-fill/ssdu/prewhiten/
+        # ...), not just the mask — identical preprocessing to the recon path
         tfm = RSMRIDataTransforms(
             output_classes=model_cfg.get("segmentation_module_output_channels"),
-            mask_func=base_tfm.masking.mask_func,
-            fft_centered=model_cfg.get("fft_centered", False),
-            fft_normalization=model_cfg.get("fft_normalization", "backward"),
+            **transform_kwargs(ds_cfg, model_cfg),
         )
         ds = RSMRIDataset(
             root=ds_cfg["data_path"],
@@ -185,7 +184,10 @@ def run_from_config(cfg: dict):
     save_config(cfg, exp.log_dir / "config.yaml")
 
     task = model_task(model_cfg.get("model_name", ""))
-    use_ema = bool(exp_cfg.get("ema", {}).get("enable", False)) if isinstance(exp_cfg.get("ema"), dict) else False
+    ema_cfg = exp_cfg.get("ema")
+    if ema_cfg is True:  # `ema: true` shorthand for `ema: {enable: true}`
+        ema_cfg = {"enable": True}
+    use_ema = bool(ema_cfg.get("enable", False)) if isinstance(ema_cfg, dict) else False
     if task == "segmentation":
         from mridc_tpu.train.task_trainers import SegmentationTrainer
 
@@ -212,6 +214,32 @@ def run_from_config(cfg: dict):
         kspace_reconstruction_loss=bool(model_cfg.get("kspace_reconstruction_loss", False)),
     )
 
+    # pretrained weights (reference launch.py:129-132: `pretrained: true`
+    # loads `checkpoint:` into the model before fit/test). Accepts a .mridc
+    # archive path, URL, or registered pretrained name.
+    pretrained_params = None
+    if cfg.get("pretrained"):
+        ckpt = cfg.get("checkpoint")
+        if ckpt in (None, "", "None", "null"):
+            raise ValueError("pretrained: true requires checkpoint: <path | url | registered name>")
+        from mridc_tpu.models.pretrained import from_pretrained
+
+        _, pretrained_params, _ = from_pretrained(str(ckpt))
+        logger.info(f"Loaded pretrained weights from {ckpt}")
+
+    def _install_pretrained(loader):
+        first = next(iter(loader))
+        if trainer._tx is None:
+            trainer.setup_optimization(
+                num_samples=len(getattr(loader, "dataset", [])) or 1,
+                batch_size=getattr(loader, "batch_size", 1),
+            )
+        trainer.init_state(jax.random.PRNGKey(0), first)
+        trainer.state = trainer.state.replace(
+            params=pretrained_params,
+            ema_params=pretrained_params if trainer.use_ema else trainer.state.ema_params,
+        )
+
     if mode == "train":
         train_loader = _build_task_loader(task, model_cfg["train_ds"], model_cfg, True)
         val_loader = (
@@ -222,15 +250,20 @@ def run_from_config(cfg: dict):
         trainer.setup_optimization(
             num_samples=len(train_loader.dataset), batch_size=train_loader.batch_size
         )
+        if pretrained_params is not None:
+            _install_pretrained(train_loader)
         history = trainer.fit(train_loader, val_loader, max_epochs=trainer_cfg.get("max_epochs", 1))
         return trainer, history
     # test / eval
     test_loader = _build_task_loader(task, model_cfg["test_ds"], model_cfg, False)
     if trainer.state is None:
-        first = next(iter(test_loader))
-        trainer.setup_optimization()
-        trainer.init_state(jax.random.PRNGKey(0), first)
-        exp.maybe_resume(trainer)
+        if pretrained_params is not None:
+            _install_pretrained(test_loader)
+        else:
+            first = next(iter(test_loader))
+            trainer.setup_optimization()
+            trainer.init_state(jax.random.PRNGKey(0), first)
+            exp.maybe_resume(trainer)
     recons, means = trainer.test(test_loader)
     logger.info("Test metrics: " + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
     import h5py

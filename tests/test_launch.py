@@ -311,3 +311,45 @@ def test_auto_dc_mode_gating():
     )
     # non-RIM models don't take dc_mode
     assert "dc_mode" not in _auto_dc_mode({**base, "model_name": "VN"})
+
+
+def test_pretrained_checkpoint_loaded_for_test_mode(tmp_path, data_dir):
+    """`pretrained: true` + `checkpoint: <.mridc>` loads the archived weights
+    before evaluation (reference launch.py:129-132); previously run configs'
+    checkpoint key was ignored and test mode evaluated random weights."""
+    import flax.serialization as ser
+    import jax
+
+    from mridc_tpu.launch import run_from_config
+    from mridc_tpu.models import build_model
+    from mridc_tpu.train.checkpoints import save_archive
+
+    model_cfg = {
+        "model_name": "UNet",
+        "channels": 4,
+        "pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+        "test_ds": {"data_path": str(data_dir), "batch_size": 2,
+                    "mask_args": {"type": "equispaced1d", "accelerations": [4], "center_fractions": [0.08]}},
+    }
+    model = build_model(model_cfg)
+    rng = np.random.default_rng(0)
+    y = np.stack([rng.standard_normal((1, 4, 32, 32)), rng.standard_normal((1, 4, 32, 32))], -1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(7), y, y, np.ones((1, 1, 32, 32), np.float32))
+    archive = tmp_path / "unet.mridc"
+    save_archive(archive, {k: v for k, v in model_cfg.items() if k != "test_ds"}, variables["params"])
+
+    cfg = {
+        "mode": "test",
+        "pretrained": True,
+        "checkpoint": str(archive),
+        "model": model_cfg,
+        "trainer": {"max_epochs": 1},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "pt"},
+    }
+    trainer, means = run_from_config(cfg)
+    want = jax.tree_util.tree_leaves(ser.to_state_dict(variables["params"]))
+    got = jax.tree_util.tree_leaves(ser.to_state_dict(trainer.state.params))
+    assert all(np.allclose(a, b) for a, b in zip(got, want))
+    assert np.isfinite(list(means.values())).all() if means else True
