@@ -90,9 +90,13 @@ class MRIDataset:
         else:
             files = list(Path(root).iterdir())
 
+        # deterministic RNG: every process must select the SAME subset (the
+        # loader shards by index later) and runs must be reproducible — the
+        # unseeded global `random` gives neither
+        _rng = random.Random(1234)
         n2r_supervised_files: List[Path] = []
         if n2r_supervised_rate:
-            n2r_supervised_files = random.sample(files, int(np.round(n2r_supervised_rate * len(files))))
+            n2r_supervised_files = _rng.sample(sorted(files), int(np.round(n2r_supervised_rate * len(files))))
 
         for fname in sorted(files):
             metadata, num_slices = self._retrieve_metadata(fname)
@@ -101,11 +105,11 @@ class MRIDataset:
             self.examples += [(fname, s, metadata) for s in range(num_slices)]
 
         if sample_rate < 1.0:
-            random.shuffle(self.examples)
+            _rng.shuffle(self.examples)
             self.examples = self.examples[: round(len(self.examples) * sample_rate)]
         elif volume_sample_rate < 1.0:
             vol_names = sorted({f[0].stem for f in self.examples})
-            random.shuffle(vol_names)
+            _rng.shuffle(vol_names)
             sampled = set(vol_names[: round(len(vol_names) * volume_sample_rate)])
             self.examples = [ex for ex in self.examples if ex[0].stem in sampled]
 
@@ -198,7 +202,7 @@ class ReconstructionMRIDataset(MRIDataset):
 
             if "mask" in hf:
                 mask = np.asarray(self.get_consecutive_slices(hf, "mask", dataslice))
-                if mask.ndim == 3:
+                if mask.ndim == 3 and self.consecutive_slices == 1:
                     mask = mask[dataslice]
             elif not is_none(self.mask_root):
                 with h5py.File(Path(self.mask_root) / Path(fname).name, "r") as mf:
@@ -215,12 +219,16 @@ class ReconstructionMRIDataset(MRIDataset):
                 else np.array([])
             )
 
-            rkey = re.findall(r"reconstruction_(.*)", str(list(hf.keys())))
-            recons_key = "reconstruction_" + rkey[0] if rkey else "target"
-            if "reconstruction_rss" in str(list(hf.keys())):
+            keys = list(hf.keys())
+            recon_keys = [k for k in keys if k.startswith("reconstruction")]
+            if "reconstruction_rss" in keys:
                 recons_key = "reconstruction_rss"
-            elif "reconstruction_sense" in hf:
+            elif "reconstruction_sense" in keys:
                 recons_key = "reconstruction_sense"
+            elif recon_keys:  # e.g. fastMRI reconstruction_esc, plain reconstruction
+                recons_key = recon_keys[0]
+            else:
+                recons_key = "target"
             target = self.get_consecutive_slices(hf, recons_key, dataslice) if recons_key in hf else None
 
             attrs = dict(hf.attrs)
@@ -245,9 +253,13 @@ class ReconstructionMRIDataset(MRIDataset):
 
 
 def _pad_to(x: np.ndarray, shape: Sequence[int]) -> np.ndarray:
-    """Zero-pad trailing dims of ``x`` up to ``shape`` (center-aligned spatially)."""
-    pads = []
-    for dim, target in zip(x.shape, shape):
+    """Zero-pad the TRAILING dims of ``x`` up to ``shape`` (center-aligned);
+    leading dims (e.g. a consecutive-slices axis) pass through unpadded."""
+    if x.size == 0:
+        return x
+    shape = tuple(shape)[-x.ndim :]
+    pads = [(0, 0)] * (x.ndim - len(shape))
+    for dim, target in zip(x.shape[x.ndim - len(shape) :], shape):
         extra = max(int(target) - dim, 0)
         pads.append((extra // 2, extra - extra // 2))
     return np.pad(x, pads, mode="constant")
@@ -282,6 +294,8 @@ class BatchLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.seed = int(seed)
+        self._epoch = 0
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
         self.select_acceleration = select_acceleration
@@ -341,9 +355,13 @@ class BatchLoader:
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            # identical seed across processes -> identical permutation; the
-            # strided shard below then keeps per-process subsets disjoint
-            self.rng.shuffle(order)
+            # identical (seed, epoch) across processes -> identical permutation
+            # (DistributedSampler-style); the strided shard below then keeps
+            # per-process subsets disjoint. A dedicated RNG: the per-sample
+            # acceleration draws consume self.rng data-dependently, which would
+            # desynchronize a shared RNG across processes after one epoch.
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
         if self.process_count > 1:
             from mridc_tpu.parallel.multihost import shard_indices
 
@@ -416,13 +434,16 @@ class BatchLoader:
             "masked_kspace": stack_c(mks),
             "sensitivity_maps": stack_c(sens),
             "mask": masks,
-            "initial_prediction": np.stack([rv(_pad_to(np.asarray(p), spatial)) for p in preds], 0),
             "target": np.stack([rv(_pad_to(np.asarray(t), spatial)) for t in tgts], 0),
             "fname": fnames,
             "slice_idx": np.asarray(sidx, np.int32),
             "acceleration": np.asarray(accs, np.float32),
             "attrs": attrs,
         }
+        if all(np.asarray(p).size for p in preds):
+            out_batch["initial_prediction"] = np.stack(
+                [rv(_pad_to(np.asarray(p), spatial)) for p in preds], 0
+            )
         if n2r_ks:
             out_batch["n2r_masked_kspace"] = stack_c(n2r_ks)
             out_batch["n2r_mask"] = np.stack([pad_mask(m) for m in n2r_ms], 0)

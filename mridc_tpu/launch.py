@@ -178,6 +178,7 @@ def run_from_config(cfg: dict):
         resume_if_exists=exp_cfg.get("resume_if_exists", False),
         create_tensorboard_logger=exp_cfg.get("create_tensorboard_logger", False),
         checkpoint_monitor=(exp_cfg.get("checkpoint_callback_params") or {}).get("monitor", "val_loss"),
+        checkpoint_mode=(exp_cfg.get("checkpoint_callback_params") or {}).get("mode", "min"),
         save_top_k=(exp_cfg.get("checkpoint_callback_params") or {}).get("save_top_k", 3),
         model_config=model_cfg,
     )

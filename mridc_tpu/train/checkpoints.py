@@ -76,9 +76,13 @@ class OrbaxCheckpointer:
         self.directory.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
+        # a checkpoint whose metrics miss the monitor must rank WORST in
+        # either mode (with +inf it would rank BEST under mode='max' and
+        # evict genuinely-ranked checkpoints)
+        missing = -np.inf if mode == "max" else np.inf
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
-            best_fn=lambda m: m.get(monitor, np.inf),
+            best_fn=lambda m: m.get(monitor, missing),
             best_mode=mode,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
@@ -129,6 +133,13 @@ class OrbaxCheckpointer:
         target = jax.device_get(state_template)
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(path, target=target)
+
+    def restore_best(self, state_template):
+        """Restore the best monitored checkpoint (None if nothing ranked)."""
+        step = self._mgr.best_step()
+        if step is None:
+            return None
+        return self.restore(state_template, step=step)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

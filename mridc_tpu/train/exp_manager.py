@@ -41,7 +41,24 @@ class ExpManager:
     ):
         self.name = name
         if version is None:
-            version = time.strftime("%Y-%m-%d_%H-%M-%S") if not resume_if_exists else "run"
+            if resume_if_exists:
+                version = "run"
+            else:
+                # all processes must agree on the run directory (orbax saves
+                # are collective) — derive the timestamp from process 0
+                stamp = time.time()
+                try:
+                    import jax
+
+                    if jax.process_count() > 1:
+                        from jax.experimental import multihost_utils
+
+                        stamp = float(
+                            multihost_utils.broadcast_one_to_all(np.asarray(stamp, np.float64))
+                        )
+                except Exception:
+                    pass
+                version = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime(stamp))
         self.log_dir = Path(exp_dir) / name / version
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.checkpoint_dir = self.log_dir / "checkpoints"
@@ -156,7 +173,18 @@ class ExpManager:
             # from the monitored top-k, exp_manager.py:704)
             self.checkpointer.save_last(trainer.state)
             if is_global_rank_zero():
-                save_archive(self.log_dir / f"{self.name}.mridc", self.model_config, trainer.state.params)
+                # the deployable archive carries the BEST monitored
+                # checkpoint, falling back to the final weights (reference
+                # re-saves the best model as .mridc on train end,
+                # exp_manager.py:824-842)
+                params = trainer.state.params
+                try:
+                    best = self.checkpointer.restore_best(trainer.state)
+                    if best is not None:
+                        params = best.params
+                except Exception:
+                    pass
+                save_archive(self.log_dir / f"{self.name}.mridc", self.model_config, params)
         if self.writer is not None:
             self.writer.flush()
         if self.wandb_run is not None:
