@@ -79,6 +79,13 @@ def transform_kwargs(ds_cfg: Dict, model_cfg: Optional[Dict] = None) -> Dict:
             ds_cfg.get("coil_combination_method", model_cfg.get("coil_combination_method", "SENSE"))
         ),
         dimensionality=ds_cfg.get("dimensionality", 2),
+        # per-sample arrays have no batch axis: the reference shifts the
+        # configured (batch-level) coil_dim down for 2D (transforms.py:1757)
+        coil_dim=(
+            ds_cfg.get("coil_dim", model_cfg.get("coil_dim", 1)) - 1
+            if ds_cfg.get("dimensionality", 2) == 2
+            else ds_cfg.get("coil_dim", model_cfg.get("coil_dim", 1))
+        ),
         consecutive_slices=ds_cfg.get("consecutive_slices", 1),
         use_seed=ds_cfg.get("use_seed", True),
     )

@@ -387,6 +387,10 @@ class BatchLoader:
                 n2r_ms.append(np.asarray(n2r_mask[r] if isinstance(n2r_mask, list) else n2r_mask, np.float32))
             if isinstance(kspace, list):
                 kspace = kspace[r]
+            if isinstance(target, list):
+                # per-acceleration targets follow the selected input
+                # (reference nn/base.py:337-340)
+                target = target[min(r, len(target) - 1)]
             # SSDU: mask entry is [train, loss]
             if isinstance(mask, list):
                 mask = np.stack([np.asarray(m, np.float32) for m in mask], 0)

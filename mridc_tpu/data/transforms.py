@@ -22,6 +22,7 @@ Design deviations (TPU-first):
 from __future__ import annotations
 
 import numpy as np
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 __all__ = [
@@ -408,7 +409,7 @@ class Masker:
                 m = self._finish_mask(m, padding)
                 masked_data.append((data * m).astype(np.complex64))
                 masks.append(m)
-                accs.append(float(m.size / max(m.sum(), 1)))
+                accs.append(float(m.sum() / m.size))  # reference convention (:860)
             return masked_data, masks, accs
 
         if self.mask_func is None:
@@ -477,8 +478,23 @@ class SSDU:
         self.export_and_reuse_masks = export_and_reuse_masks
         self.rng = rng or np.random.RandomState()
 
+    def _mask_path(self, fname: str):
+        import os
+
+        base = fname.replace(".h5", ".npy") if ".h5" in fname else fname + ".npy"
+        root = os.environ.get("MRIDC_SSDU_MASK_DIR") or os.path.join(os.path.expanduser("~"), "tmp")
+        return Path(root) / base
+
     def __call__(self, mask2d: np.ndarray, fname: str = "") -> Tuple[np.ndarray, np.ndarray]:
         mask2d = np.asarray(mask2d, np.float32)
+        if self.export_and_reuse_masks and fname:
+            # reference :1020-1045: first draw is exported, later epochs reuse
+            # the identical (train, loss) split for the same file
+            path = self._mask_path(fname)
+            if path.exists():
+                masks = np.load(path)
+                if masks.shape[-2:] == mask2d.shape[-2:]:
+                    return masks[0].astype(np.float32), masks[1].astype(np.float32)
         sel = self._gaussian(mask2d) if self.mask_type == "Gaussian" else self._uniform(mask2d)
         train_mask = np.where(mask2d == 1, 1 - sel, mask2d)
         loss_mask = np.where(mask2d == 1, sel, mask2d)
@@ -487,7 +503,13 @@ class SSDU:
                 k = int(m.shape[1] * self.outer_kspace_fraction)
                 m[:, :k] = 1
                 m[:, m.shape[1] - k :] = 1
-        return train_mask.astype(np.float32), loss_mask.astype(np.float32)
+        train_mask = train_mask.astype(np.float32)
+        loss_mask = loss_mask.astype(np.float32)
+        if self.export_and_reuse_masks and fname:
+            path = self._mask_path(fname)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(path, np.stack([train_mask, loss_mask], 0))
+        return train_mask, loss_mask
 
     def _acs_zeroed(self, mask2d):
         nrow, ncol = mask2d.shape
@@ -616,6 +638,8 @@ class Normalizer(_Transform):
             out = [self(d, apply_backward_transform, apply_forward_transform) for d in data]
             return [o[0] for o in out], [o[1] for o in out]
         if np.ndim(data) <= 1:
+            return data, None
+        if np.mean(data) == 1:  # all-ones (auto-init sens maps): reference skips
             return data, None
         return self.forward(data, apply_backward_transform, apply_forward_transform)
 
@@ -883,9 +907,8 @@ class MRIDataTransforms:
             nvars = None
 
         target, tvars = self._initialize_prediction(None if self.ssdu else target, kspace, sensitivity_map)
-        if isinstance(target, list):
-            target = target[0]
-        # targets are magnitude-compared downstream; keep complex for losses
+        # per-acceleration targets stay a list — the loader selects target[r]
+        # together with the input (reference nn/base.py:337-340)
 
         attrs.update(self._parse_norm_vars(kvars, svars, pvars, nvars, tvars))
         attrs.setdefault("n2r_supervised", False)
@@ -930,6 +953,21 @@ class MRIDataTransforms:
             n2r_masked, n2r_mask = self._apply_n2r(init_masked_kspace, init_mask)
             if self.normalization.enabled:
                 n2r_masked, n2rvars = self.normalization(n2r_masked, apply_backward_transform=True)
+            if self.ssdu:
+                # reference transforms.py:2076-2104: with ssdu+n2r the model
+                # input reverts to the ORIGINAL undersampled kspace and
+                # sampling mask; the ssdu split remains only as the loss mask
+                restored = init_masked_kspace
+                if self.normalization.enabled:
+                    restored, mkvars = self.normalization(restored, apply_backward_transform=True)
+                masked_kspace = restored
+                new_mask = []
+                for i, m in enumerate(mask):
+                    im = np.asarray(init_mask[i], np.float32)
+                    if im.ndim != np.asarray(m[0]).ndim:
+                        im = im.reshape(np.asarray(m[0]).shape)
+                    new_mask.append([im, m[1]])
+                mask = new_mask
             masked_kspace = [masked_kspace, n2r_masked]
             mask = [mask, n2r_mask]
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -125,8 +126,10 @@ def process_reconstruction_loss(
     num_cascades, time_steps = inter.shape[0], inter.shape[1]
     weights_sum = float(np.sum(np.logspace(-1, 0, time_steps)))
 
-    # vectorized per-(cascade, time-step) losses
+    # per-(cascade, time-step) losses with ONE traced instance of the loss
+    # subgraph (a python loop would duplicate the expand/fft chain C*T times
+    # in the jitted step, bloating HLO and compile time)
     flat = inter.reshape((-1,) + inter.shape[2:])
-    losses = jnp.stack([single(flat[i]) for i in range(flat.shape[0])])
+    losses = jax.vmap(single)(flat)
     per_cascade = losses.reshape(num_cascades, time_steps).sum(axis=1) * (weights_sum / time_steps)
     return per_cascade.sum() / num_cascades * regularization_factor
