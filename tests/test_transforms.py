@@ -181,3 +181,82 @@ def test_masker_3d_per_slice():
     masker2 = Masker(mask_func=[RandomMaskFunc([0.08], [4])], dimensionality=3, remask=False)
     _, masks2, _ = masker2(data, None, (0, 0), seed=None)
     np.testing.assert_array_equal(masks2[0][0], masks2[0][1])
+
+
+def test_transform_ssdu_multi_acceleration_targets_follow_selection():
+    """SSDU with multiple accelerations keeps per-acceleration targets as a
+    list so the loader pairs target[r] with the selected input (reference
+    nn/base.py:337-340)."""
+    kspace = _kspace(3, 32, 32)
+    sens = _kspace(3, 32, 32, seed=1)
+    tfm = MRIDataTransforms(
+        mask_func=[create_masker("random1d", [0.08], [4]), create_masker("random1d", [0.08], [8])],
+        ssdu=True,
+        ssdu_mask_type="Uniform",
+        normalize_inputs=True,
+        normalization_type="max",
+        fft_centered=True,
+        fft_normalization="ortho",
+        coil_combination_method="SENSE",
+    )
+    out = tfm(kspace, sens, None, None, None, {}, "file_multi.h5", 0)
+    target = out[5]
+    assert isinstance(target, list) and len(target) == 2
+    assert not np.allclose(np.asarray(target[0]), np.asarray(target[1]))
+
+
+def test_transform_ssdu_n2r_restores_original_input():
+    """ssdu+n2r: the model input reverts to the ORIGINAL undersampled kspace
+    and sampling mask; the ssdu split survives only as the loss mask
+    (reference transforms.py:2076-2104)."""
+    kspace = _kspace(3, 32, 32)
+    sens = _kspace(3, 32, 32, seed=1)
+    common = dict(
+        mask_func=[create_masker("random1d", [0.08], [4])],
+        normalize_inputs=True,
+        normalization_type="max",
+        fft_centered=True,
+        fft_normalization="ortho",
+        coil_combination_method="SENSE",
+    )
+    plain = MRIDataTransforms(**common)
+    both = MRIDataTransforms(
+        ssdu=True, ssdu_mask_type="Uniform", n2r=True, n2r_probability=1.0,
+        n2r_std_devs=(0.1, 0.1), n2r_rhos=(0.4, 0.4), **common,
+    )
+    base = plain(kspace, sens, None, None, None, {}, "file_sn.h5", 0)
+    out = both(kspace, sens, None, None, None, {}, "file_sn.h5", 0)
+    mk = out[1]
+    assert isinstance(mk, list) and len(mk) == 2  # [clean, n2r]
+    # clean input == the plain undersampled kspace (not ssdu-train-masked)
+    np.testing.assert_allclose(np.asarray(mk[0][0]), np.asarray(base[1][0]), rtol=1e-5, atol=1e-7)
+    # train mask part == the original sampling mask
+    m = out[3][0][0]  # [clean, n2r] -> acc 0 -> [train, loss]
+    np.testing.assert_allclose(np.asarray(m[0]).squeeze(), np.asarray(base[3][0]).squeeze(), atol=1e-6)
+
+
+def test_normalizer_skips_all_ones():
+    """Auto-initialized all-ones sensitivity maps pass through the normalizer
+    unchanged (reference skips tensors with mean == 1, transforms.py:1478)."""
+    from mridc_tpu.data.transforms import Normalizer
+
+    ones = np.ones((3, 16, 16), np.complex64)
+    for kind in ("max", "mean", "minmax"):
+        out, attrs = Normalizer(normalization_type=kind)(ones)
+        np.testing.assert_array_equal(np.asarray(out), ones)
+
+
+def test_ssdu_export_and_reuse_masks(tmp_path, monkeypatch):
+    """export_and_reuse_masks persists the (train, loss) split and reuses it
+    for the same file (reference transforms.py:1020-1045)."""
+    from mridc_tpu.data.transforms import SSDU
+
+    monkeypatch.setenv("MRIDC_SSDU_MASK_DIR", str(tmp_path))
+    rng = np.random.RandomState(0)
+    mask2d = (np.random.RandomState(1).rand(32, 32) > 0.5).astype(np.float32)
+    ssdu = SSDU(mask_type="Uniform", export_and_reuse_masks=True, rng=rng)
+    t1, l1 = ssdu(mask2d, "vol1.h5")
+    t2, l2 = ssdu(mask2d, "vol1.h5")  # would differ without reuse (rng advanced)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(l1, l2)
+    assert (tmp_path / "vol1.npy").exists()
