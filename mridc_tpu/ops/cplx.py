@@ -22,6 +22,7 @@ __all__ = [
     "re",
     "im",
     "cmul",
+    "cmul_conj",
     "cconj",
     "cabs",
     "cabs2",

@@ -51,18 +51,27 @@ def apply_mask(
         shape[:-3] = 1
         mask, acc = mask_func(shape, seed, half_scan_percentage=half_scan_percentage, scale=center_scale)
     else:
-        mask = np.asarray(existing_mask)
-        acc = mask.size / max(mask.sum(), 1)
+        mask = existing_mask
+        acc = np.asarray(mask).size / max(float(np.asarray(mask).sum()), 1)
 
-    mask = np.asarray(mask, dtype=np.float32)
+    # copy: the padding band must not mutate a caller-owned mask
+    mask = np.array(mask, dtype=np.float32, copy=True)
     if padding is not None and padding[0] != 0:
-        mask[..., : padding[0], :] = 0
-        mask[..., padding[1] :, :] = 0
+        # reference utils.py:333-336 zeroes dim 2 — the phase-encode axis of
+        # its [1, (1|h), w, 1] mask layouts
+        if mask.ndim >= 3:
+            mask[:, :, : padding[0]] = 0
+            mask[:, :, padding[1] :] = 0
+        else:
+            mask[..., : padding[0]] = 0
+            mask[..., padding[1] :] = 0
 
     # The generator layout carries a trailing singleton "complex" axis
-    # (reference masks are [1, h, w, 1] / [1, 1, w, 1]); drop it for the
-    # native-complex layout.
-    if mask.ndim >= 1 and mask.shape[-1] == 1 and mask.ndim > 2:
+    # (reference masks are [1, h, w, 1] / [1, 1, w, 1]). Keep it for
+    # real-view data (it broadcasts against the [..., 2] axis); drop it for
+    # the native-complex layout.
+    data_is_real_view = not jnp.iscomplexobj(data) and data.shape[-1] == 2
+    if mask.ndim > 2 and mask.shape[-1] == 1 and not data_is_real_view:
         mask = mask[..., 0]
 
     mask_j = jnp.asarray(mask)
@@ -76,9 +85,9 @@ def apply_mask(
 def mask_center(x: jnp.ndarray, mask_from: int, mask_to: int, mask_type: str = "2D") -> jnp.ndarray:
     """Zero everything outside the ACS center band (reference utils.py:357-393).
 
-    For ``[batch, coils, h, w]`` complex arrays: "2D" keeps rows
-    ``[mask_from:mask_to]`` along ``h`` (matching the reference's dim -3 of the
-    real-view layout); "1D" keeps columns along ``w``.
+    The reference indexes FIXED dims (dim 2 for "2D", dim 3 for "1D"),
+    independent of whether a trailing complex axis exists — for
+    ``[B, C, H, W(, 2)]`` that is the H band ("2D") or the W band ("1D").
     """
     if isinstance(mask_from, (list, tuple)):
         mask_from = mask_from[0]
@@ -86,9 +95,9 @@ def mask_center(x: jnp.ndarray, mask_from: int, mask_to: int, mask_type: str = "
         mask_to = mask_to[0]
     out = jnp.zeros_like(x)
     if mask_type == "1D":
-        return out.at[..., :, mask_from:mask_to].set(x[..., :, mask_from:mask_to])
+        return out.at[:, :, :, mask_from:mask_to].set(x[:, :, :, mask_from:mask_to])
     if mask_type == "2D":
-        return out.at[..., mask_from:mask_to, :].set(x[..., mask_from:mask_to, :])
+        return out.at[:, :, mask_from:mask_to].set(x[:, :, mask_from:mask_to])
     raise ValueError(f"Unknown mask_type {mask_type!r}")
 
 
@@ -102,14 +111,21 @@ def batched_mask_center(
     """
     mask_from = jnp.atleast_1d(jnp.asarray(mask_from))
     mask_to = jnp.atleast_1d(jnp.asarray(mask_to))
-    axis = -1 if mask_type == "1D" else -2
+    if mask_from.shape[0] == 1:
+        # reference dispatches length-1 inputs to mask_center (axis follows
+        # mask_type); implemented with an index comparison to stay jittable
+        # with traced bounds
+        axis = 3 if mask_type == "1D" else 2
+    else:
+        # the reference's batched branch always bands dim 3
+        # (utils.py:509 ``mask[i, :, :, start:end]``), regardless of type
+        axis = 3
     n = x.shape[axis]
     idx = jnp.arange(n)
-    # [batch, n] keep-band indicator
+    # [batch, n] keep-band indicator (batch may be 1 -> broadcasts over x)
     keep = (idx[None, :] >= mask_from[:, None]) & (idx[None, :] < mask_to[:, None])
-    # broadcast to x's shape: batch leading, band axis at `axis`
-    shape = [x.shape[0]] + [1] * (x.ndim - 1)
-    shape[axis if axis >= 0 else x.ndim + axis] = n
+    shape = [mask_from.shape[0]] + [1] * (x.ndim - 1)
+    shape[axis] = n
     keep = keep.reshape(shape)
     return jnp.where(keep, x, jnp.zeros_like(x))
 

@@ -24,9 +24,17 @@ def make_mesh(
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Tuple[int, ...]] = None,
 ) -> Mesh:
-    """1D data mesh by default; pass shape+axis_names for hybrid layouts."""
+    """1D data mesh by default; pass shape+axis_names for hybrid layouts.
+    With an explicit ``shape``, the device count is prod(shape)."""
     devices = jax.devices()
-    n = num_devices or len(devices)
+    if shape is not None:
+        n = int(np.prod(shape))
+        if num_devices is not None and num_devices != n:
+            raise ValueError(f"num_devices={num_devices} inconsistent with shape {shape} (prod={n})")
+    else:
+        n = num_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
     devices = devices[:n]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
@@ -48,16 +56,29 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
 
     Non-array leaves (fnames, attrs) are passed through untouched for host use.
     """
+    import logging
+
     sharding = batch_sharding(mesh, axis)
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] % mesh.shape[axis] == 0:
+        is_array = isinstance(v, (np.ndarray, jax.Array))
+        if is_array and v.ndim >= 1 and v.shape[0] % mesh.shape[axis] == 0:
             out[k] = jax.device_put(v, sharding)
-        elif isinstance(v, np.ndarray):
+        elif is_array:
+            if not _warned_replicated.get(k):
+                _warned_replicated[k] = True
+                logging.getLogger("mridc_tpu").warning(
+                    f"batch leaf {k!r} (dim0={v.shape[0] if v.ndim else 0}) is not divisible by the "
+                    f"{axis}-axis size {mesh.shape[axis]}: replicating (every device computes the full "
+                    "batch). Use drop_last or a divisible batch size."
+                )
             out[k] = jax.device_put(v, replicated(mesh))
         else:
             out[k] = v
     return out
+
+
+_warned_replicated: Dict[str, bool] = {}
 
 
 def data_parallel_shardings(mesh: Mesh):

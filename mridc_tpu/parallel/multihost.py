@@ -54,6 +54,17 @@ def all_sum_scalars(values: Dict[str, float]) -> Dict[str, float]:
     from jax.experimental import multihost_utils
 
     keys = sorted(values)
+    # guard: values are paired positionally after the sort, so every process
+    # must report the SAME key set — a mismatch would silently sum unrelated
+    # metrics into each other
+    import zlib
+
+    key_sig = np.asarray([len(keys), zlib.crc32(",".join(keys).encode())], np.int64)
+    sigs = np.asarray(multihost_utils.process_allgather(key_sig))
+    if not (sigs == sigs[0]).all():
+        raise ValueError(
+            f"all_sum_scalars: metric key sets differ across processes (local keys: {keys})"
+        )
     local = np.asarray([float(values[k]) for k in keys], np.float32)
     gathered = np.asarray(multihost_utils.process_allgather(local))
     summed = gathered.sum(axis=0)

@@ -132,11 +132,19 @@ def test_batched_mask_center():
     x = _rand_complex(rng, (3, 2, 8, 8))
     frm = np.array([1, 2, 3])
     to = np.array([5, 6, 7])
+    # the reference's batched branch always bands dim 3 (W) regardless of
+    # mask_type (utils.py:509 ``mask[i, :, :, start:end]``)
     got = np.asarray(batched_mask_center(jnp.asarray(x), frm, to, mask_type="2D"))
     want = np.zeros_like(x)
     for i in range(3):
-        want[i, :, frm[i] : to[i], :] = x[i, :, frm[i] : to[i], :]
+        want[i, :, :, frm[i] : to[i]] = x[i, :, :, frm[i] : to[i]]
     np.testing.assert_array_equal(got, want)
+
+    # length-1 bounds dispatch to mask_center semantics (type-dependent axis)
+    got1 = np.asarray(batched_mask_center(jnp.asarray(x), np.array([2]), np.array([6]), mask_type="2D"))
+    want1 = np.zeros_like(x)
+    want1[:, :, 2:6] = x[:, :, 2:6]
+    np.testing.assert_array_equal(got1, want1)
 
 
 # ---------------------------------------------------------------------------
