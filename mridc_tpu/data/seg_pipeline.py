@@ -19,8 +19,13 @@ __all__ = ["SegmentationDataTransforms", "RSMRIDataTransforms", "SegBatchLoader"
 
 def _to_onehot(seg: np.ndarray, num_classes: Optional[int]) -> np.ndarray:
     seg = np.asarray(seg)
-    if seg.ndim >= 3 and (num_classes is None or seg.shape[0] == num_classes):
-        # already [classes, H, W] -> class-axis-last
+    if seg.size == 0:
+        return seg.astype(np.float32)  # missing labels pass through; the
+        # batcher raises a clear error if they reach training
+    is_binary = seg.min() >= 0 and seg.max() <= 1 and (np.mod(seg, 1) == 0).all()
+    if seg.ndim >= 3 and is_binary and (num_classes is None or seg.shape[0] == num_classes):
+        # already [classes, H, W] -> class-axis-last (value check distinguishes
+        # one-hot stacks from slice-stacked integer label maps)
         return np.moveaxis(seg, 0, -1).astype(np.float32)
     n = num_classes or int(seg.max()) + 1
     return np.eye(n, dtype=np.float32)[seg.astype(np.int64)]
@@ -54,10 +59,11 @@ class SegmentationDataTransforms:
     def __call__(self, kspace, sensitivity_map, mask, imspace, segmentation, attrs, fname, slice_idx):
         if self.complex_data and np.size(kspace):
             img = _np_ifft2(np.asarray(kspace), self.fft_centered, self.fft_normalization)
+            coil_ax = 1 if img.ndim == 4 else 0  # [S, C, H, W] when slices folded
             if self.coil_combination_method == "SENSE" and np.size(sensitivity_map):
-                image = (img * np.conj(sensitivity_map)).sum(0)
+                image = (img * np.conj(sensitivity_map)).sum(coil_ax)
             else:
-                image = np.sqrt((np.abs(img) ** 2).sum(0))
+                image = np.sqrt((np.abs(img) ** 2).sum(coil_ax))
         else:
             image = np.asarray(imspace)
         if self.magnitude_input or self.input_channels == 1:
@@ -113,21 +119,42 @@ class SegBatchLoader:
 
     @staticmethod
     def _collate(samples):
+        from mridc_tpu.data.loaders import _pad_to
+
+        if any(np.asarray(s["segmentation"]).size == 0 for s in samples):
+            raise ValueError(
+                "segmentation labels missing for at least one sample — provide "
+                "segmentations_path or files with a 'segmentation' dataset"
+            )
+        # static shapes: pad each sample's spatial dims to the batch max
+        h = max(np.asarray(s["image"]).shape[0] for s in samples)
+        w = max(np.asarray(s["image"]).shape[1] for s in samples)
         return {
-            "image": np.stack([s["image"] for s in samples], 0),
-            "segmentation": np.stack([s["segmentation"] for s in samples], 0),
+            "image": np.stack([_pad_to(np.asarray(s["image"]), (h, w, 0)) for s in samples], 0),
+            "segmentation": np.stack(
+                [_pad_to(np.asarray(s["segmentation"]), (h, w, 0)) for s in samples], 0
+            ),
             "fname": [s["fname"] for s in samples],
             "slice_idx": np.asarray([s["slice_idx"] for s in samples], np.int32),
         }
 
 
 class RSBatchLoader(BatchLoader):
-    """Recon BatchLoader that additionally stacks segmentation labels."""
+    """Recon BatchLoader that additionally stacks segmentation labels
+    (padded to the batch's target spatial shape, like every other leaf)."""
 
     def _collate(self, samples):
-        segs = [s[-1] for s in samples]
+        from mridc_tpu.data.loaders import _pad_to
+
+        segs = [np.asarray(s[-1]) for s in samples]
+        if any(g.size == 0 for g in segs):
+            raise ValueError(
+                "segmentation labels missing for at least one sample — provide "
+                "segmentations_path or files with a 'segmentation' dataset"
+            )
         base = super()._collate([s[:-1] for s in samples])
-        base["segmentation"] = np.stack(segs, 0)
+        h, w = base["target"].shape[-3:-1]
+        base["segmentation"] = np.stack([_pad_to(g, (h, w, 0)) for g in segs], 0)
         return base
 
 
@@ -155,6 +182,27 @@ class QBatchLoader:
 
     def _prep(self, sample):
         kspace, sens, qmaps, mask, mask_brain, mask_head, target, attrs, fname, sidx = sample
+        if kspace.ndim == 5:  # consecutive slices [S, E, C, H, W]: fold S out
+            out = []
+            for i in range(kspace.shape[0]):
+                sub_qmaps = {k: (v[i] if np.ndim(v) >= 3 else v) for k, v in qmaps.items()}
+                out.extend(
+                    self._prep(
+                        (
+                            kspace[i],
+                            sens[i] if np.ndim(sens) == 4 else sens,
+                            sub_qmaps,
+                            mask[i] if np.ndim(mask) >= 3 else mask,
+                            mask_brain[i] if np.ndim(mask_brain) >= 3 else mask_brain,
+                            mask_head[i] if np.ndim(mask_head) >= 3 else mask_head,
+                            target,
+                            attrs,
+                            fname,
+                            sidx + i,
+                        )
+                    )
+                )
+            return out
         e, c, h, w = kspace.shape
         if self.mask_func is not None:
             m, _ = self.mask_func(np.array([1, h, w, 2]), tuple(map(ord, fname)))
@@ -164,11 +212,24 @@ class QBatchLoader:
             while m.ndim < 3:
                 m = m[None]
             m2d = np.broadcast_to(m, (1, h, w)).astype(np.float32)
+        elif np.size(mask) > 1:
+            # the AHEAD files ship a precomputed undersampling mask — use it
+            # (previously ignored: training silently ran fully sampled)
+            m = np.asarray(mask, np.float32)
+            while m.ndim < 3:
+                m = m[None]
+            m2d = np.broadcast_to(m[:1], (1, h, w)).astype(np.float32)
         else:
             m2d = np.ones((1, h, w), np.float32)
         masked = kspace * m2d[None, None, 0]
         imgs = _np_ifft2(masked, self.fft_centered, self.fft_normalization)
-        combined = (imgs * np.conj(sens)[None]).sum(1)
+        if np.size(sens) > 1:
+            combined = (imgs * np.conj(sens)[None]).sum(1)
+        else:
+            # no sensitivity maps in the file: RSS-combine and synthesize
+            # uniform maps for the trainer's rv inputs
+            combined = np.sqrt((np.abs(imgs) ** 2).sum(1)).astype(np.complex64)
+            sens = (np.ones((c, h, w)) / np.sqrt(c)).astype(np.complex64)
         fitted = self._fit(combined, self.tes)
         maps_init = np.stack(
             [fitted["R2star_map"], fitted["S0_map"], fitted["B0_map"], fitted["phi_map"]], -1
@@ -187,7 +248,7 @@ class QBatchLoader:
             -1,
         ).astype(np.float32)
         rv = lambda x: np.stack([x.real, x.imag], -1).astype(np.float32)  # noqa: E731
-        brain = np.asarray(mask_brain, np.float32) if np.size(mask_brain) else np.ones((h, w), np.float32)
+        brain = np.asarray(mask_brain, np.float32) if np.size(mask_brain) > 1 else np.ones((h, w), np.float32)
         return {
             "kspace": rv(masked),
             "sensitivity_maps": rv(sens),
@@ -206,10 +267,12 @@ class QBatchLoader:
             self.rng.shuffle(order)
         batch = []
         for idx in order:
-            batch.append(self._prep(self.dataset[int(idx)]))
-            if len(batch) == self.batch_size:
-                yield self._collate(batch)
-                batch = []
+            prepped = self._prep(self.dataset[int(idx)])
+            for item in prepped if isinstance(prepped, list) else [prepped]:
+                batch.append(item)
+                if len(batch) == self.batch_size:
+                    yield self._collate(batch)
+                    batch = []
         if batch:
             yield self._collate(batch)
 

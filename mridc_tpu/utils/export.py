@@ -43,6 +43,11 @@ def verify_runtime(fn, example_args: Tuple, path, rtol: float = 1e-4, atol: floa
     want = jax.jit(fn)(*example_args)
     got_leaves = jax.tree_util.tree_leaves(got)
     want_leaves = jax.tree_util.tree_leaves(want)
+    if len(got_leaves) != len(want_leaves):
+        raise AssertionError(
+            f"exported artifact returns {len(got_leaves)} output leaves, live forward returns "
+            f"{len(want_leaves)} — structure mismatch (stale or corrupt artifact?)"
+        )
     for g, w in zip(got_leaves, want_leaves):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=rtol, atol=atol)
     return True

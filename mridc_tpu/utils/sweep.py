@@ -45,15 +45,25 @@ def launch_sweep(
 
     Returns the list of return codes (job order)."""
     jobs = expand_sweep(sweep)
+    num_slots = max(num_slots, 1)
     max_parallel = max(num_slots * jobs_per_slot, 1)
     running: List = []
     codes: List[Optional[int]] = [None] * len(jobs)
     next_job = 0
+    # explicit free-slot pool (the reference ProcessLauncher keeps a free-GPU
+    # queue; len(running) % num_slots collides after out-of-order finishes)
+    slot_pool = [s for s in range(num_slots) for _ in range(max(jobs_per_slot, 1))]
 
     def spawn(idx: int, slot: int):
         env = dict(os.environ)
         env.update(extra_env or {})
-        env.setdefault("MRIDC_TPU_SWEEP_SLOT", str(slot))
+        # per-slot device isolation (the TPU analogue of the reference's
+        # CUDA_VISIBLE_DEVICES slots): each job sees only its chip unless the
+        # caller overrides the visibility vars explicitly
+        env["MRIDC_TPU_SWEEP_SLOT"] = str(slot)
+        if num_slots > 1 and "TPU_VISIBLE_DEVICES" not in (extra_env or {}):
+            env.setdefault("TPU_VISIBLE_DEVICES", str(slot))
+            env.setdefault("CUDA_VISIBLE_DEVICES", str(slot))
         cmd = [
             sys.executable,
             "-m",
@@ -64,21 +74,22 @@ def launch_sweep(
             str(config_name),
             *jobs[idx],
         ]
-        logger.info(f"sweep job {idx}: {' '.join(jobs[idx])}")
+        logger.info(f"sweep job {idx} (slot {slot}): {' '.join(jobs[idx])}")
         return subprocess.Popen(cmd, env=env)
 
     while next_job < len(jobs) or running:
-        while next_job < len(jobs) and len(running) < max_parallel:
-            slot = len(running) % max(num_slots, 1)
-            running.append((next_job, spawn(next_job, slot)))
+        while next_job < len(jobs) and len(running) < max_parallel and slot_pool:
+            slot = slot_pool.pop(0)
+            running.append((next_job, slot, spawn(next_job, slot)))
             next_job += 1
         still = []
-        for idx, proc in running:
+        for idx, slot, proc in running:
             rc = proc.poll()
             if rc is None:
-                still.append((idx, proc))
+                still.append((idx, slot, proc))
             else:
                 codes[idx] = rc
+                slot_pool.append(slot)
                 logger.info(f"sweep job {idx} finished with code {rc}")
         running = still
         if running:
