@@ -42,6 +42,8 @@ def psnr(x: np.ndarray, y: np.ndarray, maxval: Optional[float] = None) -> float:
     err = mse(x, y)
     if err == 0:
         return float("inf")
+    if maxval <= 0:
+        return float("-inf")  # skimage returns -inf for a zero data range
     return float(10 * math.log10((maxval**2) / err))
 
 
@@ -52,6 +54,11 @@ def _ssim_2d(x: np.ndarray, y: np.ndarray, data_range: float, win_size: int = 7,
     if min(x.shape) < win_size:
         win_size = min(x.shape) // 2 * 2 - 1
         win_size = max(win_size, 3)
+        if win_size > min(x.shape):  # degenerate 1-2 pixel extent: SSIM of the
+            # means only (an empty edge-crop would silently return NaN)
+            mu_x, mu_y = x.mean(), y.mean()
+            c1 = (k1 * data_range) ** 2
+            return float((2 * mu_x * mu_y + c1) / (mu_x**2 + mu_y**2 + c1))
     NP = win_size ** x.ndim
     cov_norm = NP / (NP - 1)
 

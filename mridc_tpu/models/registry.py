@@ -74,7 +74,9 @@ def _register_defaults():
     ]
     for names, cls in entries:
         for n in names:
-            MODEL_REGISTRY[n.upper()] = cls.from_config
+            # setdefault: a register_model() call made before the lazy default
+            # registration must not be clobbered
+            MODEL_REGISTRY.setdefault(n.upper(), cls.from_config)
 
 
 _defaults_loaded = False
@@ -97,7 +99,7 @@ def build_model(cfg: Dict[str, Any]):
     model = MODEL_REGISTRY[name](cfg)
     from mridc_tpu.models.sens_wrapper import maybe_wrap_sens_net
 
-    return maybe_wrap_sens_net(model, cfg)
+    return maybe_wrap_sens_net(model, cfg, model_name=name)
 
 
 def available_models():

@@ -46,11 +46,29 @@ class WithSensNet(nn.Module):
         return self.model(y, est, mask, init_pred, train=train)
 
 
-def maybe_wrap_sens_net(model, cfg) -> Any:
+_SENS_UNSUPPORTED = {
+    # models whose call contract is not (y, sens, mask, init_pred):
+    # quantitative ((y, sens, sampling_mask, maps_init, tes) over 6D echo
+    # k-space) and segmentation ((image,)) — the reference's use_sens_net for
+    # those families lives inside the model bases, not a recon-style wrapper
+    "QCIRIM", "QRIM", "QVN", "QVARNET",
+    "SEGMENTATIONUNET", "SEGMENTATION2DUNET", "SEGMENTATION3DUNET",
+    "SEGMENTATIONATTENTIONUNET", "SEGMENTATIONLAMBDAUNET", "SEGMENTATIONVNET",
+    "SEGMENTATIONDYNUNET", "SEGMENTATIONUNETR",
+}
+
+
+def maybe_wrap_sens_net(model, cfg, model_name: str = "") -> Any:
     """Wrap when the config sets ``use_sens_net`` (reference cfg keys
     sens_chans/sens_pools/sens_mask_type)."""
     if not cfg.get("use_sens_net", False):
         return model
+    if str(model_name).upper() in _SENS_UNSUPPORTED:
+        raise ValueError(
+            f"use_sens_net is not supported for {model_name}: the sens-net wrapper "
+            "assumes the reconstruction call contract (y, sens, mask, init_pred) "
+            "over [B, C, H, W, 2] k-space"
+        )
     return WithSensNet(
         model=model,
         sens_chans=cfg.get("sens_chans", 8),

@@ -60,7 +60,10 @@ class SensitivityModel(nn.Module):
             if num_low_frequencies is not None and num_low_frequencies > 0:
                 num_low = num_low_frequencies * jnp.ones_like(num_low)
             pad = (n - num_low + 1) // 2
-            axis = 2 if x.shape[0] == 1 else 3
+            # reference base.py:466 dispatches batched_mask_center with
+            # self.mask_type: batch > 1 always bands W (dim 3); batch 1 uses
+            # mask_center semantics — H for "2D", W for "1D"
+            axis = 3 if (x.shape[0] > 1 or self.mask_type.upper() == "1D") else 2
             idx = jnp.arange(x.shape[axis])
             keep = (idx[None, :] >= pad[:, None]) & (idx[None, :] < (pad + num_low)[:, None])
             shape = [x.shape[0], 1, 1, 1, 1]
