@@ -110,23 +110,58 @@ class qMRIDataTransforms(MRIDataTransforms):
 
     def __call__(self, kspace, sensitivity_map, mask, *args, **kwargs):
         """kspace: [E, C, H, W] complex. Returns the base 10-tuple plus a dict
-        of initial quantitative maps appended to attrs."""
-        echoes = []
-        out = None
-        for e in range(kspace.shape[0]):
-            out = super().__call__(kspace[e], sensitivity_map, mask, *args, **kwargs)
-            echoes.append(out)
+        of initial quantitative maps appended to attrs.
+
+        The base single-echo pipeline runs per echo, but with ONE shared mask
+        draw: all echoes are seeded identically (the reference masks the whole
+        echo stack once), so the returned mask/acc describe every echo even
+        with ``use_seed=False``.
+        """
+        fname = args[3] if len(args) > 3 else kwargs.get("fname", "")
+        salt = int(np.random.randint(0, 2**31 - 1)) if not self.use_seed else 0
+        self._seed_override = (salt,) + tuple(map(ord, str(fname)))
+        try:
+            echoes = []
+            for e in range(kspace.shape[0]):
+                echoes.append(super().__call__(kspace[e], sensitivity_map, mask, *args, **kwargs))
+        finally:
+            self._seed_override = None
         # stack per-echo outputs along a leading echo axis where arraylike
         (k, mk, s, m, pred, tgt, fname, sidx, acc, attrs) = echoes[0]
         kspaces = np.stack([e[0] for e in echoes], 0)
         masked = [np.stack([e[1][i] for e in echoes], 0) for i in range(len(mk))] if isinstance(mk, list) else np.stack([e[1] for e in echoes], 0)
         preds = [np.stack([np.asarray(e[4][i]) for e in echoes], 0) for i in range(len(pred))] if isinstance(pred, list) else np.stack([np.asarray(e[4]) for e in echoes], 0)
         targets = np.stack([np.asarray(e[5]) for e in echoes], 0)
+        # keep every echo's pre-normalization vars (echo 0's attrs alone could
+        # not unnormalize echoes 1..E-1)
+        attrs = dict(attrs)
+        attrs["per_echo_attrs"] = [dict(e[9]) for e in echoes]
 
         if self.precompute_quantitative_maps:
             echo_imgs = _np_ifft2(kspaces, self.fft_centered, self.fft_normalization, self.spatial_dims)
-            combined = (echo_imgs * np.conj(s)[None]).sum(axis=1)
-            attrs = dict(attrs)
+            if self.normalization.enabled:
+                # per-echo normalization flattens the inter-echo decay the
+                # R2* fit measures — undo each echo's affine (applied in image
+                # domain by the base pipeline) before fitting
+                restored = []
+                for e_idx, e_out in enumerate(echoes):
+                    ea = e_out[9]
+                    img = echo_imgs[e_idx]
+                    ntype = str(self.normalization.normalization_type)
+                    if ntype == "max":
+                        img = img * ea.get("kspace_max", 1.0)
+                    elif ntype == "mean":
+                        img = img * ea.get("kspace_std", 1.0) + ea.get("kspace_mean", 0.0)
+                    elif ntype == "minmax":
+                        span = ea.get("kspace_max", 1.0) - ea.get("kspace_min", 0.0)
+                        img = img * span + ea.get("kspace_min", 0.0)
+                    restored.append(img)
+                echo_imgs = np.stack(restored, 0)
+            sens_e = np.asarray(s)[None]
+            if self.coil_combination_method == "SENSE" and sens_e.size > 1:
+                combined = (echo_imgs * np.conj(sens_e)).sum(axis=1)
+            else:
+                combined = np.sqrt((np.abs(echo_imgs) ** 2).sum(axis=1)).astype(np.complex64)
             attrs["quantitative_maps_init"] = fit_quantitative_maps(combined, self.TEs)
             attrs["TEs"] = list(self.TEs)
 

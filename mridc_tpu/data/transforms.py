@@ -928,7 +928,9 @@ class MRIDataTransforms:
             kspace = self.cropping(kspace, apply_backward_transform=not self.kspace_crop)
 
         padding = (attrs.get("padding_left", 0), attrs.get("padding_right", 0))
-        seed = tuple(map(ord, fname)) if self.use_seed else None
+        seed = getattr(self, "_seed_override", None)
+        if seed is None:
+            seed = tuple(map(ord, fname)) if self.use_seed else None
         masked_kspace, mask, acc = self.masking(kspace, mask, padding, seed)
 
         if self.cropping is not None and not self.crop_before_masking:

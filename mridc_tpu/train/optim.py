@@ -23,13 +23,23 @@ def _betas(kwargs, default=(0.9, 0.999)):
     return b1, b2
 
 
+def _l2(kw, tx):
+    """torch-style L2 weight decay: wd * param added to the gradient before
+    the optimizer transform (torch.optim's weight_decay semantics; previously
+    the key was silently dropped for these optimizers)."""
+    wd = kw.get("weight_decay", 0.0) or 0.0
+    if not wd:
+        return tx
+    return optax.chain(optax.add_decayed_weights(wd), tx)
+
+
 def _sgd(lr, **kw):
-    return optax.sgd(lr, momentum=kw.get("momentum") or None, nesterov=kw.get("nesterov", False))
+    return _l2(kw, optax.sgd(lr, momentum=kw.get("momentum") or None, nesterov=kw.get("nesterov", False)))
 
 
 def _adam(lr, **kw):
     b1, b2 = _betas(kw)
-    return optax.adam(lr, b1=b1, b2=b2, eps=kw.get("eps", 1e-8))
+    return _l2(kw, optax.adam(lr, b1=b1, b2=b2, eps=kw.get("eps", 1e-8)))
 
 
 def _adamw(lr, **kw):
@@ -38,21 +48,22 @@ def _adamw(lr, **kw):
 
 
 def _adadelta(lr, **kw):
-    return optax.adadelta(lr, rho=kw.get("rho", 0.9), eps=kw.get("eps", 1e-6))
+    return _l2(kw, optax.adadelta(lr, rho=kw.get("rho", 0.9), eps=kw.get("eps", 1e-6)))
 
 
 def _adamax(lr, **kw):
     b1, b2 = _betas(kw)
-    return optax.adamax(lr, b1=b1, b2=b2, eps=kw.get("eps", 1e-8))
+    return _l2(kw, optax.adamax(lr, b1=b1, b2=b2, eps=kw.get("eps", 1e-8)))
 
 
 def _adagrad(lr, **kw):
-    return optax.adagrad(lr, eps=kw.get("eps", 1e-10))
+    return _l2(kw, optax.adagrad(lr, eps=kw.get("eps", 1e-10)))
 
 
 def _rmsprop(lr, **kw):
-    return optax.rmsprop(
-        lr, decay=kw.get("alpha", 0.99), eps=kw.get("eps", 1e-8), momentum=kw.get("momentum") or None
+    return _l2(
+        kw,
+        optax.rmsprop(lr, decay=kw.get("alpha", 0.99), eps=kw.get("eps", 1e-8), momentum=kw.get("momentum") or None),
     )
 
 
@@ -72,7 +83,7 @@ def _adafactor(lr, **kw):
 
 def _radam(lr, **kw):
     b1, b2 = _betas(kw)
-    return optax.radam(lr, b1=b1, b2=b2, eps=kw.get("eps", 1e-8))
+    return _l2(kw, optax.radam(lr, b1=b1, b2=b2, eps=kw.get("eps", 1e-8)))
 
 
 def _lamb(lr, **kw):

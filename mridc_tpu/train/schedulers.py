@@ -172,10 +172,15 @@ def inverse_square_root_annealing(max_lr, max_steps, warmup_steps=None, warmup_r
 def t5_inverse_square_root_annealing(max_lr, max_steps, warmup_steps=None, warmup_ratio=None, min_lr=0.0, **_):
     warmup_steps = _resolve_warmup(warmup_steps, warmup_ratio, max_steps)
 
+    # reference SquareRootConstantPolicy (+T5 _get_lr, lr_scheduler.py:95,674):
+    # a CONSTANT 1/sqrt(constant_steps) during the constant/warmup phase, then
+    # 1/sqrt(step) — continuous at the boundary (the previous max_lr plateau
+    # created a discontinuity when max_lr != 1/sqrt(warmup_steps))
     def schedule(step):
         step = np.asarray(step, np.float32)
+        const = 1.0 / np.sqrt(np.maximum(np.float32(warmup_steps), 1.0))
         lr = 1.0 / np.sqrt(np.maximum(step, 1))
-        out = np.where(step <= warmup_steps, max_lr, lr)
+        out = np.where(step <= warmup_steps, const, lr)
         out = np.where(step > max_steps, min_lr, out)
         return np.asarray(out, np.float32)
 
@@ -302,8 +307,6 @@ def get_scheduler(name: str, max_lr: float, **kwargs) -> Schedule:
     if name not in AVAILABLE_SCHEDULERS:
         raise ValueError(f"Unknown scheduler {name!r}. Available: {sorted(AVAILABLE_SCHEDULERS)}")
     builder = AVAILABLE_SCHEDULERS[name]
-    if name == "ReduceLROnPlateau":
-        return builder(max_lr, **kwargs)
     return builder(max_lr, **kwargs)
 
 

@@ -29,12 +29,22 @@ def resolve_cache_dir() -> Path:
 
 def maybe_download_from_cloud(url: str, filename: str, subfolder: Optional[str] = None, refresh_cache: bool = False) -> Path:
     key = hashlib.sha256((url + filename).encode()).hexdigest()[:16]
-    dest_dir = resolve_cache_dir() / (subfolder or key)
+    # the url sha is ALWAYS part of the cache path: two different urls sharing
+    # subfolder+filename must not alias to the same cached file
+    dest_dir = resolve_cache_dir() / subfolder / key if subfolder else resolve_cache_dir() / key
     dest = dest_dir / filename
     if dest.exists() and not refresh_cache:
         return dest
     dest_dir.mkdir(parents=True, exist_ok=True)
     full = url.rstrip("/") + "/" + filename if not url.endswith(filename) else url
     logger.info(f"Downloading {full} -> {dest}")
-    urllib.request.urlretrieve(full, dest)  # noqa: S310
+    # download to a temp name and rename atomically: an interrupted download
+    # must not leave a partial file that later calls treat as a cache hit
+    tmp = dest.with_suffix(dest.suffix + ".part")
+    try:
+        urllib.request.urlretrieve(full, tmp)  # noqa: S310
+        os.replace(tmp, dest)
+    finally:
+        if tmp.exists():
+            tmp.unlink()
     return dest

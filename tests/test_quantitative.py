@@ -226,3 +226,49 @@ def test_qvn_with_reconstruction_module():
     assert out.prediction.shape == (B, H, W, 4)
     assert np.isfinite(np.asarray(out.prediction)).all()
     assert any("VarNetBlock" in k for k in v["params"]), sorted(v["params"])[:5]
+
+
+def test_qtransforms_shared_mask_and_unnormalized_fit():
+    """All echoes share ONE mask draw even with use_seed=False, and the R2*
+    init is fitted on de-normalized echoes (per-echo max normalization would
+    flatten the decay and return R2* ~ 0 everywhere)."""
+    from mridc_tpu.data.qtransforms import qMRIDataTransforms
+    from mridc_tpu.data.subsample import create_masker
+    from mridc_tpu.models.quantitative.signal_model import megre_signal
+
+    rng = np.random.default_rng(5)
+    E, C, H, W = 4, 3, 32, 32
+    tes = [3.0, 11.5, 20.0, 28.5]
+    r2 = np.full((1, H, W), 80.0, np.float32)
+    s0 = np.full((1, H, W), 1.0, np.float32)
+    b0 = np.zeros((1, H, W), np.float32)
+    phi = np.zeros((1, H, W), np.float32)
+    imgs = np.asarray(megre_signal(r2, s0, b0, phi, tes))  # [1, E, H, W, 2]
+    imgs = (imgs[0, ..., 0] + 1j * imgs[0, ..., 1]).astype(np.complex64)  # [E, H, W]
+    sens = (rng.standard_normal((C, H, W)) + 1j * rng.standard_normal((C, H, W))).astype(np.complex64)
+    sens /= np.sqrt((np.abs(sens) ** 2).sum(0, keepdims=True))
+    coil_imgs = imgs[:, None] * sens[None]
+    from mridc_tpu.data.transforms import _np_fft2
+
+    kspace = _np_fft2(coil_imgs, True, "ortho").astype(np.complex64)
+
+    tfm = qMRIDataTransforms(
+        TEs=tes,
+        mask_func=[create_masker("random1d", [0.16], [2])],
+        normalize_inputs=True,
+        normalization_type="max",
+        fft_centered=True,
+        fft_normalization="ortho",
+        coil_combination_method="SENSE",
+        use_seed=False,
+    )
+    out = tfm(kspace, sens, None, None, None, {}, "qfile.h5", 0)
+    masked = out[1][0] if isinstance(out[1], list) else out[1]  # [E, C, H, W]
+    # one shared mask: every echo's sampled set is identical
+    sampled = np.abs(masked) > 0
+    for e in range(1, E):
+        np.testing.assert_array_equal(sampled[e], sampled[0])
+    # R2* init is on the true scale (was ~0 when fit on per-echo-normalized data)
+    r2_init = out[9]["quantitative_maps_init"]["R2star_map"]
+    center = r2_init[H // 4 : -H // 4, W // 4 : -W // 4]
+    assert 40.0 < float(np.median(center)) < 120.0, float(np.median(center))
