@@ -43,7 +43,9 @@ def precision_recall_f1(target: np.ndarray, pred: np.ndarray, smooth: float = 1e
     tp = np.logical_and(t, p).sum()
     precision = (tp + smooth) / (p.sum() + smooth)
     recall = (tp + smooth) / (t.sum() + smooth)
-    f1 = 2 * precision * recall / (precision + recall + smooth)
+    # precision/recall are already smoothed (never both 0): a smoothed
+    # denominator would bias F1 below the true harmonic mean
+    f1 = 2 * precision * recall / (precision + recall)
     return float(precision), float(recall), float(f1)
 
 
@@ -86,9 +88,15 @@ class SegmentationMetrics:
             dices.append(binary_dice(target[c], pred[c]))
             ious.append(binary_iou(target[c], pred[c]))
             f1s.append(precision_recall_f1(target[c], pred[c])[2])
-            hd = hausdorff_distance_95(target[c], pred[c])
-            if np.isfinite(hd):
-                hd95s.append(hd)
+            t_any, p_any = np.any(target[c]), np.any(pred[c])
+            if not t_any and not p_any:
+                continue  # class absent in both: no HD95 contribution
+            if t_any and p_any:
+                hd95s.append(hausdorff_distance_95(target[c], pred[c]))
+            else:
+                # one side empty: worst case — the image diagonal (silently
+                # dropping the class rewarded models for missing it entirely)
+                hd95s.append(float(np.sqrt(sum(d**2 for d in target[c].shape))))
         return {
             "DICE": float(np.mean(dices)) if dices else 0.0,
             "IOU": float(np.mean(ious)) if ious else 0.0,

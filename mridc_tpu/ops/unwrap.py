@@ -4,11 +4,13 @@ transforms.py:8 imports skimage's implementation; skimage is not shipped in
 this image, so the same reliability-sorted region-merging algorithm is
 implemented here in pure numpy, host-side).
 
-Algorithm: each pixel gets a reliability 1/D where D aggregates the wrapped
-second differences in the horizontal/vertical/diagonal directions; edges
-between 4-neighbors are sorted by summed reliability (most reliable first) and
-merged with union-find, shifting the joining group by the 2-pi multiple that
-makes the joining edge continuous.
+Algorithm (matching skimage's unwrap_2d_ljmu.c, not just the paper): each
+pixel gets the value H^2 + V^2 + D1^2 + D2^2 of its wrapped second
+differences (SMALLER = more reliable; no sqrt/reciprocal — the C code sorts
+raw squared sums), border pixels get a huge value so their edges merge last,
+and edges between 4-neighbors are processed in ASCENDING order of summed
+pixel values, merged with union-find, shifting the joining group by the 2-pi
+multiple that makes the joining edge continuous.
 """
 
 from __future__ import annotations
@@ -24,18 +26,21 @@ def _wrap(d: np.ndarray) -> np.ndarray:
     return (d + np.pi) % _TWO_PI - np.pi
 
 
+_BORDER_VALUE = 1e8  # skimage initializes border pixels to ~9999999 (+rand)
+
+
 def _reliability(p: np.ndarray) -> np.ndarray:
-    """1 / sqrt(H^2 + V^2 + D1^2 + D2^2) of wrapped second differences."""
-    pad = np.pad(p, 1, mode="edge")
-    h = _wrap(pad[1:-1, :-2] - p) - _wrap(p - pad[1:-1, 2:])
-    v = _wrap(pad[:-2, 1:-1] - p) - _wrap(p - pad[2:, 1:-1])
-    d1 = _wrap(pad[:-2, :-2] - p) - _wrap(p - pad[2:, 2:])
-    d2 = _wrap(pad[:-2, 2:] - p) - _wrap(p - pad[2:, :-2])
-    d = np.sqrt(h * h + v * v + d1 * d1 + d2 * d2)
-    with np.errstate(divide="ignore"):
-        r = 1.0 / d
-    r[d == 0] = np.inf
-    return r
+    """Per-pixel H^2 + V^2 + D1^2 + D2^2 of wrapped second differences
+    (smaller = more reliable); image-border pixels get ``_BORDER_VALUE`` so
+    their edges merge last — both matching skimage's C implementation."""
+    c = p[1:-1, 1:-1]
+    h = _wrap(p[1:-1, :-2] - c) - _wrap(c - p[1:-1, 2:])
+    v = _wrap(p[:-2, 1:-1] - c) - _wrap(c - p[2:, 1:-1])
+    d1 = _wrap(p[:-2, :-2] - c) - _wrap(c - p[2:, 2:])
+    d2 = _wrap(p[:-2, 2:] - c) - _wrap(c - p[2:, :-2])
+    out = np.full(p.shape, _BORDER_VALUE, dtype=np.float64)
+    out[1:-1, 1:-1] = h * h + v * v + d1 * d1 + d2 * d2
+    return out
 
 
 def unwrap_phase_2d(phase: np.ndarray) -> np.ndarray:
@@ -46,12 +51,12 @@ def unwrap_phase_2d(phase: np.ndarray) -> np.ndarray:
     rel = _reliability(p).ravel()
     flat = p.ravel()
 
-    # edges between 4-neighbors, most reliable first
+    # edges between 4-neighbors, most reliable (smallest summed value) first
     idx = np.arange(n).reshape(hgt, wid)
     ea = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
     eb = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
     er = rel[ea] + rel[eb]
-    order = np.argsort(-er, kind="stable")
+    order = np.argsort(er, kind="stable")
     ea, eb = ea[order], eb[order]
 
     # union-find where shift[i] is i's 2-pi multiple relative to its parent

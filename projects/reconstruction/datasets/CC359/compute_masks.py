@@ -24,7 +24,9 @@ def extend_mask_bank(bank: np.ndarray, n_slices: int, rng=None) -> np.ndarray:
     bank = np.concatenate((bank, bank), axis=0)
     missing = n_slices - bank.shape[0]
     if missing > 0:
-        extra = rng.choice(bank.shape[0], missing, replace=False)
+        # with replacement: a volume may need many more slices than the bank
+        # holds (replace=False crashed for n_slices > 4x the original bank)
+        extra = rng.choice(bank.shape[0], missing, replace=missing > bank.shape[0])
         bank = np.concatenate((bank, bank[extra]), axis=0)
     return bank[:n_slices]
 

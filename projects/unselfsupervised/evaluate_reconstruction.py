@@ -14,23 +14,19 @@ from pathlib import Path
 import h5py
 import numpy as np
 
+from mridc_tpu.data.transforms import _center_crop as center_crop
 from mridc_tpu.metrics.reconstruction import METRIC_FUNCS, ReconstructionMetrics
-
-
-def center_crop(data: np.ndarray, shape) -> np.ndarray:
-    h, w = shape
-    hs = (data.shape[-2] - h) // 2
-    ws = (data.shape[-1] - w) // 2
-    return data[..., hs : hs + h, ws : ws + w]
 
 
 def evaluate(targets_dir: Path, reconstructions_dir: Path,
              target_key: str = "reconstruction", recon_key: str = "reconstruction"):
     metrics = ReconstructionMetrics(METRIC_FUNCS)
+    matched = 0
     for tfile in sorted(Path(targets_dir).glob("*.h5")):
         rfile = Path(reconstructions_dir) / tfile.name
         if not rfile.exists():
             continue
+        matched += 1
         with h5py.File(tfile, "r") as f:
             target = np.abs(np.asarray(f[target_key]))
         with h5py.File(rfile, "r") as f:
@@ -41,6 +37,11 @@ def evaluate(targets_dir: Path, reconstructions_dir: Path,
         target = target / (target.max() or 1.0)
         recon = recon / (recon.max() or 1.0)
         metrics.push(target, recon)
+    if matched == 0:
+        raise FileNotFoundError(
+            f"no reconstruction in {reconstructions_dir} matches any target in {targets_dir} "
+            "(zero metrics would be fabricated otherwise — check the directories/filenames)"
+        )
     return metrics
 
 
