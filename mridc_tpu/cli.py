@@ -35,13 +35,16 @@ def _cmd_sweep(args):
 
     sweep = {}
     for item in args.set or []:
-        key, _, values = item.partition("=")
+        key, eq, values = item.partition("=")
+        if not eq or not values:
+            raise SystemExit(f"--set expects key=v1,v2,...; got {item!r}")
         sweep[key] = values.split(",")
     cfg_path = Path(args.config)
     codes = launch_sweep(
         str(cfg_path.parent), cfg_path.name, sweep, num_slots=args.num_slots, jobs_per_slot=args.jobs_per_slot
     )
-    sys.exit(max(codes) if codes else 0)
+    # signal-killed jobs have NEGATIVE return codes — max() would mask them
+    sys.exit(0 if all(c == 0 for c in codes) else 1)
 
 
 def _cmd_app(args):

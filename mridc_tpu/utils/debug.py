@@ -20,16 +20,18 @@ __all__ = ["intermediate_stats", "tree_stats"]
 
 def _stats(x) -> Dict[str, float]:
     x = np.asarray(x)
-    if x.dtype.kind not in "fc":
+    if x.dtype.kind not in "fc" or x.size == 0:
         return {}
     mag = np.abs(x)
     return {"mean": float(x.mean().real), "abs_max": float(mag.max()), "std": float(x.std())}
 
 
-def intermediate_stats(model, variables, *args, **kwargs) -> Dict[str, Dict[str, float]]:
+def intermediate_stats(model, variables, *args, mutable=("intermediates",), **kwargs) -> Dict[str, Dict[str, float]]:
     """Run ``model.apply`` capturing every submodule output's stats
-    (the forward-hook analog)."""
-    _, state = model.apply(variables, *args, capture_intermediates=True, mutable=["intermediates"], **kwargs)
+    (the forward-hook analog). Pass extra collections via ``mutable`` for
+    models with their own mutable state (e.g. batch_stats)."""
+    mutable = list(dict.fromkeys(list(mutable) + ["intermediates"]))
+    _, state = model.apply(variables, *args, capture_intermediates=True, mutable=mutable, **kwargs)
     out: Dict[str, Dict[str, float]] = {}
 
     def walk(node, prefix=""):

@@ -57,6 +57,8 @@ class NamedTimer:
         else:
             timer["total"] = timer.get("total", 0.0) + dt
             timer["count"] = timer.get("count", 0) + 1
+            timer["max"] = max(timer.get("max", dt), dt)
+            timer["min"] = min(timer.get("min", dt), dt)
 
     def get(self, name: str = "") -> float:
         timer = self.timers.get(name, {})
@@ -70,11 +72,17 @@ class NamedTimer:
                 return 0.0
             if self.reduction == "sum":
                 return timer["total"]
+            if self.reduction == "max":
+                return timer["max"]
+            if self.reduction == "min":
+                return timer["min"]
             return timer["total"] / timer["count"]
         if self.reduction == "sum":
             return sum(vals)
         if self.reduction == "max":
             return max(vals)
+        if self.reduction == "min":
+            return min(vals)
         return sum(vals) / len(vals)
 
     @property

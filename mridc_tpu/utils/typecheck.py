@@ -57,7 +57,12 @@ def check_rv(x, name: str = "array", coil_axis: Optional[int] = None) -> None:
     if not shape or shape[-1] != 2:
         raise ShapeError(f"{name}: real-view arrays need a trailing (re, im) axis of 2, got {shape}")
     dtype = getattr(x, "dtype", None)
-    if dtype is not None and "complex" in str(dtype):
-        raise ShapeError(f"{name}: real-view array must be real-dtyped, got {dtype}")
+    if dtype is not None:
+        kind = getattr(dtype, "kind", None)
+        if kind == "c" or "complex" in str(dtype):
+            raise ShapeError(f"{name}: real-view array must be real-dtyped, got {dtype}")
+        if kind is not None and kind not in ("f", "V"):
+            # "V": ml_dtypes low-precision floats (bfloat16 etc.) report kind V
+            raise ShapeError(f"{name}: real-view array must be float-dtyped, got {dtype}")
     if coil_axis is not None and len(shape) <= coil_axis:
         raise ShapeError(f"{name}: expected a coil axis at {coil_axis}, got rank {len(shape)}")
