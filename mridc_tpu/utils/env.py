@@ -47,8 +47,12 @@ def _get_env(key: str, default=None, coerce: Callable = lambda x: x, required: b
         raise CoercionError(key, value, coerce) from None
 
 
-def _bool(value: str) -> bool:
-    return value.strip().lower() not in ("false", "0", "no", "n", "off", "")
+def _bool(value) -> bool:
+    # reference truth table (env_var_parsing.py:74-87): f/none are falsy,
+    # anything else non-None (including "" and "off") is truthy
+    if isinstance(value, bool):
+        return value
+    return value is not None and value.lower() not in ("false", "0", "no", "n", "f", "none")
 
 
 def get_env(key: str, *default, coerce: Callable = lambda x: x) -> Any:
@@ -75,7 +79,8 @@ def get_envstr(key: str, *default) -> str:
     return get_env(key, *default, coerce=str)
 
 
-def get_envlist(key: str, *default, separator: str = ",") -> List[str]:
+def get_envlist(key: str, *default, separator: str = " ") -> List[str]:
+    # reference default separator is a SPACE (env_var_parsing.py:177)
     return get_env(key, *default, coerce=lambda x: x.split(separator))
 
 

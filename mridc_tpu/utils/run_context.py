@@ -17,12 +17,12 @@ __all__ = ["RunContext", "get_run_context", "set_run_context", "is_global_rank_z
 
 
 def is_global_rank_zero() -> bool:
-    try:
-        import jax
+    # delegate to the backend-init-safe probe (utils/logging._rank): calling
+    # jax.process_index() here before jax.distributed.initialize() would lock
+    # the backend single-process and make every host report rank 0
+    from mridc_tpu.utils.logging import is_global_rank_zero as _izr
 
-        return jax.process_index() == 0
-    except Exception:
-        return True
+    return _izr()
 
 
 @dataclass
@@ -47,12 +47,10 @@ class RunContext:
 
     @property
     def process_index(self) -> int:
-        try:
-            import jax
+        # backend-init-safe: env-derived rank until the backend is up
+        from mridc_tpu.utils.logging import _rank
 
-            return jax.process_index()
-        except Exception:
-            return 0
+        return _rank()
 
     @property
     def data_parallel_size(self) -> int:

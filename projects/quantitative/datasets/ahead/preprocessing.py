@@ -49,7 +49,7 @@ def _read_nifti(path):
 def load_subject(subject_id: str, datapath: str):
     """Coil images [E, X, Y, Z], complex sense maps, brain mask (reference
     ``_dataloder``)."""
-    folders = glob.glob(f"{datapath}Subcortex_{subject_id.zfill(4)}*_R02")
+    folders = glob.glob(os.path.join(datapath, f"Subcortex_{subject_id.zfill(4)}*_R02"))
     if not folders:
         return None, None, None
     folder = folders[0]
@@ -142,6 +142,8 @@ if __name__ == "__main__":
     p.add_argument("datapath")
     p.add_argument("savepath")
     p.add_argument("--applymask", action="store_true")
-    p.add_argument("--centerslices", action="store_true")
+    # default matches the python API default (centerslices=True); the flag
+    # disables it (previously the CLI default silently inverted the API's)
+    p.add_argument("--no-centerslices", dest="centerslices", action="store_false")
     a = p.parse_args()
     main(a.datapath, a.savepath, a.applymask, a.centerslices)

@@ -44,18 +44,20 @@ def iterate_qmap(qmap, name):
 
 
 def _collect(files):
-    maps, data, kspace_masks = [], [], []
+    maps, data = [], []
     for group in files:
         for f in group:
-            if "cs" in f:
+            name = Path(f).name  # classify by FILENAME: a path component
+            # containing 'cs'/'maps' must not swallow every file
+            if "cs" in name:
                 continue
-            if "kspmask" in f:
-                kspace_masks.append(Path(f))
-            elif "maps" in f:
+            if "kspmask" in name:
+                continue  # standalone k-space mask files pair with nothing
+            if "maps" in name:
                 maps.append(Path(f))
             else:
                 data.append(Path(f))
-    return sorted(maps), sorted(data), sorted(kspace_masks)
+    return sorted(maps), sorted(data)
 
 
 def reformat(file_path: Path, out_path: Path, which_set: str = "train"):
@@ -64,10 +66,21 @@ def reformat(file_path: Path, out_path: Path, which_set: str = "train"):
 
     subjects = [p for p in Path(file_path).iterdir() if "Subcortex" in p.name]
     files = [glob.glob(str(plane) + "/*.h5") for s in subjects for plane in s.iterdir()]
-    maps, data, kspace_masks = _collect(files)
+    maps, data = _collect(files)
 
     written = []
-    pairs = zip(maps, data) if which_set != "test" and maps else ((None, d) for d in data)
+    if which_set != "test" and maps:
+        # pair by stem, not by sorted position: one missing maps file must not
+        # shift every subsequent pairing onto the wrong slice
+        maps_by_stem = {p.stem.replace("_maps", ""): p for p in maps}
+        pairs = [(maps_by_stem.get(d.stem), d) for d in data]
+        missing = [d.name for m, d in pairs if m is None]
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)} data file(s) have no matching *_maps.h5 (e.g. {missing[0]})"
+            )
+    else:
+        pairs = [(None, d) for d in data]
     for _maps, _data in pairs:
         fname = _data.stem
         groups = {"B0_map": [], "R2star_map": [], "S0_map": [], "phi_map": []}
@@ -116,7 +129,9 @@ def reformat(file_path: Path, out_path: Path, which_set: str = "train"):
             if name == "R2star_map":
                 for key, val in masks:
                     acc = key.split("_")[3]
-                    if acc in accs:
+                    # first-wins per acceleration (reference reformat.py:154-158
+                    # guards with 'acc not in masks_accs')
+                    if acc in accs and f"mask_{acc}x" not in out:
                         out[f"mask_{acc}x"] = val
         if which_set != "test" and not any_recons:
             continue

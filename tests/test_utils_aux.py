@@ -45,11 +45,19 @@ def test_env_parsing(monkeypatch):
     monkeypatch.setenv("MRIDC_T_INT", "42")
     monkeypatch.setenv("MRIDC_T_BOOL", "false")
     monkeypatch.setenv("MRIDC_T_FLOAT", "1.5")
-    monkeypatch.setenv("MRIDC_T_LIST", "a,b,c")
+    monkeypatch.setenv("MRIDC_T_LIST", "a b c")
     assert get_envint("MRIDC_T_INT") == 42
     assert get_envbool("MRIDC_T_BOOL") is False
+    # reference truth table: f/none falsy, off/empty truthy (env_var_parsing.py:74-87)
+    monkeypatch.setenv("MRIDC_T_BOOL2", "f")
+    assert get_envbool("MRIDC_T_BOOL2") is False
+    monkeypatch.setenv("MRIDC_T_BOOL3", "off")
+    assert get_envbool("MRIDC_T_BOOL3") is True
     assert get_envfloat("MRIDC_T_FLOAT") == 1.5
+    # reference default separator is a space
     assert get_envlist("MRIDC_T_LIST") == ["a", "b", "c"]
+    monkeypatch.setenv("MRIDC_T_LIST2", "a,b")
+    assert get_envlist("MRIDC_T_LIST2", separator=",") == ["a", "b"]
     assert get_envint("MRIDC_T_MISSING", 7) == 7
     with pytest.raises(RequiredSettingMissingError):
         get_envint("MRIDC_T_MISSING2")
