@@ -76,7 +76,9 @@ def fit_quantitative_maps(
     slope = ((tes - t_mean)[:, None, None] * (logm - logm.mean(0))).sum(0) / t_var
     r2star = np.clip(-slope, 0, None)
     log_s0 = logm.mean(0) - slope * t_mean
-    s0 = np.exp(log_s0)
+    # clamp: a log-linear fit on noise voxels can put the intercept at +-60,
+    # exploding exp() into 1e26-scale S0 inits that destabilize training
+    s0 = np.exp(np.clip(log_s0, -30.0, 30.0))
 
     phases = np.stack([unwrap_phase_2d(np.angle(echo_images[i])) for i in range(e)])
     ph_slope = ((tes - t_mean)[:, None, None] * (phases - phases.mean(0))).sum(0) / t_var

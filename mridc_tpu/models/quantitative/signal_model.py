@@ -124,7 +124,8 @@ def fit_megre_maps(echo_images: jnp.ndarray, tes) -> jnp.ndarray:
     t_var = jnp.maximum((t_ctr**2).sum(1), 1e-20)
     slope = (logm * t_ctr).sum(axis=1) / t_var  # d log|S| / dt = -R2*
     r2star = -slope
-    amp = jnp.exp(logm.mean(axis=1) - slope * t_mean)  # sqrt(S0^2 + phi^2)
+    # clamped intercept: noise voxels can push exp() to overflow scales
+    amp = jnp.exp(jnp.clip(logm.mean(axis=1) - slope * t_mean, -30.0, 30.0))
 
     # pairwise wrapped phase differences: angle(S_{e+1}) - angle(S_e) mod 2pi
     zr, zi = re, im

@@ -200,3 +200,62 @@ def test_kspace_loss_rejects_ssim():
             sensitivity_maps=jnp.asarray(sens),
             kspace_loss=True,
         )
+
+
+def test_n2r_loss_gating_exclusive():
+    """With n2r predictions, the branches are EXCLUSIVE (reference
+    nn/base.py:427-455): n2r_supervised selects the supervised term,
+    otherwise ONLY the weighted consistency term trains."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+    from mridc_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(11)
+    B, C, H, W = 1, 2, 16, 16
+
+    def rv(s):
+        return np.stack([rng.standard_normal(s), rng.standard_normal(s)], -1).astype(np.float32)
+
+    model = build_model({"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+                         "fft_centered": True, "fft_normalization": "ortho"})
+    trainer = Trainer(model, optim_cfg={"name": "adam", "lr": 1e-3},
+                      trainer_cfg={"n2r_loss_weight": 0.5})
+    batch = {
+        "masked_kspace": rv((B, C, H, W)),
+        "sensitivity_maps": rv((B, C, H, W)),
+        "mask": np.ones((B, 1, H, W), np.float32),
+        "target": rv((B, H, W)),
+        # identical n2r inputs: the consistency term must be ~0 when the two
+        # forwards see the same data (distinguishes it from the supervised term)
+        "n2r_masked_kspace": None,  # filled below = masked_kspace
+        "n2r_mask": np.ones((B, 1, H, W), np.float32),
+        "attrs": [{"n2r_supervised": True}],
+    }
+    batch["n2r_masked_kspace"] = batch["masked_kspace"].copy()
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    # host copy: the donated train step deletes the device buffers
+    params0 = jax.tree_util.tree_map(lambda x: np.array(x), trainer.state.params)
+
+    def loss_for(supervised):
+        # rebuild a fresh state so both branches evaluate the SAME params
+        trainer.state = trainer.state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params0)
+        )
+        trainer._train_step = None
+        b = dict(batch)
+        b["attrs"] = [{"n2r_supervised": supervised}]
+        m = trainer.training_batch(b)
+        return float(m["loss"])
+
+    loss_sup = loss_for(True)
+    loss_cons = loss_for(False)
+    # supervised branch compares against the target; consistency branch
+    # compares the two predictions — different quantities, different values
+    assert loss_sup != loss_cons
+    # consistency of identical inputs (same y, same mask) with shared params
+    # is ~0 x weight: the two forwards produce the same prediction
+    assert loss_cons < 1e-5, loss_cons
+    assert loss_sup > 1e-3, loss_sup
