@@ -189,22 +189,31 @@ def run_from_config(cfg: dict):
     if ema_cfg is True:  # `ema: true` shorthand for `ema: {enable: true}`
         ema_cfg = {"enable": True}
     use_ema = bool(ema_cfg.get("enable", False)) if isinstance(ema_cfg, dict) else False
+    task_kwargs = {}
     if task == "segmentation":
-        from mridc_tpu.train.task_trainers import SegmentationTrainer
+        from mridc_tpu.train.task_trainers import SegmentationTrainer, seg_loss_cfg_from_model_cfg
 
         trainer_cls = SegmentationTrainer
+        if "segmentation_loss_fn" in model_cfg:
+            task_kwargs["seg_loss_cfg"] = seg_loss_cfg_from_model_cfg(model_cfg)
     elif task == "multitask":
-        from mridc_tpu.train.task_trainers import MultitaskTrainer
+        from mridc_tpu.train.task_trainers import MultitaskTrainer, seg_loss_cfg_from_model_cfg
 
         trainer_cls = MultitaskTrainer
+        task_kwargs["segmentation_loss_weight"] = float(model_cfg.get("total_segmentation_loss_weight", 1.0))
+        task_kwargs["reconstruction_loss_weight"] = float(model_cfg.get("total_reconstruction_loss_weight", 1.0))
+        if "segmentation_loss_fn" in model_cfg:
+            task_kwargs["seg_loss_cfg"] = seg_loss_cfg_from_model_cfg(model_cfg)
     elif task == "quantitative":
         from mridc_tpu.train.task_trainers import QuantitativeTrainer
 
         trainer_cls = QuantitativeTrainer
+        task_kwargs["loss_regularization_factors"] = model_cfg.get("loss_regularization_factors")
     else:
         trainer_cls = Trainer
     trainer = trainer_cls(
         model,
+        **task_kwargs,
         optim_cfg=model_cfg.get("optim"),
         trainer_cfg=trainer_cfg,
         loss_type=model_cfg.get("train_loss_fn", "l1"),

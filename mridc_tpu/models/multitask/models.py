@@ -11,11 +11,13 @@ Functional parity with reference (mridc/collections/multitask/rs/nn/):
   - ``RecSegUNet`` recseg_unet.py:18 — recon UNet -> (no-grad groupnorm) ->
     seg UNet.
   - ``SERANet`` seranet.py:27 — recon module, then a recurrent
-    segmentation-aware refinement with DC (ConvLSTM-free equivalent using the
-    ConvGRU cell, documented deviation).
+    segmentation-aware refinement with DC using the reference's ConvLSTM cell
+    (nn/convlstm.py, golden-tested in test_golden_seranet.py).
 
 Contract: ``__call__(y, sens, mask, init_pred=None, train=False) ->
-(ModelOutput, seg_logits [B, H, W, classes])``. Seg inputs are group-normed
+(ModelOutput, seg_logits [B, H, W, classes])``; SegNet in train mode returns
+the stacked per-cascade + fused segmentations [N, B, H, W, classes] for the
+reference's per-cascade loss averaging. Seg inputs are group-normed
 under stop_gradient exactly like the reference's ``torch.no_grad`` group_norm
 (seg loss does not backprop into the recon trunk).
 """
@@ -305,9 +307,10 @@ class SegNet(BaseReconModel):
     Functional parity with reference:
     mridc/collections/multitask/rs/nn/segnet.py:21 (normalize=False/
     padding=False defaults :50-52, per-cascade modules :56-100, final
-    ConvNonlinear :102-112, forward :170-205). Returns the final fused
-    segmentation (the reference also averages the per-cascade segmentation
-    losses during training — documented deviation, PARITY.md).
+    ConvNonlinear :102-112, forward :170-205). Eval returns the final fused
+    segmentation; train returns the stacked per-cascade + fused segmentations
+    so the trainer averages the per-cascade losses like the reference
+    (segnet.py:213-251).
     """
 
     num_iters: int = 2
@@ -403,9 +406,15 @@ class SegNet(BaseReconModel):
             use_bias=self.seg_final_bias,
             nonlinear=self.seg_final_nonlinear,
         )(jnp.concatenate(segs, axis=-1))
+        segs.append(seg)  # reference appends the fused seg to the list (segnet.py:198-199)
         if self.normalize_segmentation_output:
-            seg = seg / jnp.maximum(seg.max(), 1e-12)
-        return ModelOutput(prediction=prediction), seg
+            segs = [s / jnp.maximum(s.max(), 1e-12) for s in segs]
+        if train:
+            # reference trains on the per-cascade list + fused seg, averaging
+            # the losses over the stack (segnet.py:213-251); eval uses the
+            # fused (last) one only
+            return ModelOutput(prediction=prediction), jnp.stack(segs, axis=0)
+        return ModelOutput(prediction=prediction), segs[-1]
 
 
 class RecSegUNet(BaseReconModel):

@@ -14,6 +14,7 @@ import time
 from pathlib import Path
 from typing import Dict, Optional
 
+import numpy as np
 import yaml
 
 from mridc_tpu.train.checkpoints import OrbaxCheckpointer, save_archive
@@ -47,17 +48,18 @@ class ExpManager:
                 # all processes must agree on the run directory (orbax saves
                 # are collective) — derive the timestamp from process 0
                 stamp = time.time()
-                try:
-                    import jax
+                import jax
 
-                    if jax.process_count() > 1:
-                        from jax.experimental import multihost_utils
+                if jax.process_count() > 1:
+                    # NOT wrapped in try/except: if the broadcast fails, each
+                    # process would silently fall back to its own clock and
+                    # second-boundary skew would yield divergent run dirs —
+                    # the collective orbax save then corrupts. Fail loudly.
+                    from jax.experimental import multihost_utils
 
-                        stamp = float(
-                            multihost_utils.broadcast_one_to_all(np.asarray(stamp, np.float64))
-                        )
-                except Exception:
-                    pass
+                    stamp = float(
+                        multihost_utils.broadcast_one_to_all(np.asarray(stamp, np.float64))
+                    )
                 version = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime(stamp))
         self.log_dir = Path(exp_dir) / name / version
         self.log_dir.mkdir(parents=True, exist_ok=True)

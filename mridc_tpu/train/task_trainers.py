@@ -21,7 +21,15 @@ from mridc_tpu.metrics.segmentation import SegmentationMetrics
 from mridc_tpu.train.losses import process_reconstruction_loss
 from mridc_tpu.train.trainer import Trainer, _host_mag
 
-__all__ = ["SegmentationTrainer", "MultitaskTrainer", "QuantitativeTrainer", "segmentation_loss_fn"]
+__all__ = [
+    "SegmentationTrainer",
+    "MultitaskTrainer",
+    "QuantitativeTrainer",
+    "segmentation_loss_fn",
+    "seg_loss_cfg_from_model_cfg",
+    "quantitative_loss_fn",
+    "parse_loss_regularization_factors",
+]
 
 
 def segmentation_loss_fn(
@@ -32,37 +40,179 @@ def segmentation_loss_fn(
     ce_weight: float = 1.0,
     dice_weight: float = 1.0,
     dice_kwargs: Optional[Dict] = None,
+    ce_kwargs: Optional[Dict] = None,
+    detach_ce: bool = True,
 ) -> jnp.ndarray:
-    """Weighted CE + Dice combo (reference seg base process_segmentation_loss)."""
+    """Weighted CE + Dice combo (reference seg base ``process_segmentation_loss``,
+    segmentation/nn/base.py:147-178; rs/nn/base.py:373-403).
+
+    ``detach_ce=True`` pins the reference quirk that CE is evaluated on
+    ``prediction.detach().cpu()`` — the CE term contributes to the reported
+    loss value but NEVER backprops; only Dice drives gradients (PARITY.md).
+
+    ``logits`` may carry a leading stack axis (per-cascade predictions, e.g.
+    SegNet): each term is then averaged over the stack before weighting
+    (reference segnet.py:213-251).
+    """
+    stacked = logits.ndim == target.ndim + 1
+    preds = logits if stacked else logits[None]
     loss = 0.0
     if use_ce:
         labels = target.argmax(-1)
-        loss = loss + ce_weight * cross_entropy_loss(labels, logits)
+        ce_in = jax.lax.stop_gradient(preds) if detach_ce else preds
+        ce = jnp.mean(
+            jnp.stack([cross_entropy_loss(labels, ce_in[i], **(ce_kwargs or {})) for i in range(preds.shape[0])])
+        )
+        loss = loss + ce_weight * ce
     if use_dice:
         kw = dict(include_background=False, softmax=True, sigmoid=False)
         kw.update(dice_kwargs or {})
-        _, dl = dice_loss(target, logits, **kw)
+        dl = jnp.mean(jnp.stack([dice_loss(target, preds[i], **kw)[1] for i in range(preds.shape[0])]))
         loss = loss + dice_weight * dl
     return loss
+
+
+def seg_loss_cfg_from_model_cfg(model_cfg: Dict) -> Dict:
+    """Translate the reference YAML segmentation-loss keys
+    (``segmentation_loss_fn``, ``cross_entropy_loss_*``, ``dice_loss_*`` —
+    rs/nn/base.py:76-110) into ``segmentation_loss_fn`` kwargs."""
+    fns = model_cfg.get("segmentation_loss_fn", ["cross_entropy", "dice"])
+    if isinstance(fns, str):
+        fns = [fns]
+    fns = list(fns or [])
+    ce_w = model_cfg.get("cross_entropy_loss_weight")
+    dice_kwargs = dict(
+        include_background=bool(model_cfg.get("dice_loss_include_background", False)),
+        to_onehot_y=bool(model_cfg.get("dice_loss_to_onehot_y", False)),
+        sigmoid=bool(model_cfg.get("dice_loss_sigmoid", True)),
+        softmax=bool(model_cfg.get("dice_loss_softmax", False)),
+        squared_pred=bool(model_cfg.get("dice_loss_squared_pred", False)),
+        jaccard=bool(model_cfg.get("dice_loss_jaccard", False)),
+        smooth_nr=float(model_cfg.get("dice_loss_smooth_nr", 1e-5)),
+        smooth_dr=float(model_cfg.get("dice_loss_smooth_dr", 1e-5)),
+        batch=bool(model_cfg.get("dice_loss_batch", False)),
+    )
+    ce_kwargs = dict(
+        label_smoothing=float(model_cfg.get("cross_entropy_loss_label_smoothing", 0.0)),
+        weight=None if ce_w in (None, "none", "None") else list(ce_w),
+    )
+    return dict(
+        use_ce="cross_entropy" in fns,
+        use_dice="dice" in fns,
+        ce_weight=float(model_cfg.get("cross_entropy_loss_weighting_factor", 1.0)),
+        dice_weight=float(model_cfg.get("dice_loss_weighting_factor", 1.0)),
+        dice_kwargs=dice_kwargs,
+        ce_kwargs=ce_kwargs,
+    )
+
+
+_QMAP_NAMES = ("R2star", "S0", "B0", "phi")
+
+
+def parse_loss_regularization_factors(factors) -> jnp.ndarray:
+    """Reference YAML format is a list of single-key dicts
+    (``[{R2star: 3.0}, {S0: 1.0}, ...]`` — quantitative/nn/base.py:94-99);
+    also accepts a flat dict, a 4-list of floats, or None (all ones)."""
+    if factors is None:
+        return jnp.ones(4, jnp.float32)
+    if isinstance(factors, dict):
+        return jnp.asarray([float(factors.get(n, 1.0)) for n in _QMAP_NAMES], jnp.float32)
+    if isinstance(factors, (list, tuple)):
+        if all(isinstance(f, dict) for f in factors):
+            merged: Dict = {}
+            for f in factors:
+                merged.update(f)
+            return jnp.asarray([float(merged.get(n, 1.0)) for n in _QMAP_NAMES], jnp.float32)
+        return jnp.asarray([float(f) for f in factors], jnp.float32)
+    return jnp.full((4,), float(factors), jnp.float32)
+
+
+def quantitative_loss_fn(
+    maps_target: jnp.ndarray,
+    preds: jnp.ndarray,
+    mask_brain: Optional[jnp.ndarray],
+    factors: jnp.ndarray,
+    loss_type: str = "ssim",
+):
+    """Reference quantitative training loss, accumulate-estimates semantics
+    (``process_quantitative_loss`` quantitative/models/qcirim.py:343-399 +
+    the training-step combination models/base.py:373-431,429-431):
+
+    per (cascade c, time-step t, map q): normalize target and prediction each
+    by their own global abs-max, multiply by |mask_brain|, compute l1/mse
+    divided by ``factors[q]`` (ssim multiplied by it, with
+    ``data_range = max|y| - min|y|`` of the normalized prediction); per-map
+    total = sum_t/C then sum_c/C; final = mean over the 4 maps / 2.
+
+    maps_target: [B, H, W, 4]; preds: [C, T, B, H, W, 4] (both unnormalized —
+    gamma already reversed); mask_brain: [B, H, W] or None.
+    Returns ``(total, per_map[4])``.
+    """
+    preds = jnp.asarray(preds)
+    n_casc = preds.shape[0]
+    if mask_brain is not None:
+        m = jnp.abs(mask_brain).astype(preds.dtype)
+    else:
+        m = jnp.ones(maps_target.shape[:3], preds.dtype)
+    xn = maps_target / jnp.maximum(jnp.abs(maps_target).max(axis=(0, 1, 2), keepdims=True), 1e-12)
+    yn = preds / jnp.maximum(jnp.abs(preds).max(axis=(2, 3, 4), keepdims=True), 1e-12)
+    xm = xn * m[..., None]  # [B, H, W, 4]
+    ym = yn * m[None, None, ..., None]  # [C, T, B, H, W, 4]
+    lt = str(loss_type).lower()
+    if "ssim" in lt:
+        from mridc_tpu.losses.ssim import ssim_loss
+
+        dr = jnp.abs(yn).max(axis=(2, 3, 4)) - jnp.abs(yn).min(axis=(2, 3, 4))  # [C, T, 4]
+        xq = jnp.moveaxis(xm, -1, 0)  # [4, B, H, W]
+        yq = jnp.moveaxis(ym, -1, 2)  # [C, T, 4, B, H, W]
+
+        def one_map(xx, yy, dd):
+            return ssim_loss(xx, yy, jnp.broadcast_to(dd, (xx.shape[0],)))
+
+        def per_ct(y_ct, d_ct):  # [4, B, H, W], [4]
+            return jax.vmap(one_map)(xq, y_ct, d_ct)
+
+        losses = jax.vmap(jax.vmap(per_ct))(yq, dr)  # [C, T, 4]
+        losses = losses * factors[None, None, :]
+    else:
+        diff = xm[None, None] - ym
+        if "mse" in lt or lt == "l2":
+            per = (diff**2).mean(axis=(2, 3, 4))
+        else:
+            per = jnp.abs(diff).mean(axis=(2, 3, 4))
+        losses = per / factors[None, None, :]
+    per_map = losses.sum(axis=(0, 1)) / (n_casc * n_casc)
+    total = per_map.mean() / 2.0
+    return total, per_map
+
+
+def _tie_safe_onehot(logits: np.ndarray) -> np.ndarray:
+    """One-hot of argmax — exactly one class per pixel even on exact logit
+    ties (the round-2 ``logits == logits.max`` form produced multi-hot
+    predictions on ties, inflating Dice denominators)."""
+    return np.eye(logits.shape[-1], dtype=np.float32)[logits.argmax(-1)]
 
 
 class SegmentationTrainer(Trainer):
     """Batches: {"image": [B, H, W, Cin], "segmentation": [B, H, W, classes]}."""
 
+    def __init__(self, *args, seg_loss_cfg: Optional[Dict] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.seg_loss_cfg = dict(seg_loss_cfg or {})
+
     def _build_train_step(self):
         model = self.model
-        tx = self._tx
+        tail = self._optimizer_tail()
+        seg_cfg = self.seg_loss_cfg
 
         def train_step(state, image, target):
             def loss_fn(params):
                 out = model.apply({"params": params}, image, train=True)
                 logits = out[0] if isinstance(out, tuple) else out
-                return segmentation_loss_fn(target, logits)
+                return segmentation_loss_fn(target, logits, **seg_cfg)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+            new_state = tail(state, grads)
             return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
         return jax.jit(train_step, donate_argnums=(0,))
@@ -113,9 +263,9 @@ class SegmentationTrainer(Trainer):
             logits = self.predict_batch(batch, use_ema=use_ema)
             target = np.asarray(batch["segmentation"])
             losses.append(
-                float(segmentation_loss_fn(jnp.asarray(target), jnp.asarray(logits)))
+                float(segmentation_loss_fn(jnp.asarray(target), jnp.asarray(logits), **self.seg_loss_cfg))
             )
-            pred = (logits == logits.max(-1, keepdims=True)).astype(np.float32)
+            pred = _tie_safe_onehot(logits)
             for i in range(target.shape[0]):
                 m = metrics(np.moveaxis(target[i], -1, 0), np.moveaxis(pred[i], -1, 0))
                 dices.append(m["DICE"])
@@ -127,30 +277,42 @@ class SegmentationTrainer(Trainer):
 
 
 class MultitaskTrainer(Trainer):
-    """Joint recon+seg training: total = recon_loss + w * (CE + Dice)
-    (reference multitask base :73-110)."""
+    """Joint recon+seg training: total = w_rec * recon_loss + w_seg * (CE + Dice)
+    (reference rs/nn/base.py:596-608 — ``total_reconstruction_loss_weight`` /
+    ``total_segmentation_loss_weight``). Models that return a stacked
+    per-cascade segmentation (SegNet, train mode) get the reference's
+    per-cascade loss averaging (segnet.py:213-251) via ``segmentation_loss_fn``."""
 
-    def __init__(self, *args, segmentation_loss_weight: float = 1.0, **kwargs):
+    def __init__(
+        self,
+        *args,
+        segmentation_loss_weight: float = 1.0,
+        reconstruction_loss_weight: float = 1.0,
+        seg_loss_cfg: Optional[Dict] = None,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.segmentation_loss_weight = segmentation_loss_weight
+        self.reconstruction_loss_weight = reconstruction_loss_weight
+        self.seg_loss_cfg = dict(seg_loss_cfg or {})
 
     def _build_train_step(self):
         model = self.model
-        tx = self._tx
+        tail = self._optimizer_tail()
         loss_type = self.loss_type
         seg_w = self.segmentation_loss_weight
+        rec_w = self.reconstruction_loss_weight
+        seg_cfg = self.seg_loss_cfg
 
         def train_step(state, y, sens, mask, init_pred, target, seg_target):
             def loss_fn(params):
                 out, seg_logits = model.apply({"params": params}, y, sens, mask, init_pred, train=True)
                 recon = process_reconstruction_loss(out, target, loss_type)
-                seg = segmentation_loss_fn(seg_target, seg_logits)
-                return recon + seg_w * seg, (recon, seg)
+                seg = segmentation_loss_fn(seg_target, seg_logits, **seg_cfg)
+                return rec_w * recon + seg_w * seg, (recon, seg)
 
             (loss, (recon_l, seg_l)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+            new_state = tail(state, grads)
             return new_state, {"loss": loss, "recon_loss": recon_l, "seg_loss": seg_l,
                                "grad_norm": optax.global_norm(grads)}
 
@@ -201,7 +363,7 @@ class MultitaskTrainer(Trainer):
             p = p / (p.max() or 1.0)
             losses.append(float(np.abs(t - p).mean()))
             seg_target = np.asarray(batch["segmentation"])
-            seg_pred = (seg_logits == seg_logits.max(-1, keepdims=True)).astype(np.float32)
+            seg_pred = _tie_safe_onehot(seg_logits)
             for i in range(t.shape[0]):
                 ssims.append(ssim(t[i : i + 1], p[i : i + 1]))
                 dices.append(
@@ -219,39 +381,45 @@ class MultitaskTrainer(Trainer):
 
 
 class QuantitativeTrainer(Trainer):
-    """qMRI training: logspace-weighted l1 over the 4 map channels, optionally
-    gated by the brain mask (reference quantitative/nn/base.py:134
-    ``process_quantitative_loss``).
+    """qMRI training with the reference's per-map regularized loss
+    (``process_quantitative_loss`` quantitative/models/qcirim.py:343-399 via
+    ``quantitative_loss_fn``): each map normalized by its own abs-max, gated by
+    |mask_brain|, l1/mse divided (ssim multiplied) by the configured
+    ``loss_regularization_factors``, accumulated over cascades/time-steps.
 
     Batches: {"kspace" [B, E, C, H, W, 2], "sensitivity_maps", "mask" [B,1,H,W],
     "maps_init" [B, H, W, 4], "maps_target" [B, H, W, 4], "TEs" [E],
     optional "mask_brain" [B, H, W]}.
     """
 
+    def __init__(self, *args, loss_regularization_factors=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.loss_regularization_factors = parse_loss_regularization_factors(loss_regularization_factors)
+
+    def _unnormalized_preds(self, out):
+        """[C, T, B, H, W, 4] unnormalized prediction stack: model
+        intermediates are in gamma-normalized space (qcirim.py intermediates),
+        the final prediction is already unnormalized."""
+        if out.intermediates is not None and out.intermediates.ndim == out.prediction.ndim + 2:
+            gamma = jnp.asarray(getattr(self.model, "gamma", (1.0, 1.0, 1.0, 1.0)), jnp.float32)
+            return out.intermediates * gamma[None, None, None, None, None, :]
+        return out.prediction[None, None]
+
     def _build_train_step(self):
         model = self.model
-        tx = self._tx
+        tail = self._optimizer_tail()
         loss_type = self.loss_type
+        factors = self.loss_regularization_factors
+        unnorm = self._unnormalized_preds
 
         def train_step(state, y, sens, mask, maps_init, tes, maps_target, mask_brain):
             def loss_fn(params):
                 out = model.apply({"params": params}, y, sens, mask, maps_init, tes, train=True)
-                pred = out.prediction
-                target = maps_target
-                if mask_brain is not None:
-                    pred = pred * mask_brain[..., None]
-                    target = target * mask_brain[..., None]
-                # per-map normalization so R2*/B0 scales don't dominate
-                scale = jnp.maximum(jnp.abs(target).max(axis=(0, 1, 2), keepdims=True), 1e-12)
-                diff = (pred - target) / scale
-                if str(loss_type).lower() in ("l2", "mse"):
-                    return (diff**2).mean()
-                return jnp.abs(diff).mean()
+                total, _ = quantitative_loss_fn(maps_target, unnorm(out), mask_brain, factors, loss_type)
+                return total
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+            new_state = tail(state, grads)
             return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
         return jax.jit(train_step, donate_argnums=(0,))
@@ -325,8 +493,15 @@ class QuantitativeTrainer(Trainer):
                 break
             pred = self.predict_batch(batch, use_ema=use_ema)
             target = np.asarray(batch["maps_target"])
-            scale = np.maximum(np.abs(target).max(axis=(0, 1, 2), keepdims=True), 1e-12)
-            sums["loss"] += float(np.abs((pred - target) / scale).mean())
+            mask_brain = jnp.asarray(batch["mask_brain"]) if "mask_brain" in batch else None
+            total, _ = quantitative_loss_fn(
+                jnp.asarray(target),
+                jnp.asarray(pred)[None, None],
+                mask_brain,
+                self.loss_regularization_factors,
+                self.val_loss_type,
+            )
+            sums["loss"] += float(total)
             counts["loss"] += 1.0
             for i, n in enumerate(names):
                 t, p = target[..., i], pred[..., i]

@@ -219,13 +219,37 @@ class Trainer:
 
     # ------------------------------------------------------------- jitted fns
 
+    def _optimizer_tail(self) -> Callable:
+        """Shared optax update + EMA tail for every jitted train step.
+
+        Task trainers that override ``_build_train_step`` MUST use this so the
+        EMA update (reference common/callbacks/ema.py:19) is applied uniformly;
+        round-2 overrides that skipped it silently validated against frozen
+        initial weights when ``use_ema`` was on.
+        """
+        tx = self._tx
+        use_ema = self.use_ema
+        ema_decay = self.ema_decay
+
+        def tail(state: TrainState, grads):
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = state.ema_params
+            if use_ema and ema_params is not None:
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema_params, params
+                )
+            return state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema_params
+            )
+
+        return tail
+
     def _build_train_step(self) -> Callable:
         model = self.model
         loss_type = self.loss_type
         reg = self.loss_regularization_factor
-        tx = self._tx
-        ema_decay = self.ema_decay
-        use_ema = self.use_ema
+        tail = self._optimizer_tail()
 
         n2r_weight = self.trainer_cfg.get("n2r_loss_weight", 1.0)
         fft_centered = bool(getattr(model, "fft_centered", False))
@@ -276,14 +300,7 @@ class Trainer:
                 return jnp.where(sup, loss_sup, loss_cons)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            ema_params = state.ema_params
-            if use_ema and ema_params is not None:
-                ema_params = jax.tree_util.tree_map(
-                    lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema_params, params
-                )
-            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema_params)
+            new_state = tail(state, grads)
             gnorm = optax.global_norm(grads)
             return new_state, {"loss": loss, "grad_norm": gnorm}
 

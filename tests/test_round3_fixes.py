@@ -1,0 +1,334 @@
+"""Round-3 regression tests: multi-host run-dir broadcast, task-trainer EMA,
+tie-safe argmax, per-cascade SegNet loss, detached CE, and golden parity of
+the quantitative loss against the reference's own code
+(/root/reference/mridc/collections/quantitative/models/qcirim.py:343-399).
+"""
+
+import ast
+import textwrap
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mridc_tpu.models import build_model
+from mridc_tpu.train.task_trainers import (
+    MultitaskTrainer,
+    QuantitativeTrainer,
+    SegmentationTrainer,
+    _tie_safe_onehot,
+    parse_loss_regularization_factors,
+    quantitative_loss_fn,
+    segmentation_loss_fn,
+)
+
+# ----------------------------------------------------------------- exp_manager
+
+
+def test_expmanager_multiprocess_version_broadcast(tmp_path, monkeypatch):
+    """All processes must derive the run dir from the broadcast stamp, not
+    their local clock (round-2 bug: NameError on np swallowed by bare except
+    meant every process silently used its own timestamp)."""
+    import time
+
+    from jax.experimental import multihost_utils
+
+    from mridc_tpu.train.exp_manager import ExpManager
+
+    broadcast_stamp = 1_500_000_000.0
+    calls = {"n": 0}
+
+    def fake_broadcast(x):
+        calls["n"] += 1
+        return np.asarray(broadcast_stamp, np.float64)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", fake_broadcast)
+    # orbax would demand a real jax.distributed client at process_count>1;
+    # the run-dir logic under test doesn't need a live checkpointer
+    monkeypatch.setattr(
+        "mridc_tpu.train.exp_manager.OrbaxCheckpointer", lambda *a, **k: types.SimpleNamespace()
+    )
+    exp = ExpManager(exp_dir=str(tmp_path), name="bcast")
+    expected = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime(broadcast_stamp))
+    assert calls["n"] == 1
+    assert exp.log_dir.name == expected
+
+
+# ------------------------------------------------------------------------- EMA
+
+
+def _tree_allclose(a, b):
+    return all(
+        np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+@pytest.mark.slow
+def test_segmentation_trainer_ema_tracks_training():
+    cfg = {
+        "model_name": "SegmentationUNet",
+        "segmentation_module_output_channels": 2,
+        "segmentation_module_channels": 4,
+        "segmentation_module_pooling_layers": 2,
+    }
+    rng = np.random.default_rng(0)
+    b, h, w = 2, 16, 16
+    batch = {
+        "image": rng.standard_normal((b, h, w, 1)).astype(np.float32),
+        "segmentation": np.eye(2, dtype=np.float32)[rng.integers(0, 2, (b, h, w))],
+    }
+    trainer = SegmentationTrainer(
+        build_model(cfg), optim_cfg={"name": "adam", "lr": 1e-2}, use_ema=True, ema_decay=0.5
+    )
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    init_ema = jax.tree_util.tree_map(np.asarray, trainer.state.ema_params)
+    for _ in range(3):
+        trainer.training_batch(batch)
+    # EMA must have moved off the init weights (round-2 bug: override skipped
+    # the EMA update, so use_ema validation saw frozen init weights forever)
+    assert not _tree_allclose(trainer.state.ema_params, init_ema)
+    val = trainer.validate([batch], use_ema=True)
+    assert np.isfinite(val["val_loss"])
+
+
+@pytest.mark.slow
+def test_multitask_trainer_ema_tracks_training():
+    cfg = {
+        "model_name": "RECSEGNET",
+        "reconstruction_module_channels": 4,
+        "reconstruction_module_pooling_layers": 2,
+        "segmentation_module_channels": 4,
+        "segmentation_module_pooling_layers": 2,
+        "segmentation_module_output_channels": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    rng = np.random.default_rng(0)
+    b, c, h, w = 1, 2, 16, 16
+    batch = {
+        "masked_kspace": rng.standard_normal((b, c, h, w, 2)).astype(np.float32),
+        "sensitivity_maps": rng.standard_normal((b, c, h, w, 2)).astype(np.float32),
+        "mask": np.ones((b, 1, h, w), np.float32),
+        "initial_prediction": rng.standard_normal((b, h, w, 2)).astype(np.float32),
+        "target": rng.standard_normal((b, h, w, 2)).astype(np.float32),
+        "segmentation": np.eye(2, dtype=np.float32)[rng.integers(0, 2, (b, h, w))],
+    }
+    trainer = MultitaskTrainer(
+        build_model(cfg), optim_cfg={"name": "adam", "lr": 1e-2}, use_ema=True, ema_decay=0.5
+    )
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    init_ema = jax.tree_util.tree_map(np.asarray, trainer.state.ema_params)
+    for _ in range(3):
+        trainer.training_batch(batch)
+    assert not _tree_allclose(trainer.state.ema_params, init_ema)
+
+
+@pytest.mark.slow
+def test_quantitative_trainer_ema_tracks_training():
+    cfg = {
+        "model_name": "qVN",
+        "quantitative_module_num_cascades": 1,
+        "quantitative_module_channels": 4,
+        "quantitative_module_pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    rng = np.random.default_rng(0)
+    b, e, c, h, w = 1, 4, 2, 16, 16
+    batch = {
+        "kspace": rng.standard_normal((b, e, c, h, w, 2)).astype(np.float32),
+        "sensitivity_maps": rng.standard_normal((b, c, h, w, 2)).astype(np.float32),
+        "mask": np.ones((b, 1, h, w), np.float32),
+        "maps_init": np.abs(rng.standard_normal((b, h, w, 4))).astype(np.float32),
+        "maps_target": np.abs(rng.standard_normal((b, h, w, 4))).astype(np.float32),
+        "TEs": np.asarray([3.0, 11.5, 20.0, 28.5], np.float32),
+        "mask_brain": np.ones((b, h, w), np.float32),
+    }
+    trainer = QuantitativeTrainer(
+        build_model(cfg), optim_cfg={"name": "adam", "lr": 1e-2}, use_ema=True, ema_decay=0.5
+    )
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    init_ema = jax.tree_util.tree_map(np.asarray, trainer.state.ema_params)
+    for _ in range(3):
+        trainer.training_batch(batch)
+    assert not _tree_allclose(trainer.state.ema_params, init_ema)
+
+
+# -------------------------------------------------------------- tie-safe preds
+
+
+def test_tie_safe_onehot_on_exact_ties():
+    logits = np.zeros((2, 4, 4, 3), np.float32)  # all-tied logits
+    pred = _tie_safe_onehot(logits)
+    assert pred.shape == logits.shape
+    assert np.all(pred.sum(-1) == 1.0)  # exactly one class per pixel
+    # and it still matches argmax on untied logits
+    logits = np.random.default_rng(0).standard_normal((2, 4, 4, 3)).astype(np.float32)
+    assert np.array_equal(_tie_safe_onehot(logits).argmax(-1), logits.argmax(-1))
+
+
+# --------------------------------------------------------------- seg loss form
+
+
+def test_detach_ce_blocks_gradient():
+    rng = np.random.default_rng(0)
+    target = np.eye(2, dtype=np.float32)[rng.integers(0, 2, (1, 8, 8))]
+    logits = jnp.asarray(rng.standard_normal((1, 8, 8, 2)), jnp.float32)
+
+    def ce_only(lg, detach):
+        return segmentation_loss_fn(jnp.asarray(target), lg, use_dice=False, detach_ce=detach)
+
+    g_detached = jax.grad(lambda lg: ce_only(lg, True))(logits)
+    g_live = jax.grad(lambda lg: ce_only(lg, False))(logits)
+    assert float(jnp.abs(g_detached).max()) == 0.0  # reference quirk: CE never backprops
+    assert float(jnp.abs(g_live).max()) > 0.0
+
+
+def test_segmentation_loss_fn_stack_averages():
+    rng = np.random.default_rng(0)
+    target = np.eye(2, dtype=np.float32)[rng.integers(0, 2, (1, 8, 8))]
+    t = jnp.asarray(target)
+    a = jnp.asarray(rng.standard_normal((1, 8, 8, 2)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, 8, 8, 2)), jnp.float32)
+    stacked = segmentation_loss_fn(t, jnp.stack([a, b]))
+    mean_single = 0.5 * (segmentation_loss_fn(t, a) + segmentation_loss_fn(t, b))
+    np.testing.assert_allclose(float(stacked), float(mean_single), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_segnet_returns_percascade_stack_in_train_mode():
+    cfg = {
+        "model_name": "SEGNET",
+        "num_cascades": 2,
+        "channels": 4,
+        "num_pools": 2,
+        "segmentation_module_output_channels": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b, c, h, w = 1, 2, 16, 16
+    y = jnp.asarray(rng.standard_normal((b, c, h, w, 2)), jnp.float32)
+    sens = jnp.asarray(rng.standard_normal((b, c, h, w, 2)), jnp.float32)
+    mask = jnp.ones((b, 1, h, w), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), y, sens, mask)
+    _, seg_eval = model.apply(variables, y, sens, mask, train=False)
+    _, seg_train = model.apply(variables, y, sens, mask, train=True)
+    assert seg_eval.ndim == 4
+    assert seg_train.ndim == 5 and seg_train.shape[0] == 3  # 2 cascades + fused
+    # the fused (last) stacked seg equals the eval output
+    np.testing.assert_allclose(np.asarray(seg_train[-1]), np.asarray(seg_eval), rtol=1e-5, atol=1e-6)
+    # and the trainer loss accepts the stack
+    seg_t = np.eye(2, dtype=np.float32)[rng.integers(0, 2, (b, h, w))]
+    loss = segmentation_loss_fn(jnp.asarray(seg_t), seg_train)
+    assert np.isfinite(float(loss))
+
+
+# --------------------------------------------- quantitative loss golden parity
+
+
+def _load_reference_quantitative_loss():
+    """Exec the reference's own ``process_quantitative_loss`` (models fork,
+    /root/reference/mridc/collections/quantitative/models/qcirim.py:343) in a
+    minimal namespace; bind to a duck-typed self."""
+    torch = pytest.importorskip("torch")
+    src = open("/root/reference/mridc/collections/quantitative/models/qcirim.py").read()
+    tree = ast.parse(src)
+    fn_src = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "process_quantitative_loss":
+            fn_src = ast.get_source_segment(src, node)
+            break
+    assert fn_src is not None
+    ns = {"torch": torch}
+    exec(textwrap.dedent(fn_src), ns)  # noqa: S102 — reference's own code, test-only
+    return ns["process_quantitative_loss"], torch
+
+
+@pytest.mark.parametrize("loss_type", ["l1", "mse"])
+def test_quantitative_loss_matches_reference(loss_type):
+    ref_fn, torch = _load_reference_quantitative_loss()
+    rng = np.random.default_rng(42)
+    C, T, B, H, W = 2, 3, 2, 12, 12
+    target = rng.standard_normal((B, H, W, 4)).astype(np.float32) * np.array([40.0, 1.0, 100.0, 3.0], np.float32)
+    preds = rng.standard_normal((C, T, B, H, W, 4)).astype(np.float32) * np.array([40.0, 1.0, 100.0, 3.0], np.float32)
+    mask = (rng.random((B, H, W)) > 0.3).astype(np.float32)
+    factors = {"R2star": 300.0, "S0": 500.0, "B0": 20000.0, "phi": 500.0}
+
+    duck = types.SimpleNamespace(
+        loss_regularization_factors=factors,
+        accumulate_estimates=True,
+        qcirim=[None] * C,
+    )
+    loss_fn = torch.nn.MSELoss() if loss_type == "mse" else torch.nn.L1Loss()
+    names = ("R2star", "S0", "B0", "phi")
+    ref_per_map = []
+    for qi, name in enumerate(names):
+        pred_list = [[torch.tensor(preds[c, t, ..., qi]) for t in range(T)] for c in range(C)]
+        val = sum(ref_fn(duck, torch.tensor(target[..., qi]), pred_list, torch.tensor(mask), name, loss_fn))
+        ref_per_map.append(float(val))
+    ref_total = sum(ref_per_map) / 4.0 / 2.0
+
+    total, per_map = quantitative_loss_fn(
+        jnp.asarray(target),
+        jnp.asarray(preds),
+        jnp.asarray(mask),
+        parse_loss_regularization_factors(factors),
+        loss_type,
+    )
+    np.testing.assert_allclose(np.asarray(per_map), np.asarray(ref_per_map), rtol=2e-5)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-5)
+
+
+def test_quantitative_loss_ssim_matches_reference():
+    """SSIM branch vs the reference code, batch=1 (the reference's conv2d on
+    [B, H, W] maps only runs unbatched, i.e. B=1)."""
+    ref_fn, torch = _load_reference_quantitative_loss()
+    import reference_loader
+
+    ref_ssim_mod = reference_loader.load("mridc.collections.reconstruction.losses.ssim")
+    rng = np.random.default_rng(7)
+    C, T, B, H, W = 1, 2, 1, 16, 16
+    target = np.abs(rng.standard_normal((B, H, W, 4))).astype(np.float32)
+    preds = np.abs(rng.standard_normal((C, T, B, H, W, 4))).astype(np.float32)
+    mask = np.ones((B, H, W), np.float32)
+    factors = {"R2star": 3.0, "S0": 1.0, "B0": 1.0, "phi": 1.0}
+    duck = types.SimpleNamespace(
+        loss_regularization_factors=factors, accumulate_estimates=True, qcirim=[None] * C
+    )
+    loss_fn = ref_ssim_mod.SSIMLoss()
+    names = ("R2star", "S0", "B0", "phi")
+    ref_per_map = []
+    for qi, name in enumerate(names):
+        pred_list = [[torch.tensor(preds[c, t, ..., qi]) for t in range(T)] for c in range(C)]
+        val = sum(ref_fn(duck, torch.tensor(target[..., qi]), pred_list, torch.tensor(mask), name, loss_fn))
+        ref_per_map.append(float(val))
+    ref_total = sum(ref_per_map) / 4.0 / 2.0
+
+    total, per_map = quantitative_loss_fn(
+        jnp.asarray(target),
+        jnp.asarray(preds),
+        jnp.asarray(mask),
+        parse_loss_regularization_factors(factors),
+        "ssim",
+    )
+    np.testing.assert_allclose(np.asarray(per_map), np.asarray(ref_per_map), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(total), ref_total, rtol=1e-4)
+
+
+def test_parse_loss_regularization_factors_yaml_format():
+    # the reference YAML format: list of single-key dicts
+    f = parse_loss_regularization_factors([{"R2star": 3.0}, {"S0": 1.0}, {"B0": 2.0}, {"phi": 4.0}])
+    np.testing.assert_allclose(np.asarray(f), [3.0, 1.0, 2.0, 4.0])
+    np.testing.assert_allclose(np.asarray(parse_loss_regularization_factors(None)), [1.0] * 4)
+    np.testing.assert_allclose(
+        np.asarray(parse_loss_regularization_factors({"R2star": 2.0})), [2.0, 1.0, 1.0, 1.0]
+    )
