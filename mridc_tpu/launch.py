@@ -211,14 +211,20 @@ def run_from_config(cfg: dict):
         task_kwargs["loss_regularization_factors"] = model_cfg.get("loss_regularization_factors")
     else:
         trainer_cls = Trainer
+    # the unselfsupervised configs use the reference's `loss_fn` /
+    # `n2r_loss_regularization_factor` / `reconstruction_loss_regularization_factor`
+    # spellings (reference nn/base.py:86-92)
+    if "n2r_loss_regularization_factor" in model_cfg:
+        trainer_cfg.setdefault("n2r_loss_weight", float(model_cfg["n2r_loss_regularization_factor"]))
     trainer = trainer_cls(
         model,
         **task_kwargs,
         optim_cfg=model_cfg.get("optim"),
         trainer_cfg=trainer_cfg,
-        loss_type=model_cfg.get("train_loss_fn", "l1"),
+        loss_type=model_cfg.get("train_loss_fn", model_cfg.get("loss_fn", "l1")),
         val_loss_type=model_cfg.get("val_loss_fn"),
         use_ema=use_ema,
+        loss_regularization_factor=float(model_cfg.get("reconstruction_loss_regularization_factor", 1.0)),
         exp_manager=exp,
         ssdu=bool(model_cfg.get("ssdu", False)),
         kspace_reconstruction_loss=bool(model_cfg.get("kspace_reconstruction_loss", False)),
