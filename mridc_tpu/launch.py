@@ -228,6 +228,7 @@ def run_from_config(cfg: dict):
         exp_manager=exp,
         ssdu=bool(model_cfg.get("ssdu", False)),
         kspace_reconstruction_loss=bool(model_cfg.get("kspace_reconstruction_loss", False)),
+        log_images=bool(model_cfg.get("log_images", True)),
     )
 
     # pretrained weights (reference launch.py:129-132: `pretrained: true`
@@ -268,6 +269,19 @@ def run_from_config(cfg: dict):
         )
         if pretrained_params is not None:
             _install_pretrained(train_loader)
+        if val_loader is not None:
+            # reference launch.py:136-138: mode 'train' runs trainer.validate
+            # BEFORE fit so the starting point is on record
+            if trainer.state is None:
+                first = next(iter(val_loader))
+                trainer.init_state(jax.random.PRNGKey(0), trainer._device_batch(first))
+            initial = trainer.validate(val_loader)
+            logger.info(
+                "initial validation: "
+                + " ".join(f"{k}={v:.5f}" for k, v in initial.items() if isinstance(v, float))
+            )
+            for k, v in initial.items():
+                exp.log_scalar(k, v, 0)
         history = trainer.fit(train_loader, val_loader, max_epochs=trainer_cfg.get("max_epochs", 1))
         return trainer, history
     # test / eval

@@ -362,6 +362,7 @@ class MultitaskTrainer(Trainer):
             t = target / (target.max() or 1.0)
             p = p / (p.max() or 1.0)
             losses.append(float(np.abs(t - p).mean()))
+            self._maybe_log_val_images(batch_idx, t, p)
             seg_target = np.asarray(batch["segmentation"])
             seg_pred = _tie_safe_onehot(seg_logits)
             for i in range(t.shape[0]):

@@ -122,6 +122,8 @@ class Trainer:
         exp_manager=None,
         ssdu: bool = False,
         kspace_reconstruction_loss: bool = False,
+        log_images: bool = True,
+        log_images_limit: int = 4,
     ):
         self.model = model
         self.optim_cfg = dict(optim_cfg or {"name": "adam", "lr": 1e-3})
@@ -139,6 +141,11 @@ class Trainer:
         # either flag routes the loss through expand_op -> fft2 -> mask.
         self.ssdu = bool(ssdu)
         self.kspace_reconstruction_loss = bool(kspace_reconstruction_loss)
+        # target/recon/|error| TB panels for the first N val batches
+        # (reference logs per-batch panels when model.log_images is set,
+        # reconstruction/nn/base.py:738-742)
+        self.log_images = bool(log_images)
+        self.log_images_limit = int(log_images_limit)
         self.schedule = None
         self.plateau = None
         self._tx = None
@@ -519,6 +526,23 @@ class Trainer:
             self.exp_manager.on_validation_end(self, val, step)
         return val
 
+    def _maybe_log_val_images(self, batch_idx: int, target_mag: np.ndarray, pred_mag: np.ndarray):
+        """Log target/recon/|error| panels for the first ``log_images_limit``
+        validation batches (reference reconstruction/nn/base.py:738-742 logs
+        per-batch panels when the model's ``log_images`` flag is set)."""
+        if (
+            self.exp_manager is None
+            or not self.log_images
+            or batch_idx >= self.log_images_limit
+        ):
+            return
+        step = int(self.state.step) if self.state is not None else 0
+        for i in range(min(target_mag.shape[0], 2)):
+            t, p = target_mag[i], pred_mag[i]
+            while t.ndim > 2:  # consecutive-slice volumes: log the middle slice
+                t, p = t[t.shape[0] // 2], p[p.shape[0] // 2]
+            self.exp_manager.log_image_triplet(f"val/batch{batch_idx}_{i}", t, p, step)
+
     def validate(
         self, val_loader: Iterable, use_ema: Optional[bool] = None, limit: Optional[int] = None
     ) -> Dict[str, float]:
@@ -544,6 +568,7 @@ class Trainer:
             t = t / tmax
             p = p / (p.max() or 1.0)
             losses.append(_host_val_loss(t, p, self.val_loss_type))
+            self._maybe_log_val_images(batch_idx, t, p)
             for i in range(t.shape[0]):
                 metrics.push(t[i : i + 1], p[i : i + 1])
         # cross-process reduction (reference DistributedMetricSum sums metric

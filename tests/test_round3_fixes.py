@@ -332,3 +332,92 @@ def test_parse_loss_regularization_factors_yaml_format():
     np.testing.assert_allclose(
         np.asarray(parse_loss_regularization_factors({"R2star": 2.0})), [2.0, 1.0, 1.0, 1.0]
     )
+
+
+# ------------------------------------------------- val image logging + initial validate
+
+
+class _FakeExp:
+    def __init__(self):
+        self.images = []
+        self.scalars = []
+
+    def log_image_triplet(self, tag, t, p, step):
+        self.images.append(tag)
+
+    def log_scalar(self, tag, value, step):
+        self.scalars.append((tag, value, step))
+
+    def on_validation_end(self, trainer, metrics, step):
+        pass
+
+
+@pytest.mark.slow
+def test_validate_logs_image_triplets():
+    from mridc_tpu.train.trainer import Trainer
+
+    cfg = {"model_name": "UNet", "channels": 4, "pooling_layers": 2,
+           "fft_centered": True, "fft_normalization": "ortho"}
+    rng = np.random.default_rng(0)
+    b, c, h, w = 2, 2, 16, 16
+    batch = {
+        "masked_kspace": rng.standard_normal((b, c, h, w, 2)).astype(np.float32),
+        "sensitivity_maps": rng.standard_normal((b, c, h, w, 2)).astype(np.float32),
+        "mask": np.ones((b, 1, h, w), np.float32),
+        "target": rng.standard_normal((b, h, w, 2)).astype(np.float32),
+    }
+    exp = _FakeExp()
+    trainer = Trainer(build_model(cfg), optim_cfg={"name": "adam", "lr": 1e-3}, exp_manager=exp)
+    trainer.setup_optimization()
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    trainer.validate([batch, batch])
+    # 2 batches x 2 images each, within the default limit of 4 batches
+    assert len(exp.images) == 4
+    # disabled by log_images=False
+    exp2 = _FakeExp()
+    trainer2 = Trainer(build_model(cfg), optim_cfg={"name": "adam", "lr": 1e-3},
+                       exp_manager=exp2, log_images=False)
+    trainer2.setup_optimization()
+    trainer2.init_state(jax.random.PRNGKey(0), batch)
+    trainer2.validate([batch])
+    assert exp2.images == []
+
+
+@pytest.mark.slow
+def test_launch_runs_initial_validation(tmp_path, monkeypatch):
+    """mode: train validates BEFORE fit (reference launch.py:136-138)."""
+    from fixtures import create_dataset
+    from mridc_tpu.launch import run_from_config
+    from mridc_tpu.train.trainer import Trainer
+
+    data = tmp_path / "data"
+    data.mkdir()
+    create_dataset(data, n_files=1, slices=2, coils=4, h=32, w=32)
+    ds = {
+        "data_path": str(data),
+        "batch_size": 2,
+        "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    cfg = {
+        "mode": "train",
+        "model": {
+            "model_name": "UNet", "channels": 4, "pooling_layers": 2,
+            "fft_centered": True, "fft_normalization": "ortho",
+            "train_loss_fn": "l1", "optim": {"name": "adam", "lr": 1e-3},
+            "train_ds": ds, "validation_ds": dict(ds),
+        },
+        "trainer": {"max_epochs": 1, "max_steps": 2},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "iv"},
+    }
+    calls = []
+    orig = Trainer.validate
+
+    def spy(self, *a, **k):
+        calls.append(int(self.state.step))
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Trainer, "validate", spy)
+    run_from_config(cfg)
+    assert calls and calls[0] == 0  # first validate happened at step 0, before fit
