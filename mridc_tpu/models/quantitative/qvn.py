@@ -1,10 +1,21 @@
 """qVarNet: variational network in quantitative-parameter space.
 
 Functional parity with reference:
-mridc/collections/quantitative/nn/qvn.py:23 and qvarnet/qvn_block.py:13 —
-per cascade: forward-model the maps to echo signals, soft DC in k-space,
-SENSE-reduce the DC residual, NormUnet over the 4-map stack, residual update,
-clamp R2* >= 0.
+mridc/collections/quantitative/nn/qvn.py:23 and qvarnet/qvn_block.py:13.
+
+Default (``map_threading="complex"``) reproduces the reference graph exactly
+(golden-tested in tests/test_golden_qvn.py): COMPLEX maps threaded between
+cascades (qvn.py:210-245); per cascade the unnormalized complex maps run the
+complex MEGRE signal model, soft DC in k-space, a sens-conj reduction that
+sums over the ECHO axis leaving coils as the regularizer channels
+(qvn_block.py:157-168 with ``coil_dim=1`` — pinned upstream quirk), NormUnet
+-> complex residual added to the previous ABS map stack, and a clamp on both
+re/im of the R2* channel. The final maps are |complex maps| * gamma (per-map
+gamma; the reference's ``RescaleByMax.reverse`` mis-indexes gamma by BATCH
+element — pinned upstream bug, PARITY.md).
+
+``map_threading="real"`` keeps the round-2 re-design: real 4-channel maps,
+echo-residual stack into the regularizer.
 """
 
 from __future__ import annotations
@@ -15,12 +26,27 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mridc_tpu.models.base import BaseReconModel, ModelOutput
-from mridc_tpu.models.quantitative.signal_model import fit_megre_maps, megre_signal
+from mridc_tpu.models.quantitative.signal_model import (
+    fit_megre_maps,
+    megre_signal,
+    megre_signal_complex,
+)
 from mridc_tpu.nn.unet import NormUnet
 from mridc_tpu.ops.cplx import cmul, cmul_conj
 from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
 
 __all__ = ["qVarNet"]
+
+
+def _safe_cmag(x: jnp.ndarray) -> jnp.ndarray:
+    """|complex| over a real-view [..., 2] with a zero-safe gradient.
+
+    Forward-identical to ``sqrt(re^2 + im^2)``; at exactly (0, 0) — which the
+    R2* clamp produces — the plain sqrt has a NaN gradient, poisoning the
+    whole backward pass. Subgradient 0 there instead."""
+    sq = x[..., 0] ** 2 + x[..., 1] ** 2
+    zero = sq == 0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
 
 
 class qVarNet(BaseReconModel):
@@ -30,6 +56,7 @@ class qVarNet(BaseReconModel):
     padding_size: int = 11
     normalize: bool = True
     gamma: Sequence[float] = (150.0, 150.0, 600.0, 150.0)
+    map_threading: str = "complex"  # "complex" (reference graph) | "real" (re-design)
     use_reconstruction_module: bool = False
     recon_num_cascades: int = 8
     recon_channels: int = 18
@@ -52,6 +79,7 @@ class qVarNet(BaseReconModel):
             padding_size=g("padding_size", 11),
             normalize=g("normalize", True),
             gamma=tuple(g("gamma_regularization_factors", (150.0, 150.0, 600.0, 150.0))),
+            map_threading=str(g("map_threading", "complex")).lower(),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -101,10 +129,68 @@ class qVarNet(BaseReconModel):
             )
             maps_init = fit_megre_maps(pred_img, tes)
 
-        maps = maps_init / gamma[None, None, None, :]
         if sampling_mask.ndim == 4:
             sampling_mask = sampling_mask[:, None, ..., None]
         sens_e = sens[:, None]
+        if self.map_threading != "complex":
+            return self._real_cascades(y, sens_e, sampling_mask, maps_init, tes, gamma, train)
+
+        # ---- reference complex-map threading (qvn.py:210-245) ----
+        # maps_cv [B, H, W, 4, 2]: gamma-normalized complex maps (real view);
+        # running_pred [B, 4, H, W, 2]: the block's `prediction` argument —
+        # real init maps at cascade 0, |prev cascade maps| afterwards.
+        maps_n = maps_init / gamma[None, None, None, :]
+        maps_cv = jnp.stack([maps_n, jnp.zeros_like(maps_n)], axis=-1)
+        running_pred = jnp.moveaxis(maps_n, -1, 1)[..., None] * jnp.asarray([1.0, 0.0])
+        final_pred = None
+        for i in range(self.num_cascades):
+            scaled = maps_cv * gamma[None, None, None, :, None]  # unnormalize (complex x real)
+            pred = megre_signal_complex(
+                scaled[..., 0, :], scaled[..., 1, :], scaled[..., 2, :], scaled[..., 3, :], tes
+            )  # [B, E, H, W, 2]
+            pred_k = fft2_rv(
+                cmul(pred[:, :, None], sens_e), self.fft_centered, self.fft_normalization, self.spatial_dims
+            )
+            dc_weight = self.param(f"dc_weight_{i}", nn.initializers.ones, (1,))
+            soft = (pred_k - y) * sampling_mask * dc_weight
+            # reference qvn_block sens-reduces with coil_dim=1, i.e. it sums
+            # over the ECHO axis and keeps COILS as the regularizer channels
+            # (qvn_block.py:104-108,163 — pinned upstream quirk)
+            resid = cmul_conj(
+                ifft2_rv(soft, self.fft_centered, self.fft_normalization, self.spatial_dims), sens_e
+            ).sum(axis=1)  # [B, C, H, W, 2]
+            b, c, h, w, _ = resid.shape
+            # torch complex_to_chan_dim order: [re_c0..re_cN, im_c0..im_cN]
+            reg_in = jnp.moveaxis(resid, -1, 1).reshape(b, 2 * c, h, w).transpose(0, 2, 3, 1)
+            unet = NormUnet(
+                self.channels,
+                self.pooling_layers,
+                out_chans=8,
+                padding_size=self.padding_size,
+                normalize=self.normalize,
+            )
+            out = unet(reg_in, train)  # [B, H, W, 8]
+            # torch chan_complex_to_last_dim: [B, 2*4, H, W] -> [B, 4, H, W, 2]
+            upd = jnp.moveaxis(out.transpose(0, 3, 1, 2).reshape(b, 2, 4, h, w), 1, -1)
+            new_pred = running_pred + upd
+            # clamp BOTH re and im of the R2* channel at >= 0 (the reference
+            # clamps the view_as_real slice, qvn_block.py:166-168)
+            new_pred = new_pred.at[:, 0].set(jnp.maximum(new_pred[:, 0], 0.0))
+            final_pred = new_pred
+            maps_cv = jnp.moveaxis(new_pred, 1, 3)  # [B, H, W, 4, 2]
+            mag = _safe_cmag(new_pred)  # [B, 4, H, W]
+            running_pred = jnp.stack([mag, jnp.zeros_like(mag)], axis=-1)
+        # final maps: |complex maps| per map x gamma. (The reference's
+        # RescaleByMax.reverse indexes gamma by BATCH element — upstream bug,
+        # PARITY.md — so the unnormalization here is the per-map intent.)
+        mag = _safe_cmag(final_pred)  # [B, 4, H, W]
+        final = jnp.moveaxis(mag, 1, -1) * gamma[None, None, None, :]
+        return ModelOutput(prediction=final, intermediates=final_pred)
+
+    def _real_cascades(self, y, sens_e, sampling_mask, maps_init, tes, gamma, train):
+        """Round-2 re-design (opt-in ``map_threading="real"``): real 4-channel
+        maps, echo-residual stack into the regularizer."""
+        maps = maps_init / gamma[None, None, None, :]
         for i in range(self.num_cascades):
             r2s = maps[..., 0] * gamma[0]
             s0 = maps[..., 1] * gamma[1]

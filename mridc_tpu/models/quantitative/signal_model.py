@@ -16,7 +16,13 @@ import jax.numpy as jnp
 from mridc_tpu.ops.cplx import cmul, cmul_conj
 from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
 
-__all__ = ["megre_signal", "analytical_log_likelihood_gradient", "rescale_by_max", "fit_megre_maps"]
+__all__ = [
+    "megre_signal",
+    "megre_signal_complex",
+    "analytical_log_likelihood_gradient",
+    "rescale_by_max",
+    "fit_megre_maps",
+]
 
 SCALING = 1e-3
 
@@ -38,6 +44,66 @@ def megre_signal(r2star, s0, b0, phi, tes, with_phase: bool = True) -> jnp.ndarr
     im = s0[:, None] * decay * sin + phi[:, None] * decay * cos
     out = jnp.stack([re, im], axis=-1)
     return jnp.nan_to_num(out)
+
+
+def _cexp(z: jnp.ndarray) -> jnp.ndarray:
+    """exp of a real-view complex array [..., 2]."""
+    ex = jnp.exp(z[..., 0])
+    return jnp.stack([ex * jnp.cos(z[..., 1]), ex * jnp.sin(z[..., 1])], axis=-1)
+
+
+def _ccos(z: jnp.ndarray) -> jnp.ndarray:
+    """cos of a real-view complex array: cos(x)cosh(y) - i sin(x)sinh(y)."""
+    return jnp.stack(
+        [jnp.cos(z[..., 0]) * jnp.cosh(z[..., 1]), -jnp.sin(z[..., 0]) * jnp.sinh(z[..., 1])],
+        axis=-1,
+    )
+
+
+def _csin(z: jnp.ndarray) -> jnp.ndarray:
+    """sin of a real-view complex array: sin(x)cosh(y) + i cos(x)sinh(y)."""
+    return jnp.stack(
+        [jnp.sin(z[..., 0]) * jnp.cosh(z[..., 1]), jnp.cos(z[..., 0]) * jnp.sinh(z[..., 1])],
+        axis=-1,
+    )
+
+
+def _zero_nan_complex(z: jnp.ndarray) -> jnp.ndarray:
+    """Zero complex elements where either component is nan (torch
+    ``where(isnan(complex), 0, .)`` semantics)."""
+    bad = jnp.isnan(z).any(axis=-1, keepdims=True)
+    return jnp.where(bad, 0.0, z)
+
+
+def megre_signal_complex(r2star, s0, b0, phi, tes) -> jnp.ndarray:
+    """MEGRE forward model for COMPLEX quantitative maps in real view.
+
+    The reference qVN threads complex maps between cascades and runs
+    ``MEGRESignalModel`` on them (quantitative/nn/base.py:2063-2113 with
+    complex tensors; qvn.py:210-245): every term — ``exp(-t R2*)``,
+    ``cos(-t B0)``, ``sin(-t B0)``, the S0/phi products — is complex, and the
+    final echo is reassembled as ``view_as_real(a + i b)`` where a and b are
+    themselves complex: ``out = (Re a - Im b) + i (Im a + Re b)``.
+
+    maps: [B, H, W, 2] real view each. Returns [B, E, H, W, 2].
+    With zero imaginary parts this reduces exactly to :func:`megre_signal`.
+    """
+    tes = jnp.asarray(tes, jnp.float32)
+    t = tes[None, :, None, None, None] * SCALING  # [1, E, 1, 1, 1]
+    r2s_e = r2star[:, None]  # [B, 1, H, W, 2]
+    b0_e = b0[:, None]
+    s0_e = s0[:, None]
+    phi_e = phi[:, None]
+    first = _cexp(-t * r2s_e)
+    second = _ccos(-t * b0_e)
+    third = _csin(-t * b0_e)
+    s0f = cmul(s0_e, first)
+    phif = cmul(phi_e, first)
+    a = cmul(s0f, second) - cmul(phif, third)
+    b = cmul(s0f, third) + cmul(phif, second)
+    a = _zero_nan_complex(a)
+    b = _zero_nan_complex(b)
+    return jnp.stack([a[..., 0] - b[..., 1], a[..., 1] + b[..., 0]], axis=-1)
 
 
 def analytical_log_likelihood_gradient(

@@ -84,6 +84,7 @@ def test_run_quantitative_from_config(tmp_path, tmp_path_factory):
         "mode": "train",
         "model": {
             "model_name": "qVN",
+        "quantitative_module_gamma_regularization_factors": [1.0, 1.0, 1.0, 1.0],
             "quantitative_module_num_cascades": 1,
             "quantitative_module_channels": 4,
             "quantitative_module_pooling_layers": 2,

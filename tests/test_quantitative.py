@@ -91,6 +91,7 @@ def test_qcirim_forward():
 def test_qvarnet_forward():
     cfg = {
         "model_name": "qVN",
+        "quantitative_module_gamma_regularization_factors": [1.0, 1.0, 1.0, 1.0],
         "quantitative_module_num_cascades": 2,
         "quantitative_module_channels": 4,
         "quantitative_module_pooling_layers": 2,
@@ -272,3 +273,23 @@ def test_qtransforms_shared_mask_and_unnormalized_fit():
     r2_init = out[9]["quantitative_maps_init"]["R2star_map"]
     center = r2_init[H // 4 : -H // 4, W // 4 : -W // 4]
     assert 40.0 < float(np.median(center)) < 120.0, float(np.median(center))
+
+
+def test_qvarnet_real_threading_optin():
+    """map_threading='real' keeps the round-2 re-design (opt-in)."""
+    cfg = {
+        "model_name": "qVN",
+        "quantitative_module_num_cascades": 2,
+        "quantitative_module_channels": 4,
+        "quantitative_module_pooling_layers": 2,
+        "quantitative_module_map_threading": "real",
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    assert model.map_threading == "real"
+    y, sens, mask, maps_init, tes = _q_inputs()
+    v = model.init(jax.random.PRNGKey(0), y, sens, mask, maps_init, tes)
+    out = model.apply(v, y, sens, mask, maps_init, tes)
+    assert out.prediction.shape == maps_init.shape
+    assert bool(jnp.isfinite(out.prediction).all())

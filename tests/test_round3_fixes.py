@@ -133,6 +133,7 @@ def test_multitask_trainer_ema_tracks_training():
 def test_quantitative_trainer_ema_tracks_training():
     cfg = {
         "model_name": "qVN",
+        "quantitative_module_gamma_regularization_factors": [1.0, 1.0, 1.0, 1.0],
         "quantitative_module_num_cascades": 1,
         "quantitative_module_channels": 4,
         "quantitative_module_pooling_layers": 2,
