@@ -67,6 +67,11 @@ class qVarNet(BaseReconModel):
     def from_config(cls, cfg):
         g = lambda k, d: cfg.get(f"quantitative_module_{k}", d)  # noqa: E731
         r = lambda k, d: cfg.get(f"reconstruction_module_{k}", d)  # noqa: E731
+        threading = str(g("map_threading", "complex")).lower()
+        if threading not in ("complex", "real"):
+            raise ValueError(
+                f"quantitative_module_map_threading must be 'complex' or 'real', got {threading!r}"
+            )
         return cls(
             use_reconstruction_module=bool(cfg.get("use_reconstruction_module", False)),
             recon_num_cascades=r("num_cascades", 8),
@@ -79,7 +84,7 @@ class qVarNet(BaseReconModel):
             padding_size=g("padding_size", 11),
             normalize=g("normalize", True),
             gamma=tuple(g("gamma_regularization_factors", (150.0, 150.0, 600.0, 150.0))),
-            map_threading=str(g("map_threading", "complex")).lower(),
+            map_threading=threading,
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),

@@ -46,24 +46,35 @@ def megre_signal(r2star, s0, b0, phi, tes, with_phase: bool = True) -> jnp.ndarr
     return jnp.nan_to_num(out)
 
 
+# exp/cosh/sinh argument saturation: |arg| <= 30 keeps every term finite in
+# f32 (cosh(30) ~ 5e12) while being exact in any physically meaningful regime
+# (trained maps keep |t * B0_imag| << 1; the reference's torch complex math
+# overflows to inf/nan here, making from-scratch training with the default
+# gammas DOA — saturating instead keeps the max-normalized quantitative loss
+# well-defined so training can recover).
+_ARG_CLIP = 30.0
+
+
 def _cexp(z: jnp.ndarray) -> jnp.ndarray:
     """exp of a real-view complex array [..., 2]."""
-    ex = jnp.exp(z[..., 0])
+    ex = jnp.exp(jnp.clip(z[..., 0], -_ARG_CLIP, _ARG_CLIP))
     return jnp.stack([ex * jnp.cos(z[..., 1]), ex * jnp.sin(z[..., 1])], axis=-1)
 
 
 def _ccos(z: jnp.ndarray) -> jnp.ndarray:
     """cos of a real-view complex array: cos(x)cosh(y) - i sin(x)sinh(y)."""
+    y = jnp.clip(z[..., 1], -_ARG_CLIP, _ARG_CLIP)
     return jnp.stack(
-        [jnp.cos(z[..., 0]) * jnp.cosh(z[..., 1]), -jnp.sin(z[..., 0]) * jnp.sinh(z[..., 1])],
+        [jnp.cos(z[..., 0]) * jnp.cosh(y), -jnp.sin(z[..., 0]) * jnp.sinh(y)],
         axis=-1,
     )
 
 
 def _csin(z: jnp.ndarray) -> jnp.ndarray:
     """sin of a real-view complex array: sin(x)cosh(y) + i cos(x)sinh(y)."""
+    y = jnp.clip(z[..., 1], -_ARG_CLIP, _ARG_CLIP)
     return jnp.stack(
-        [jnp.sin(z[..., 0]) * jnp.cosh(z[..., 1]), jnp.cos(z[..., 0]) * jnp.sinh(z[..., 1])],
+        [jnp.sin(z[..., 0]) * jnp.cosh(y), jnp.cos(z[..., 0]) * jnp.sinh(y)],
         axis=-1,
     )
 

@@ -50,6 +50,12 @@ class CIRIM(BaseReconModel):
     # mask is 1D along the phase-encode axis (fastMRI-style column masks) —
     # the 2D fwd+inv FFT pair per RIM step collapses to one [W, W] matmul
     # (nn/dc.py psf1d_gauss_mats). Caller asserts the mask really is 1D.
+    remat_mode: str = "step+cascade"  # training rematerialization:
+    # "step+cascade" (round-2 default: remat each time step AND each cascade
+    # — forward runs 3x per train step), "cascade" (remat cascades only: the
+    # active cascade's backward stores its step activations — one fewer
+    # forward execution, more HBM), "step", "none". Measured on v5e in
+    # docs/performance.md.
 
     @classmethod
     def from_config(cls, cfg):
@@ -57,6 +63,12 @@ class CIRIM(BaseReconModel):
         # tiling, and rounding T up would change both the compute and the
         # logspace(-1, 0, T) loss weighting (reference cirim.py:356-358).
         time_steps = int(cfg.get("time_steps", 8))
+        remat_mode = str(cfg.get("remat_mode", "step+cascade")).lower()
+        if remat_mode not in ("step+cascade", "cascade", "step", "none"):
+            raise ValueError(
+                "remat_mode must be one of 'step+cascade' | 'cascade' | 'step' | 'none', "
+                f"got {remat_mode!r}"
+            )
         return cls(
             recurrent_layer=cfg.get("recurrent_layer", "IndRNN"),
             conv_filters=tuple(cfg.get("conv_filters", (64, 64, 2))),
@@ -75,6 +87,7 @@ class CIRIM(BaseReconModel):
             compute_dtype=cfg.get("compute_dtype", None),
             stack_intermediates=cfg.get("stack_intermediates", True),
             dc_mode=str(cfg.get("dc_mode", "full")).lower(),
+            remat_mode=remat_mode,
             lane_fold=str(cfg.get("lane_fold", "auto")).lower(),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
@@ -105,6 +118,7 @@ class CIRIM(BaseReconModel):
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_intermediates,
             dc_psf1d=self.dc_mode == "psf1d",
+            remat="step" if "step" in self.remat_mode else "none",
             lane_fold=self.lane_fold,
             # the matmul lowering of the cells' 1x1 convs wins in the training
             # step (backward) but breaks inference fusion; params identical
@@ -140,11 +154,14 @@ class CIRIM(BaseReconModel):
                     next_eta = jax.lax.stop_gradient(eta_final)
                 return next_eta, (etas, eta_final)
 
-        # remat each cascade as well: the time-step scan's carries (large
-        # hidden states) are then only stored for the cascade being
-        # re-executed in backward, not all cascades at once.
+        # remat each cascade as well (remat_mode): the time-step scan's
+        # carries (large hidden states) are then only stored for the
+        # cascade being re-executed in backward, not all cascades at once.
+        cascade_cls = (
+            nn.remat(_Cascade, prevent_cse=False) if "cascade" in self.remat_mode else _Cascade
+        )
         scan = nn.scan(
-            nn.remat(_Cascade, prevent_cse=False),
+            cascade_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),

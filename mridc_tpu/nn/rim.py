@@ -152,8 +152,11 @@ class RIMBlock(nn.Module):
     spatial_dims: Sequence[int] = (-2, -1)
     coil_dim: int = 1
     compute_dtype: Optional[str] = None
-    remat: bool = True  # rematerialize each time step: backward through the
-    # scan recomputes activations instead of storing T x (conv stack) in HBM
+    remat: object = True  # time-step rematerialization: True/"step" remats
+    # each step (backward recomputes the conv stack instead of storing
+    # T x activations); False/"none" stores everything. The flagship CIRIM
+    # composes this with an optional cascade-level remat (models/recon/cirim.py
+    # remat_mode) — measured trade-offs in docs/performance.md.
     stack_etas: bool = True  # False: etas output is None (inference fast path)
     dc_psf1d: bool = False  # exact DC fast path for 1D (column) masks: the
     # normal operator A^H M A collapses to one per-example [W, W] matmul
@@ -214,7 +217,7 @@ class RIMBlock(nn.Module):
                 self.coil_dim,
             )
 
-        if self.remat:
+        if self.remat is True or self.remat == "step":
             # store each step's DC gradient ([B, H, W, 4] — small next to the
             # hidden states) so the backward's step recompute skips the DC
             # matmul chain; everything else is rematerialized as before

@@ -89,10 +89,13 @@ def test_qvn_complex_threading_matches_reference(ref_mods):
     from mridc_tpu.utils.torch_import import import_normunet_params
 
     torch.manual_seed(3)
-    B, E, C, H, W = 1, 4, 4, 16, 16
+    # E != C on purpose: the reference's sens-reduction sums over the ECHO
+    # axis (its coil_dim=1 quirk) — with equal axis lengths a coil-axis sum
+    # would go undetected
+    B, E, C, H, W = 1, 3, 4, 16, 16
     chans, pools, n_casc = 4, 2, 2
     gamma = [150.0, 150.0, 600.0, 150.0]
-    TEs = [3.0, 11.5, 20.0, 28.5]
+    TEs = [3.0, 11.5, 20.0]
     rng = np.random.default_rng(5)
     y = rng.standard_normal((B, E, C, H, W, 2)).astype(np.float32)
     sens = rng.standard_normal((B, C, H, W, 2)).astype(np.float32)
@@ -155,7 +158,7 @@ def test_qvn_complex_threading_matches_reference(ref_mods):
     # f32 FFT/conv drift through 2 cascades differs slightly between torch and
     # XLA; the bulk must be tight and the tail bounded
     rel = np.abs(jax_final - ref_out) / (np.abs(ref_out) + 1e-2)
-    assert np.quantile(rel, 0.99) < 2e-4, f"99% quantile rel err {np.quantile(rel, 0.99):.2e}"
+    assert np.quantile(rel, 0.99) < 5e-4, f"99% quantile rel err {np.quantile(rel, 0.99):.2e}"
     np.testing.assert_allclose(jax_final, ref_out, rtol=5e-3, atol=1e-3)
 
     # the returned maps are |final complex maps| * per-map gamma
