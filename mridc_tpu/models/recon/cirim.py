@@ -50,6 +50,18 @@ class CIRIM(BaseReconModel):
     # mask is 1D along the phase-encode axis (fastMRI-style column masks) —
     # the 2D fwd+inv FFT pair per RIM step collapses to one [W, W] matmul
     # (nn/dc.py psf1d_gauss_mats). Caller asserts the mask really is 1D.
+    train_pointwise_matmul: bool = True  # lower the cells' 1x1 convs to
+    # matmuls in train mode (measured +13% pre-lane-folding; re-measured per
+    # round in docs/performance.md)
+    train_dc_dtype: str = None  # dtype for the psf1d DC chain in TRAIN mode
+    # only (bf16 halves the coil-expand/PSF bytes and doubles the matmul rate
+    # in fwd+bwd: 6.2 -> 9.9 slices/s on v5e, grad cosine 0.9996 vs f32;
+    # inference always keeps f32 DC for the quality certificate).
+    # from_config defaults it to compute_dtype — set train_dc_dtype: null
+    # explicitly to force f32 DC in training.
+    train_eta_dtype: str = None  # dtype of the eta carry/stack in TRAIN
+    # mode only (opt-in; see nn/rim.py eta_dtype)
+    scan_unroll: int = 1  # time-step scan unroll factor
     remat_mode: str = "step+cascade"  # training rematerialization:
     # "step+cascade" (round-2 default: remat each time step AND each cascade
     # — forward runs 3x per train step), "cascade" (remat cascades only: the
@@ -88,6 +100,12 @@ class CIRIM(BaseReconModel):
             stack_intermediates=cfg.get("stack_intermediates", True),
             dc_mode=str(cfg.get("dc_mode", "full")).lower(),
             remat_mode=remat_mode,
+            train_dc_dtype=(
+                cfg["train_dc_dtype"] if "train_dc_dtype" in cfg else cfg.get("compute_dtype")
+            ),
+            train_pointwise_matmul=bool(cfg.get("train_pointwise_matmul", True)),
+            train_eta_dtype=cfg.get("train_eta_dtype"),
+            scan_unroll=int(cfg.get("scan_unroll", 1)),
             lane_fold=str(cfg.get("lane_fold", "auto")).lower(),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
@@ -118,15 +136,20 @@ class CIRIM(BaseReconModel):
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_intermediates,
             dc_psf1d=self.dc_mode == "psf1d",
+            dc_dtype=self.train_dc_dtype if train else None,
+            eta_dtype=self.train_eta_dtype if train else None,
+            scan_unroll=self.scan_unroll,
             remat="step" if "step" in self.remat_mode else "none",
             lane_fold=self.lane_fold,
             # the matmul lowering of the cells' 1x1 convs wins in the training
             # step (backward) but breaks inference fusion; params identical
             # either way, so keying it on `train` is checkpoint-safe.
-            pointwise_matmul=train,
+            pointwise_matmul=train and self.train_pointwise_matmul,
         )
         have_init = init_pred is not None and init_pred.ndim >= 4
         eta0 = init_pred if have_init else self.sense_init(y, sens)
+        if train and self.train_eta_dtype is not None:
+            eta0 = eta0.astype(self.train_eta_dtype)
 
         # Cascades carry independent weights but identical structure: scan with
         # params split over the cascade axis, so the RIM block is traced ONCE

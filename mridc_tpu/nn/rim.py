@@ -56,6 +56,9 @@ class _RIMStep(nn.Module):
     stack_etas: bool = True  # False: skip stacking per-step etas (inference —
     # saves T x [B, H, W, 2] HBM writes; training needs them for step weighting)
     dc_psf1d: bool = False  # 1D-mask PSF fast path: mask/z0 pre-folded
+    dc_dtype: Optional[str] = None  # run the DC coil-expand/PSF-matmul chain
+    # in this dtype (train-path knob: bf16 halves the chain's HBM bytes and
+    # doubles its matmul rate; inference keeps f32 for the quality cert)
     pointwise_matmul: bool = False  # lower the cells' 1x1 convs to matmuls
     # (wins in the training step's backward, loses inference fusion — see
     # nn/layers.py Conv)
@@ -67,9 +70,16 @@ class _RIMStep(nn.Module):
     def __call__(self, carry, _, y, sens, mask, sigma, psf_mats=None, psf_z0=None):
         eta, hx = carry
         if self.dc_psf1d:
-            x = log_likelihood_gradient_psf1d(
-                eta, sens, psf_mats, psf_z0, sigma=sigma, coil_dim=self.coil_dim
-            )
+            if self.dc_dtype is not None:
+                d = self.dc_dtype
+                x = log_likelihood_gradient_psf1d(
+                    eta.astype(d), sens.astype(d), psf_mats.astype(d), psf_z0.astype(d),
+                    sigma=sigma, coil_dim=self.coil_dim,
+                )
+            else:
+                x = log_likelihood_gradient_psf1d(
+                    eta, sens, psf_mats, psf_z0, sigma=sigma, coil_dim=self.coil_dim
+                )
         else:
             x = log_likelihood_gradient(
                 eta,
@@ -83,8 +93,14 @@ class _RIMStep(nn.Module):
                 coil_dim=self.coil_dim,
             )
         # named for the remat policy: saving the DC gradient avoids
-        # recomputing the likelihood-gradient matmul chain in the backward
-        x = jax.ad_checkpoint.checkpoint_name(x, "dc_grad")
+        # recomputing the likelihood-gradient matmul chain in the backward.
+        # Saved as [B, H, W*C]: a 4-channel minor dim would be lane-padded to
+        # 128 by TPU tiling (32x the bytes for the stored buffer); folding
+        # channels into W gives a clean (8, 128) tiling. Pure reshape — exact.
+        b_, h_, w_, c_ = x.shape
+        x = jax.ad_checkpoint.checkpoint_name(x.reshape(b_, h_, w_ * c_), "dc_grad").reshape(
+            b_, h_, w_, c_
+        )
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
         if self.lane_fold:
@@ -161,7 +177,12 @@ class RIMBlock(nn.Module):
     dc_psf1d: bool = False  # exact DC fast path for 1D (column) masks: the
     # normal operator A^H M A collapses to one per-example [W, W] matmul
     # (see nn/dc.py psf1d_gauss_mats) and A^H M y is hoisted out of the scan
+    dc_dtype: Optional[str] = None  # dtype of the DC chain (see _RIMStep)
+    eta_dtype: Optional[str] = None  # dtype of the eta carry / stacked etas
+    # (train-path knob: bf16 halves their HBM traffic; the DC chain already
+    # consumes eta in dc_dtype, so this only perturbs the carry accumulation)
     pointwise_matmul: bool = False  # cells' 1x1 convs as matmuls (train win)
+    scan_unroll: int = 1  # lax.scan unroll factor for the time-step loop
     lane_fold: str = "never"  # "auto": fold the conv/RNN stack into 2C
     # channels at W/2 on non-CPU backends (IndRNN only; exact — see
     # nn/fold.py); "always"/"never" force it
@@ -184,6 +205,8 @@ class RIMBlock(nn.Module):
             eta = sens_reduce(
                 y, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
             )
+        if self.eta_dtype is not None:
+            eta = eta.astype(self.eta_dtype)
         b, h, w = eta.shape[0], eta.shape[1], eta.shape[2]
         fold = self.lane_fold == "always" or (
             self.lane_fold == "auto"
@@ -232,6 +255,7 @@ class RIMBlock(nn.Module):
             in_axes=(nn.broadcast,) * 7,
             out_axes=0,
             length=self.time_steps,
+            unroll=self.scan_unroll,
         )(
             recurrent_layer=self.recurrent_layer,
             conv_filters=self.conv_filters,
@@ -249,6 +273,7 @@ class RIMBlock(nn.Module):
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_etas,
             dc_psf1d=self.dc_psf1d,
+            dc_dtype=self.dc_dtype,
             pointwise_matmul=self.pointwise_matmul,
             lane_fold=fold,
         )

@@ -99,6 +99,11 @@ class IndRNNCell(nn.Module):
             lane_fold=self.lane_fold,
         )(x)
         hh = self.param("hh", nn.initializers.normal(stddev=std), (1, 1, 1, self.hidden_size))
+        if self.dtype is not None:
+            # without this, f32 hh * bf16 h promotes the whole [B, H, W, C]
+            # preactivation to f32 — doubling its bytes and inserting
+            # convert chains through forward AND backward (profiled on v5e)
+            hh = hh.astype(self.dtype)
         if self.lane_fold:
             hh = jnp.tile(hh, (1, 1, 1, 2))
         return nn.relu(ih + hh * h)
