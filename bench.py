@@ -182,8 +182,9 @@ def bench_jax_train() -> tuple:
     from mridc_tpu.models import build_model
     from mridc_tpu.train.losses import process_reconstruction_loss
 
-    # batch 16 fits with the psf1d DC (4.46 vs 4.01 slices/s at 8); 32 OOMs 16GB
-    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 16))
+    # batch sweep with bf16 DC (round 3): 8->10.6(step-only remat), 16->10.4,
+    # 24->10.7 (best), 28->8.8, 32->10.1, 48 OOMs
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 24))
     cfg = {
         "model_name": "CIRIM",
         "num_cascades": CASCADES,
@@ -199,6 +200,8 @@ def bench_jax_train() -> tuple:
         "fft_normalization": "ortho",
         "compute_dtype": "bfloat16",
         "dc_mode": "psf1d",  # exact for the 1D bench mask (see bench_jax)
+        # train_dc_dtype defaults to compute_dtype (bf16 DC chain in training:
+        # 6.2 -> 9.9 slices/s, grad cosine 0.9996 vs f32 — docs/performance.md)
     }
     model = build_model(cfg)
     y, sens, mask = (jnp.asarray(x) for x in _data(batch))
