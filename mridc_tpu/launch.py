@@ -194,16 +194,14 @@ def run_from_config(cfg: dict):
         from mridc_tpu.train.task_trainers import SegmentationTrainer, seg_loss_cfg_from_model_cfg
 
         trainer_cls = SegmentationTrainer
-        if "segmentation_loss_fn" in model_cfg:
-            task_kwargs["seg_loss_cfg"] = seg_loss_cfg_from_model_cfg(model_cfg)
+        task_kwargs["seg_loss_cfg"] = seg_loss_cfg_from_model_cfg(model_cfg)
     elif task == "multitask":
         from mridc_tpu.train.task_trainers import MultitaskTrainer, seg_loss_cfg_from_model_cfg
 
         trainer_cls = MultitaskTrainer
         task_kwargs["segmentation_loss_weight"] = float(model_cfg.get("total_segmentation_loss_weight", 1.0))
         task_kwargs["reconstruction_loss_weight"] = float(model_cfg.get("total_reconstruction_loss_weight", 1.0))
-        if "segmentation_loss_fn" in model_cfg:
-            task_kwargs["seg_loss_cfg"] = seg_loss_cfg_from_model_cfg(model_cfg)
+        task_kwargs["seg_loss_cfg"] = seg_loss_cfg_from_model_cfg(model_cfg)
     elif task == "quantitative":
         from mridc_tpu.train.task_trainers import QuantitativeTrainer
 
@@ -252,9 +250,18 @@ def run_from_config(cfg: dict):
                 batch_size=getattr(loader, "batch_size", 1),
             )
         trainer.init_state(jax.random.PRNGKey(0), first)
+        import jax.numpy as jnp
+
         trainer.state = trainer.state.replace(
             params=pretrained_params,
-            ema_params=pretrained_params if trainer.use_ema else trainer.state.ema_params,
+            # a COPY, not an alias: the jitted train step donates the state,
+            # and donating the same buffer twice (params is ema_params) is a
+            # runtime error
+            ema_params=(
+                jax.tree_util.tree_map(jnp.array, pretrained_params)
+                if trainer.use_ema
+                else trainer.state.ema_params
+            ),
         )
 
     if mode == "train":
@@ -269,19 +276,30 @@ def run_from_config(cfg: dict):
         )
         if pretrained_params is not None:
             _install_pretrained(train_loader)
+        if exp_cfg.get("resume_if_exists") and trainer.state is None:
+            # restore BEFORE the initial validation / fit — otherwise a
+            # preempted run silently restarts from random weights in the
+            # same run dir, clobbering its previous top-k checkpoints
+            first = next(iter(train_loader))
+            trainer.init_state(jax.random.PRNGKey(0), trainer._device_batch(first))
+            exp.maybe_resume(trainer)
         if val_loader is not None:
             # reference launch.py:136-138: mode 'train' runs trainer.validate
             # BEFORE fit so the starting point is on record
             if trainer.state is None:
                 first = next(iter(val_loader))
                 trainer.init_state(jax.random.PRNGKey(0), trainer._device_batch(first))
-            initial = trainer.validate(val_loader)
+            from mridc_tpu.train.trainer import _limit_batches
+
+            initial = trainer.validate(
+                val_loader, limit=_limit_batches(trainer_cfg.get("limit_val_batches", 1.0), val_loader)
+            )
             logger.info(
                 "initial validation: "
                 + " ".join(f"{k}={v:.5f}" for k, v in initial.items() if isinstance(v, float))
             )
             for k, v in initial.items():
-                exp.log_scalar(k, v, 0)
+                exp.log_scalar(k, v, int(trainer.state.step))
         history = trainer.fit(train_loader, val_loader, max_epochs=trainer_cfg.get("max_epochs", 1))
         return trainer, history
     # test / eval

@@ -43,6 +43,16 @@ from mridc_tpu.ops.fft import fft2_rv, ifft2_rv
 __all__ = ["MTLRS", "IDSLR", "IDSLRUNet", "SegNet", "RecSegUNet", "SERANet"]
 
 
+def _norm_by_max(s):
+    """Reference ``x / torch.max(x)`` — SIGNED max (an all-negative map flips
+    sign, e.g. segnet.py:202, idslr.py:246); guarded only at |max| ~ 0. The
+    round-2 ``maximum(max, 1e-12)`` clamp instead exploded all-negative maps
+    to ~1e12-scale logits."""
+    m = s.max()
+    m = jnp.where(jnp.abs(m) < 1e-12, 1.0, m)
+    return s / m
+
+
 def _group_norm_nograd(x: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     """torch.no_grad F.group_norm equivalent (channel groups over the last
     axis for NHWC inputs): normalize + stop_gradient."""
@@ -163,7 +173,7 @@ class MTLRS(BaseReconModel):
             )
             seg = jnp.abs(seg)
             if self.normalize_segmentation_output:
-                seg = seg / jnp.maximum(seg.max(), 1e-12)
+                seg = _norm_by_max(seg)
 
             # task adaption: feed |recon * seg| into the next cascade's hidden state
             if self.task_adaption_type == "multi_task_learning" and hx is not None:
@@ -289,7 +299,7 @@ class IDSLR(BaseReconModel):
             seg = seg_module(seg_stack, pad_sizes, None, None, train)
         seg = jnp.abs(seg)
         if self.normalize_segmentation_output:
-            seg = seg / jnp.maximum(seg.max(), 1e-12)
+            seg = _norm_by_max(seg)
         return ModelOutput(prediction=prediction), seg
 
 
@@ -408,7 +418,7 @@ class SegNet(BaseReconModel):
         )(jnp.concatenate(segs, axis=-1))
         segs.append(seg)  # reference appends the fused seg to the list (segnet.py:198-199)
         if self.normalize_segmentation_output:
-            segs = [s / jnp.maximum(s.max(), 1e-12) for s in segs]
+            segs = [_norm_by_max(s) for s in segs]
         if train:
             # reference trains on the per-cascade list + fused seg, averaging
             # the losses over the stack (segnet.py:213-251); eval uses the
@@ -456,7 +466,7 @@ class RecSegUNet(BaseReconModel):
         seg = Unet(out_chans=self.seg_classes, chans=self.seg_chans, num_pool_layers=self.seg_pools)(seg_in, train)
         seg = jnp.abs(seg)
         if self.normalize_segmentation_output:
-            seg = seg / jnp.maximum(seg.max(), 1e-12)
+            seg = _norm_by_max(seg)
         pred = recon[..., 0] if recon.shape[-1] == 1 else recon
         if pred.ndim == 3:
             pred = jnp.stack([pred, jnp.zeros_like(pred)], -1)
@@ -601,7 +611,7 @@ class SERANet(BaseReconModel):
             attention_map = recurrent_unet(_coils_to_channels(att), train)
         pred_segmentation = jnp.abs(attention_map)
         if self.normalize_segmentation_output:
-            pred_segmentation = pred_segmentation / jnp.maximum(pred_segmentation.max(), 1e-12)
+            pred_segmentation = _norm_by_max(pred_segmentation)
 
         recon_combined = ccombine(pred_recon, sens, self.coil_combination_method, dim=self.coil_dim)
         return ModelOutput(prediction=recon_combined), pred_segmentation

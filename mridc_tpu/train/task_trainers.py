@@ -54,6 +54,12 @@ def segmentation_loss_fn(
     SegNet): each term is then averaged over the stack before weighting
     (reference segnet.py:213-251).
     """
+    if use_ce and not use_dice and detach_ce:
+        raise ValueError(
+            "segmentation_loss_fn: cross-entropy-only with detach_ce=True has "
+            "ZERO gradient everywhere (the reference's CE is computed detached "
+            "and only Dice trains) — pass detach_ce=False or enable dice"
+        )
     stacked = logits.ndim == target.ndim + 1
     preds = logits if stacked else logits[None]
     loss = 0.0
@@ -65,7 +71,10 @@ def segmentation_loss_fn(
         )
         loss = loss + ce_weight * ce
     if use_dice:
-        kw = dict(include_background=False, softmax=True, sigmoid=False)
+        # fallback = reference defaults (rs/nn/base.py:94-108), identical to
+        # seg_loss_cfg_from_model_cfg on an empty cfg — so configured and
+        # unconfigured callers compute the same loss
+        kw = dict(include_background=False, softmax=False, sigmoid=True, batch=False)
         kw.update(dice_kwargs or {})
         dl = jnp.mean(jnp.stack([dice_loss(target, preds[i], **kw)[1] for i in range(preds.shape[0])]))
         loss = loss + dice_weight * dl
@@ -92,9 +101,15 @@ def seg_loss_cfg_from_model_cfg(model_cfg: Dict) -> Dict:
         smooth_dr=float(model_cfg.get("dice_loss_smooth_dr", 1e-5)),
         batch=bool(model_cfg.get("dice_loss_batch", False)),
     )
+    if ce_w in (None, "none", "None"):
+        ce_w = None
+    elif not isinstance(ce_w, (list, tuple)):
+        ce_w = [float(ce_w)]  # reference torch.tensor() accepts scalars
+    else:
+        ce_w = list(ce_w)
     ce_kwargs = dict(
         label_smoothing=float(model_cfg.get("cross_entropy_loss_label_smoothing", 0.0)),
-        weight=None if ce_w in (None, "none", "None") else list(ce_w),
+        weight=ce_w,
     )
     return dict(
         use_ce="cross_entropy" in fns,
@@ -302,12 +317,14 @@ class MultitaskTrainer(Trainer):
         loss_type = self.loss_type
         seg_w = self.segmentation_loss_weight
         rec_w = self.reconstruction_loss_weight
+        reg = self.loss_regularization_factor
         seg_cfg = self.seg_loss_cfg
 
         def train_step(state, y, sens, mask, init_pred, target, seg_target):
             def loss_fn(params):
                 out, seg_logits = model.apply({"params": params}, y, sens, mask, init_pred, train=True)
-                recon = process_reconstruction_loss(out, target, loss_type)
+                # reference rs/nn/base.py:371: recon loss x reconstruction_loss_regularization_factor
+                recon = process_reconstruction_loss(out, target, loss_type, reg)
                 seg = segmentation_loss_fn(seg_target, seg_logits, **seg_cfg)
                 return rec_w * recon + seg_w * seg, (recon, seg)
 

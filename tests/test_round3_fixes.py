@@ -182,14 +182,23 @@ def test_detach_ce_blocks_gradient():
     rng = np.random.default_rng(0)
     target = np.eye(2, dtype=np.float32)[rng.integers(0, 2, (1, 8, 8))]
     logits = jnp.asarray(rng.standard_normal((1, 8, 8, 2)), jnp.float32)
+    t = jnp.asarray(target)
 
-    def ce_only(lg, detach):
-        return segmentation_loss_fn(jnp.asarray(target), lg, use_dice=False, detach_ce=detach)
+    # reference quirk: with detach_ce the CE term changes the loss VALUE but
+    # never the gradient — scaling ce_weight must leave grads identical
+    def loss(lg, ce_w, detach):
+        return segmentation_loss_fn(t, lg, ce_weight=ce_w, detach_ce=detach)
 
-    g_detached = jax.grad(lambda lg: ce_only(lg, True))(logits)
-    g_live = jax.grad(lambda lg: ce_only(lg, False))(logits)
-    assert float(jnp.abs(g_detached).max()) == 0.0  # reference quirk: CE never backprops
-    assert float(jnp.abs(g_live).max()) > 0.0
+    g0 = jax.grad(lambda lg: loss(lg, 0.0, True))(logits)
+    g5 = jax.grad(lambda lg: loss(lg, 5.0, True))(logits)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g5), atol=0)
+    assert float(loss(logits, 5.0, True)) != float(loss(logits, 0.0, True))
+    # with detach_ce=False, CE does backprop
+    g_live = jax.grad(lambda lg: loss(lg, 5.0, False))(logits)
+    assert float(jnp.abs(np.asarray(g_live) - np.asarray(g0)).max()) > 0.0
+    # CE-only + detach_ce would train with zero gradients everywhere: rejected loudly
+    with pytest.raises(ValueError, match="ZERO gradient"):
+        segmentation_loss_fn(t, logits, use_dice=False, detach_ce=True)
 
 
 def test_segmentation_loss_fn_stack_averages():
@@ -422,3 +431,99 @@ def test_launch_runs_initial_validation(tmp_path, monkeypatch):
     monkeypatch.setattr(Trainer, "validate", spy)
     run_from_config(cfg)
     assert calls and calls[0] == 0  # first validate happened at step 0, before fit
+
+
+def test_norm_by_max_signed():
+    """Reference `x / torch.max(x)`: an all-negative map divides by its
+    (negative) max — the round-2 clamp instead exploded it to ~1e12."""
+    from mridc_tpu.models.multitask.models import _norm_by_max
+
+    s = jnp.asarray([[-4.0, -2.0], [-8.0, -2.0]])
+    out = np.asarray(_norm_by_max(s))
+    np.testing.assert_allclose(out, np.asarray(s) / -2.0)  # sign flip, bounded
+    assert np.abs(out).max() <= 4.0
+    # zero map: guarded, stays zero
+    np.testing.assert_allclose(np.asarray(_norm_by_max(jnp.zeros((2, 2)))), 0.0)
+
+
+@pytest.mark.slow
+def test_launch_train_mode_resumes(tmp_path):
+    """resume_if_exists must restore the checkpoint BEFORE fit — a preempted
+    run used to silently restart from random weights in the same run dir."""
+    from fixtures import create_dataset
+    from mridc_tpu.launch import run_from_config
+
+    data = tmp_path / "data"
+    data.mkdir()
+    create_dataset(data, n_files=1, slices=2, coils=4, h=32, w=32)
+    ds = {
+        "data_path": str(data),
+        "batch_size": 2,
+        "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    cfg = {
+        "mode": "train",
+        "model": {
+            "model_name": "UNet", "channels": 4, "pooling_layers": 2,
+            "fft_centered": True, "fft_normalization": "ortho",
+            "train_loss_fn": "l1", "optim": {"name": "adam", "lr": 1e-3},
+            "train_ds": ds,
+        },
+        "trainer": {"max_epochs": 2, "max_steps": 2},
+        "exp_manager": {
+            "exp_dir": str(tmp_path / "exp"), "name": "res",
+            "resume_if_exists": True,
+        },
+    }
+    trainer1, _ = run_from_config(cfg)
+    assert int(trainer1.state.step) == 2
+    trainer2, _ = run_from_config(dict(cfg))  # relaunch: must resume at step 2
+    assert int(trainer2.state.step) >= 2
+
+
+@pytest.mark.slow
+def test_pretrained_install_does_not_alias_ema(tmp_path):
+    """pretrained + EMA: ema_params must be a COPY of params — the donated
+    train step rejects the same buffer donated twice."""
+    from fixtures import create_dataset
+    from mridc_tpu.launch import run_from_config
+    from mridc_tpu.models import build_model as _bm
+
+    data = tmp_path / "data"
+    data.mkdir()
+    create_dataset(data, n_files=1, slices=2, coils=4, h=32, w=32)
+    model_cfg = {
+        "model_name": "UNet", "channels": 4, "pooling_layers": 2,
+        "fft_centered": True, "fft_normalization": "ortho",
+    }
+    # make a pretrained archive from a fresh init
+    import jax.numpy as _jnp
+
+    model = _bm(model_cfg)
+    rng = np.random.default_rng(0)
+    y = _jnp.asarray(np.stack([rng.standard_normal((1, 4, 32, 32)),
+                               rng.standard_normal((1, 4, 32, 32))], -1).astype(np.float32))
+    sens = y
+    mask = _jnp.ones((1, 1, 32, 32), _jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), y, sens, mask)["params"]
+    from mridc_tpu.train.checkpoints import save_archive
+
+    ckpt = tmp_path / "m.mridc"
+    save_archive(ckpt, model_cfg, params)
+    ds = {
+        "data_path": str(data), "batch_size": 2,
+        "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+        "fft_centered": True, "fft_normalization": "ortho",
+    }
+    cfg = {
+        "mode": "train", "pretrained": True, "checkpoint": str(ckpt),
+        "model": {**model_cfg, "train_loss_fn": "l1",
+                  "optim": {"name": "adam", "lr": 1e-3}, "train_ds": ds},
+        "trainer": {"max_epochs": 1, "max_steps": 1},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "pe",
+                        "ema": {"enable": True, "decay": 0.9}},
+    }
+    trainer, hist = run_from_config(cfg)  # crashes on aliased donation pre-fix
+    assert np.isfinite(hist[-1]["train_loss"])
