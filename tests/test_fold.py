@@ -50,6 +50,7 @@ def test_fold_roundtrip():
     np.testing.assert_array_equal(np.asarray(unfold_w(fold_w(x))), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_cirim_lane_fold_exact_and_checkpoint_compatible():
     from mridc_tpu.models import build_model
 

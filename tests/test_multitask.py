@@ -57,7 +57,17 @@ def _inputs(seed=0):
     return y, sens, mask
 
 
-@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: c["model_name"])
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        # MTLRS/SERANET forwards cost 30-50 s — full tier only
+        pytest.param(c, marks=pytest.mark.slow)
+        if c["model_name"] in ("MTLRS", "SERANET")
+        else c
+        for c in CONFIGS
+    ],
+    ids=lambda c: c["model_name"] if isinstance(c, dict) else None,
+)
 def test_multitask_forward(cfg):
     model = build_model(cfg)
     y, sens, mask = _inputs()
@@ -69,6 +79,7 @@ def test_multitask_forward(cfg):
     assert bool(jnp.isfinite(seg).all())
 
 
+@pytest.mark.slow
 def test_mtlrs_returns_intermediates():
     model = build_model(CONFIGS[0])
     y, sens, mask = _inputs()
@@ -98,6 +109,7 @@ def test_seg_path_does_not_backprop_to_recon():
     assert max(float(x) for x in seg_norms) > 0.0
 
 
+@pytest.mark.slow
 def test_mtlrs_psf1d_matches_full():
     """dc_mode=psf1d is an exact identity in the MTLRS recon trunk too."""
     import jax

@@ -113,6 +113,7 @@ def test_rescale_by_max():
     np.testing.assert_allclose(np.asarray(scaled * gamma), np.asarray(x), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_qcirim_with_reconstruction_module():
     """use_reconstruction_module: per-echo CIRIM recon, k-space replacement,
     jittable MEGRE map re-init (reference qcirim.py:176-235)."""

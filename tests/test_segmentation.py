@@ -42,6 +42,7 @@ def test_seg_forward_shapes(cfg):
     assert bool(jnp.isfinite(logits).all())
 
 
+@pytest.mark.slow
 def test_seg_3d_unet():
     cfg = {
         "model_name": "Segmentation3DUNet",
