@@ -195,6 +195,7 @@ def run_from_config(cfg: dict):
 
         trainer_cls = SegmentationTrainer
         task_kwargs["seg_loss_cfg"] = seg_loss_cfg_from_model_cfg(model_cfg)
+        task_kwargs["segmentation_classes_thresholds"] = model_cfg.get("segmentation_classes_thresholds")
     elif task == "multitask":
         from mridc_tpu.train.task_trainers import MultitaskTrainer, seg_loss_cfg_from_model_cfg
 
@@ -202,6 +203,7 @@ def run_from_config(cfg: dict):
         task_kwargs["segmentation_loss_weight"] = float(model_cfg.get("total_segmentation_loss_weight", 1.0))
         task_kwargs["reconstruction_loss_weight"] = float(model_cfg.get("total_reconstruction_loss_weight", 1.0))
         task_kwargs["seg_loss_cfg"] = seg_loss_cfg_from_model_cfg(model_cfg)
+        task_kwargs["segmentation_classes_thresholds"] = model_cfg.get("segmentation_classes_thresholds")
     elif task == "quantitative":
         from mridc_tpu.train.task_trainers import QuantitativeTrainer
 

@@ -201,6 +201,18 @@ def quantitative_loss_fn(
     return total, per_map
 
 
+def _seg_pred_classes(logits: np.ndarray, thresholds=None) -> np.ndarray:
+    """Validation binarization. With ``segmentation_classes_thresholds``
+    configured, each class channel is thresholded independently (multi-hot —
+    reference segmentation/nn/base.py:355-361); otherwise one-hot argmax."""
+    if thresholds:
+        thr = np.asarray(
+            [0.5 if t in (None, "none", "None") else float(t) for t in thresholds], np.float32
+        )
+        return (logits > thr).astype(np.float32)
+    return _tie_safe_onehot(logits)
+
+
 def _tie_safe_onehot(logits: np.ndarray) -> np.ndarray:
     """One-hot of argmax — exactly one class per pixel even on exact logit
     ties (the round-2 ``logits == logits.max`` form produced multi-hot
@@ -211,9 +223,11 @@ def _tie_safe_onehot(logits: np.ndarray) -> np.ndarray:
 class SegmentationTrainer(Trainer):
     """Batches: {"image": [B, H, W, Cin], "segmentation": [B, H, W, classes]}."""
 
-    def __init__(self, *args, seg_loss_cfg: Optional[Dict] = None, **kwargs):
+    def __init__(self, *args, seg_loss_cfg: Optional[Dict] = None,
+                 segmentation_classes_thresholds=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.seg_loss_cfg = dict(seg_loss_cfg or {})
+        self.segmentation_classes_thresholds = segmentation_classes_thresholds
 
     def _build_train_step(self):
         model = self.model
@@ -280,7 +294,7 @@ class SegmentationTrainer(Trainer):
             losses.append(
                 float(segmentation_loss_fn(jnp.asarray(target), jnp.asarray(logits), **self.seg_loss_cfg))
             )
-            pred = _tie_safe_onehot(logits)
+            pred = _seg_pred_classes(logits, self.segmentation_classes_thresholds)
             for i in range(target.shape[0]):
                 m = metrics(np.moveaxis(target[i], -1, 0), np.moveaxis(pred[i], -1, 0))
                 dices.append(m["DICE"])
@@ -304,12 +318,14 @@ class MultitaskTrainer(Trainer):
         segmentation_loss_weight: float = 1.0,
         reconstruction_loss_weight: float = 1.0,
         seg_loss_cfg: Optional[Dict] = None,
+        segmentation_classes_thresholds=None,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
         self.segmentation_loss_weight = segmentation_loss_weight
         self.reconstruction_loss_weight = reconstruction_loss_weight
         self.seg_loss_cfg = dict(seg_loss_cfg or {})
+        self.segmentation_classes_thresholds = segmentation_classes_thresholds
 
     def _build_train_step(self):
         model = self.model
@@ -381,7 +397,7 @@ class MultitaskTrainer(Trainer):
             losses.append(float(np.abs(t - p).mean()))
             self._maybe_log_val_images(batch_idx, t, p)
             seg_target = np.asarray(batch["segmentation"])
-            seg_pred = _tie_safe_onehot(seg_logits)
+            seg_pred = _seg_pred_classes(seg_logits, self.segmentation_classes_thresholds)
             for i in range(t.shape[0]):
                 ssims.append(ssim(t[i : i + 1], p[i : i + 1]))
                 dices.append(

@@ -527,3 +527,19 @@ def test_pretrained_install_does_not_alias_ema(tmp_path):
     }
     trainer, hist = run_from_config(cfg)  # crashes on aliased donation pre-fix
     assert np.isfinite(hist[-1]["train_loss"])
+
+
+def test_seg_pred_classes_thresholds():
+    """Reference validation binarization (segmentation/nn/base.py:355-361):
+    per-class thresholds produce independent (possibly multi-hot) masks."""
+    from mridc_tpu.train.task_trainers import _seg_pred_classes
+
+    logits = np.asarray([[[[0.9, 0.6], [0.2, 0.7]]]], np.float32)  # [1,1,2,2]
+    out = _seg_pred_classes(logits, [0.5, 0.5])
+    np.testing.assert_array_equal(out, [[[[1.0, 1.0], [0.0, 1.0]]]])  # multi-hot allowed
+    # None threshold falls back to 0.5 for that class
+    out2 = _seg_pred_classes(logits, [None, 0.65])
+    np.testing.assert_array_equal(out2, [[[[1.0, 0.0], [0.0, 1.0]]]])
+    # without thresholds: one-hot argmax
+    out3 = _seg_pred_classes(logits, None)
+    assert np.all(out3.sum(-1) == 1.0)
