@@ -103,6 +103,9 @@ def bench_jax() -> float:
         # 1D along the phase-encode axis, so A^H M A collapses to one [W, W]
         # matmul per step (nn/dc.py). Verified vs the full fwd+inv FFT path:
         # max rel err 3.7e-4 through 40 unrolled steps; 25.4 -> 39.7 slices/s.
+        # infer_dc_dtype defaults to compute_dtype (bf16 DC chain: 62.6 ->
+        # 81.0 slices/s, SSIM-vs-f32 cert unchanged at 1.000000 — see
+        # bench_quality and docs/performance.md).
         "dc_mode": "psf1d",
     }
     model = build_model(cfg)
@@ -132,10 +135,12 @@ def bench_jax() -> float:
 
 
 def bench_quality() -> float:
-    """SSIM of the benchmarked fast path (bf16 compute + psf1d DC + lane
+    """SSIM of the benchmarked fast path (bf16 compute + bf16 psf1d DC + lane
     folding) against the f32 full-DC unfolded path with the SAME weights, on
     a small batch — certifies the speed is not bought with accuracy (quality
-    budget: SSIM within 1e-3 of the exact path, BASELINE.md)."""
+    budget: SSIM within 1e-3 of the exact path, BASELINE.md). The fast build
+    inherits infer_dc_dtype=bfloat16 from compute_dtype (models/recon/cirim.py
+    from_config default), so this certifies exactly what bench_jax runs."""
     import jax
     import jax.numpy as jnp
 

@@ -20,7 +20,7 @@ from mridc_tpu.nn.dc import sens_reduce
 from mridc_tpu.ops.cplx import ccombine
 from mridc_tpu.ops.fft import ifft2_rv
 
-__all__ = ["ModelOutput", "BaseReconModel", "expand_mask"]
+__all__ = ["ModelOutput", "BaseReconModel", "expand_mask", "_check_dc_mode"]
 
 
 @flax.struct.dataclass
@@ -31,6 +31,14 @@ class ModelOutput:
 
     prediction: jnp.ndarray
     intermediates: Optional[jnp.ndarray] = None
+
+
+def _check_dc_mode(mode: str) -> str:
+    """Validate the dc_mode config value (loud failure beats a silent
+    fall-through to the full-DC path)."""
+    if mode not in ("full", "psf1d"):
+        raise ValueError(f"dc_mode must be 'full' or 'psf1d', got {mode!r}")
+    return mode
 
 
 def expand_mask(mask: jnp.ndarray) -> jnp.ndarray:

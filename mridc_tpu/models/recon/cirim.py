@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mridc_tpu.models.base import BaseReconModel, ModelOutput, expand_mask
+from mridc_tpu.models.base import BaseReconModel, ModelOutput, _check_dc_mode, expand_mask
 from mridc_tpu.nn.rim import RIMBlock
 
 __all__ = ["CIRIM"]
@@ -61,6 +61,12 @@ class CIRIM(BaseReconModel):
     # explicitly to force f32 DC in training.
     train_eta_dtype: str = None  # dtype of the eta carry/stack in TRAIN
     # mode only (opt-in; see nn/rim.py eta_dtype)
+    infer_dc_dtype: str = None  # dtype for the psf1d DC chain at INFERENCE
+    # (halves the coil-tensor HBM traffic and runs the PSF matmuls
+    # single-pass: 62.6 -> 81.0 slices/s on v5e with the SSIM-vs-f32
+    # certificate unchanged at 1.000000, rel l2 1.1e-4 vs the f32 fast
+    # path's 9.5e-5 — docs/performance.md). from_config defaults it to
+    # compute_dtype; set infer_dc_dtype: null explicitly to force f32 DC.
     scan_unroll: int = 1  # time-step scan unroll factor
     remat_mode: str = "step+cascade"  # training rematerialization:
     # "step+cascade" (round-2 default: remat each time step AND each cascade
@@ -98,13 +104,16 @@ class CIRIM(BaseReconModel):
             keep_prediction=cfg.get("keep_prediction", cfg.get("keep_eta", True)),
             compute_dtype=cfg.get("compute_dtype", None),
             stack_intermediates=cfg.get("stack_intermediates", True),
-            dc_mode=str(cfg.get("dc_mode", "full")).lower(),
+            dc_mode=_check_dc_mode(str(cfg.get("dc_mode", "full")).lower()),
             remat_mode=remat_mode,
             train_dc_dtype=(
                 cfg["train_dc_dtype"] if "train_dc_dtype" in cfg else cfg.get("compute_dtype")
             ),
             train_pointwise_matmul=bool(cfg.get("train_pointwise_matmul", True)),
             train_eta_dtype=cfg.get("train_eta_dtype"),
+            infer_dc_dtype=(
+                cfg["infer_dc_dtype"] if "infer_dc_dtype" in cfg else cfg.get("compute_dtype")
+            ),
             scan_unroll=int(cfg.get("scan_unroll", 1)),
             lane_fold=str(cfg.get("lane_fold", "auto")).lower(),
             fft_centered=cfg.get("fft_centered", False),
@@ -136,7 +145,7 @@ class CIRIM(BaseReconModel):
             compute_dtype=self.compute_dtype,
             stack_etas=self.stack_intermediates,
             dc_psf1d=self.dc_mode == "psf1d",
-            dc_dtype=self.train_dc_dtype if train else None,
+            dc_dtype=self.train_dc_dtype if train else self.infer_dc_dtype,
             eta_dtype=self.train_eta_dtype if train else None,
             scan_unroll=self.scan_unroll,
             remat="step" if "step" in self.remat_mode else "none",

@@ -218,3 +218,57 @@ def test_cirim_psf1d_matches_full_model():
     p_fast = np.asarray(m_fast.apply(variables, y, sens, mask).prediction)
     scale = np.abs(p_full).max()
     np.testing.assert_allclose(p_fast, p_full, rtol=0, atol=5e-4 * scale)
+
+
+def test_cirim_infer_dc_dtype_default_and_quality():
+    """infer_dc_dtype defaults to compute_dtype (like train_dc_dtype), an
+    explicit null forces f32 DC, and the bf16 DC chain stays within the
+    mixed-precision budget of the f32 psf1d path at inference."""
+    import jax
+
+    from mridc_tpu.models import build_model
+
+    rng = np.random.default_rng(31)
+    y, sens, _, mask = _dc_inputs(rng, b=2, c=2, h=16, w=16)
+    cfg = {
+        "model_name": "CIRIM",
+        "num_cascades": 2,
+        "time_steps": 3,
+        "recurrent_layer": "IndRNN",
+        "conv_filters": [8, 8, 2],
+        "conv_kernels": [5, 3, 3],
+        "conv_dilations": [1, 2, 1],
+        "recurrent_filters": [8, 8, 0],
+        "recurrent_kernels": [1, 1, 0],
+        "recurrent_dilations": [1, 1, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+        "dc_mode": "psf1d",
+    }
+    assert build_model({**cfg, "compute_dtype": "bfloat16"}).infer_dc_dtype == "bfloat16"
+    assert build_model({**cfg, "compute_dtype": "bfloat16", "infer_dc_dtype": None}).infer_dc_dtype is None
+    assert build_model(cfg).infer_dc_dtype is None
+
+    m_f32 = build_model(cfg)
+    m_bf16 = build_model({**cfg, "infer_dc_dtype": "bfloat16"})
+    variables = m_f32.init(jax.random.PRNGKey(0), y, sens, mask)
+    p_f32 = np.asarray(m_f32.apply(variables, y, sens, mask).prediction)
+    p_bf16 = np.asarray(m_bf16.apply(variables, y, sens, mask).prediction)
+    scale = np.abs(p_f32).max()
+    assert np.linalg.norm(p_bf16 - p_f32) < 2e-2 * np.linalg.norm(p_f32)
+    np.testing.assert_allclose(p_bf16, p_f32, rtol=0, atol=5e-2 * scale)
+
+
+def test_dc_mode_unknown_rejected():
+    import pytest as _pytest
+
+    from mridc_tpu.models import build_model
+
+    base = {"model_name": "CIRIM", "dc_mode": "warp"}
+    with _pytest.raises(ValueError, match="dc_mode"):
+        build_model(base)
+    with _pytest.raises(ValueError, match="dc_mode"):
+        build_model({
+            "model_name": "MTLRS", "dc_mode": "warp",
+            "segmentation_module": "unet", "segmentation_module_output_channels": 2,
+        })
