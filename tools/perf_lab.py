@@ -159,6 +159,30 @@ def run_train(args):
                       "slices_per_s": round(sps, 2), "s_per_step": round(dt / args.iters, 3)}))
 
 
+def run_trace_infer(args):
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+
+    model = build_model(base_cfg())
+    y, sens, mask = (jnp.asarray(x) for x in bench._data(args.batch))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
+
+    @jax.jit
+    def forward(variables, y, sens, mask):
+        pred = model.apply(variables, y, sens, mask).prediction
+        return (pred**2).sum()
+
+    for _ in range(2):
+        float(forward(variables, y, sens, mask))
+    jax.profiler.start_trace(args.out)
+    for _ in range(2):
+        float(forward(variables, y, sens, mask))
+    jax.profiler.stop_trace()
+    print(json.dumps({"exp": "trace-infer", "out": args.out}))
+
+
 def run_trace_train(args):
     import jax
 
@@ -191,9 +215,12 @@ def main():
     pr.add_argument("--batch", type=int, default=24)
     pr.add_argument("--out", default="/tmp/mridc_trace")
     pr.add_argument("--set", action="append")
+    pf = sub.add_parser("trace-infer")
+    pf.add_argument("--batch", type=int, default=96)
+    pf.add_argument("--out", default="/tmp/mridc_trace_infer")
     args = p.parse_args()
     {"infer": run_infer, "quality": run_quality, "train": run_train,
-     "trace-train": run_trace_train}[args.cmd](args)
+     "trace-train": run_trace_train, "trace-infer": run_trace_infer}[args.cmd](args)
 
 
 if __name__ == "__main__":
