@@ -60,6 +60,41 @@ def cirim_flops_per_slice(psf1d: bool = True) -> float:
     return float(CASCADES * TIME_STEPS * (dft + conv))
 
 
+def flagship_cfg(**overrides):
+    """The flagship CIRIM bench config (reference default arch, bf16 compute,
+    psf1d DC — see the inline notes in bench_jax). Shared with tools/perf_lab.py
+    so one-off measurements stay comparable with the driver bench."""
+    cfg = {
+        "model_name": "CIRIM",
+        "num_cascades": CASCADES,
+        "time_steps": TIME_STEPS,
+        "recurrent_layer": "IndRNN",
+        "conv_filters": [FILTERS, FILTERS, 2],
+        "conv_kernels": [5, 3, 3],
+        "conv_dilations": [1, 2, 1],
+        "recurrent_filters": [FILTERS, FILTERS, 0],
+        "recurrent_kernels": [1, 1, 0],
+        "recurrent_dilations": [1, 1, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+        "compute_dtype": "bfloat16",
+        "dc_mode": "psf1d",
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def time_scalar_fn(fn, args, warmup, iters):
+    """Time a jitted fn that returns a scalar; reads the scalar back each call
+    because axon's block_until_ready does not synchronize."""
+    for _ in range(warmup):
+        float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(fn(*args))
+    return time.perf_counter() - t0
+
+
 def _data(batch, real_view=True):
     rng = np.random.default_rng(0)
     shape = (batch, COILS, H, W)
@@ -80,35 +115,17 @@ def bench_jax() -> float:
 
     from mridc_tpu.models import build_model
 
-    cfg = {
-        "model_name": "CIRIM",
-        "num_cascades": CASCADES,
-        "time_steps": TIME_STEPS,
-        "recurrent_layer": "IndRNN",
-        "conv_filters": [FILTERS, FILTERS, 2],
-        "conv_kernels": [5, 3, 3],
-        "conv_dilations": [1, 2, 1],
-        "recurrent_filters": [FILTERS, FILTERS, 0],
-        "recurrent_kernels": [1, 1, 0],
-        "recurrent_dilations": [1, 1, 0],
-        "fft_centered": True,
-        "fft_normalization": "ortho",
-        # bf16 conv/RNN compute, f32 params & DC: verified SSIM 1.000000 vs the
-        # f32 CPU reference path (max rel diff 4e-4)
-        "compute_dtype": "bfloat16",
-        # inference fast path: skip stacking cascades x T per-step predictions
-        # (bit-identical final prediction; verified vs stacked path)
-        "stack_intermediates": False,
-        # exact DC fast path: the bench mask (like all fastMRI-style masks) is
-        # 1D along the phase-encode axis, so A^H M A collapses to one [W, W]
-        # matmul per step (nn/dc.py). Verified vs the full fwd+inv FFT path:
-        # max rel err 3.7e-4 through 40 unrolled steps; 25.4 -> 39.7 slices/s.
-        # infer_dc_dtype defaults to compute_dtype (bf16 DC chain: 62.6 ->
-        # 81.0 slices/s, SSIM-vs-f32 cert unchanged at 1.000000 — see
-        # bench_quality and docs/performance.md).
-        "dc_mode": "psf1d",
-    }
-    model = build_model(cfg)
+    # flagship_cfg notes: bf16 conv/RNN compute with f32 params verified SSIM
+    # 1.000000 vs the f32 CPU reference path (max rel diff 4e-4); the bench
+    # mask (like all fastMRI-style masks) is 1D along the phase-encode axis,
+    # so dc_mode=psf1d is exact — A^H M A collapses to one [W, W] matmul per
+    # step (nn/dc.py; verified vs the full fwd+inv FFT path, max rel err
+    # 3.7e-4 through 40 unrolled steps; 25.4 -> 39.7 slices/s);
+    # infer_dc_dtype defaults to compute_dtype (bf16 DC chain: 62.6 -> 81.0
+    # slices/s, SSIM-vs-f32 cert unchanged — see bench_quality and
+    # docs/performance.md). stack_intermediates=False skips stacking the
+    # cascades x T per-step predictions (bit-identical final prediction).
+    model = build_model(flagship_cfg(stack_intermediates=False))
     y, sens, mask = (jnp.asarray(x) for x in _data(BATCH))
     # jit the init: eager init costs ~70s of per-op compiles over the axon tunnel
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
@@ -122,48 +139,35 @@ def bench_jax() -> float:
         pred = model.apply(variables, y, sens, mask).prediction
         return (pred**2).sum()
 
-    for _ in range(WARMUP):
-        float(forward(variables, y, sens, mask))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        float(forward(variables, y, sens, mask))
-    dt = time.perf_counter() - t0
+    dt = time_scalar_fn(forward, (variables, y, sens, mask), WARMUP, ITERS)
 
     sps = (ITERS * BATCH) / dt
     tflops = cirim_flops_per_slice() * sps / 1e12
     return sps, tflops
 
 
-def bench_quality() -> float:
-    """SSIM of the benchmarked fast path (bf16 compute + bf16 psf1d DC + lane
-    folding) against the f32 full-DC unfolded path with the SAME weights, on
-    a small batch — certifies the speed is not bought with accuracy (quality
-    budget: SSIM within 1e-3 of the exact path, BASELINE.md). The fast build
-    inherits infer_dc_dtype=bfloat16 from compute_dtype (models/recon/cirim.py
-    from_config default), so this certifies exactly what bench_jax runs."""
+def quality_vs_exact(fast_overrides=None) -> dict:
+    """SSIM + rel-l2 of a fast-path build against the f32 full-DC unfolded
+    path with the SAME weights, on a small batch — certifies speed is not
+    bought with accuracy (quality budget: SSIM within 1e-3 of the exact
+    path, BASELINE.md). By default the fast build is exactly what bench_jax
+    runs (it inherits infer_dc_dtype=bfloat16 from compute_dtype,
+    models/recon/cirim.py from_config default); fast_overrides lets
+    tools/perf_lab.py certify variants."""
     import jax
     import jax.numpy as jnp
 
     from mridc_tpu.metrics.reconstruction import ssim
     from mridc_tpu.models import build_model
 
-    base = {
-        "model_name": "CIRIM",
-        "num_cascades": CASCADES,
-        "time_steps": TIME_STEPS,
-        "recurrent_layer": "IndRNN",
-        "conv_filters": [FILTERS, FILTERS, 2],
-        "conv_kernels": [5, 3, 3],
-        "conv_dilations": [1, 2, 1],
-        "recurrent_filters": [FILTERS, FILTERS, 0],
-        "recurrent_kernels": [1, 1, 0],
-        "recurrent_dilations": [1, 1, 0],
-        "fft_centered": True,
-        "fft_normalization": "ortho",
-        "stack_intermediates": False,
-    }
-    fast = build_model({**base, "compute_dtype": "bfloat16", "dc_mode": "psf1d", "lane_fold": "always"})
-    exact = build_model({**base, "dc_mode": "full", "lane_fold": "never"})
+    fast_cfg = flagship_cfg(stack_intermediates=False, lane_fold="always")
+    fast_cfg.update(fast_overrides or {})
+    fast = build_model(fast_cfg)
+    exact = build_model(
+        flagship_cfg(
+            stack_intermediates=False, compute_dtype=None, dc_mode="full", lane_fold="never"
+        )
+    )
     y, sens, mask = (jnp.asarray(x) for x in _data(2))
     variables = jax.jit(exact.init)(jax.random.PRNGKey(0), y, sens, mask)
     p_fast = np.asarray(jax.jit(lambda v, y, s, m: fast.apply(v, y, s, m).prediction)(variables, y, sens, mask))
@@ -173,13 +177,20 @@ def bench_quality() -> float:
         m = np.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
         return m / (m.max() or 1.0)
 
-    return float(ssim(mag(p_ref), mag(p_fast)))
+    return {
+        "ssim_vs_f32": float(ssim(mag(p_ref), mag(p_fast))),
+        "rel_l2": float(np.linalg.norm(p_fast - p_ref) / np.linalg.norm(p_ref)),
+    }
 
 
-def bench_jax_train() -> tuple:
-    """Jitted training-step (forward + backward + adam) throughput at the
-    reference training batch size, with achieved TFLOP/s from the compiled
-    executable's cost analysis."""
+def bench_quality() -> float:
+    return quality_vs_exact()["ssim_vs_f32"]
+
+
+def make_flagship_train_step(batch, overrides=None):
+    """Build the jitted flagship training step (forward + backward + adam).
+    Returns (train_step, params, opt_state, data) — shared with
+    tools/perf_lab.py so its numbers match the driver bench."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -187,27 +198,10 @@ def bench_jax_train() -> tuple:
     from mridc_tpu.models import build_model
     from mridc_tpu.train.losses import process_reconstruction_loss
 
-    # batch sweep with bf16 DC (round 3): 8->10.6(step-only remat), 16->10.4,
-    # 24->10.7 (best), 28->8.8, 32->10.1, 48 OOMs
-    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 24))
-    cfg = {
-        "model_name": "CIRIM",
-        "num_cascades": CASCADES,
-        "time_steps": TIME_STEPS,
-        "recurrent_layer": "IndRNN",
-        "conv_filters": [FILTERS, FILTERS, 2],
-        "conv_kernels": [5, 3, 3],
-        "conv_dilations": [1, 2, 1],
-        "recurrent_filters": [FILTERS, FILTERS, 0],
-        "recurrent_kernels": [1, 1, 0],
-        "recurrent_dilations": [1, 1, 0],
-        "fft_centered": True,
-        "fft_normalization": "ortho",
-        "compute_dtype": "bfloat16",
-        "dc_mode": "psf1d",  # exact for the 1D bench mask (see bench_jax)
-        # train_dc_dtype defaults to compute_dtype (bf16 DC chain in training:
-        # 6.2 -> 9.9 slices/s, grad cosine 0.9996 vs f32 — docs/performance.md)
-    }
+    # flagship_cfg: dc_mode=psf1d is exact for the 1D bench mask (bench_jax);
+    # train_dc_dtype defaults to compute_dtype (bf16 DC chain in training:
+    # 6.2 -> 9.9 slices/s, grad cosine 0.9996 vs f32 — docs/performance.md)
+    cfg = flagship_cfg(**(overrides or {}))
     model = build_model(cfg)
     y, sens, mask = (jnp.asarray(x) for x in _data(batch))
     rng = np.random.default_rng(1)
@@ -230,14 +224,28 @@ def bench_jax_train() -> tuple:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    for _ in range(2):
-        params, opt_state, loss = train_step(params, opt_state, y, sens, mask, target)
+    return train_step, params, opt_state, (y, sens, mask, target)
+
+
+def bench_jax_train() -> tuple:
+    """Jitted training-step (forward + backward + adam) throughput at the
+    reference training batch size."""
+    # batch sweep with bf16 DC (round 3): 8->10.6(step-only remat), 16->10.4,
+    # 24->10.7 (best), 28->8.8, 32->10.1, 48 OOMs
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 24))
+    train_step, params, opt_state, data = make_flagship_train_step(batch)
+
+    def run_once():
+        nonlocal params, opt_state
+        params, opt_state, loss = train_step(params, opt_state, *data)
         float(loss)
+
+    for _ in range(2):
+        run_once()
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, y, sens, mask, target)
-        float(loss)
+        run_once()
     dt = time.perf_counter() - t0
 
     sps = (iters * batch) / dt

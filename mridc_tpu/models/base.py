@@ -20,7 +20,7 @@ from mridc_tpu.nn.dc import sens_reduce
 from mridc_tpu.ops.cplx import ccombine
 from mridc_tpu.ops.fft import ifft2_rv
 
-__all__ = ["ModelOutput", "BaseReconModel", "expand_mask", "_check_dc_mode"]
+__all__ = ["ModelOutput", "BaseReconModel", "expand_mask", "check_dc_mode"]
 
 
 @flax.struct.dataclass
@@ -33,7 +33,7 @@ class ModelOutput:
     intermediates: Optional[jnp.ndarray] = None
 
 
-def _check_dc_mode(mode: str) -> str:
+def check_dc_mode(mode: str) -> str:
     """Validate the dc_mode config value (loud failure beats a silent
     fall-through to the full-DC path)."""
     if mode not in ("full", "psf1d"):

@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mridc_tpu.models.base import BaseReconModel, ModelOutput, _check_dc_mode, expand_mask
+from mridc_tpu.models.base import BaseReconModel, ModelOutput, check_dc_mode, expand_mask
 from mridc_tpu.models.multitask.blocks import KSpaceDC, UnetDecoder, UnetEncoder, apply_group_norm
 from mridc_tpu.nn.dc import sens_expand, sens_reduce
 from mridc_tpu.nn.rim import RIMBlock
@@ -93,7 +93,7 @@ class MTLRS(BaseReconModel):
     @classmethod
     def from_config(cls, cfg):
         return cls(
-            dc_mode=_check_dc_mode(str(cfg.get("dc_mode", "full")).lower()),
+            dc_mode=check_dc_mode(str(cfg.get("dc_mode", "full")).lower()),
             rs_cascades=cfg.get("joint_reconstruction_segmentation_module_cascades", 5),
             recon_num_cascades=cfg.get("reconstruction_module_num_cascades", 1),
             recon_time_steps=cfg.get("reconstruction_module_time_steps", 8),

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mridc_tpu.models.base import BaseReconModel, ModelOutput, _check_dc_mode, expand_mask
+from mridc_tpu.models.base import BaseReconModel, ModelOutput, check_dc_mode, expand_mask
 from mridc_tpu.nn.rim import RIMBlock
 
 __all__ = ["CIRIM"]
@@ -54,11 +54,11 @@ class CIRIM(BaseReconModel):
     # matmuls in train mode (measured +13% pre-lane-folding; re-measured per
     # round in docs/performance.md)
     train_dc_dtype: str = None  # dtype for the psf1d DC chain in TRAIN mode
-    # only (bf16 halves the coil-expand/PSF bytes and doubles the matmul rate
-    # in fwd+bwd: 6.2 -> 9.9 slices/s on v5e, grad cosine 0.9996 vs f32;
-    # inference always keeps f32 DC for the quality certificate).
-    # from_config defaults it to compute_dtype — set train_dc_dtype: null
-    # explicitly to force f32 DC in training.
+    # (bf16 halves the coil-expand/PSF bytes and doubles the matmul rate in
+    # fwd+bwd: 6.2 -> 9.9 slices/s on v5e, grad cosine 0.9996 vs f32; the
+    # inference twin is infer_dc_dtype below). from_config defaults it to
+    # compute_dtype — set train_dc_dtype: null explicitly to force f32 DC
+    # in training.
     train_eta_dtype: str = None  # dtype of the eta carry/stack in TRAIN
     # mode only (opt-in; see nn/rim.py eta_dtype)
     infer_dc_dtype: str = None  # dtype for the psf1d DC chain at INFERENCE
@@ -104,7 +104,7 @@ class CIRIM(BaseReconModel):
             keep_prediction=cfg.get("keep_prediction", cfg.get("keep_eta", True)),
             compute_dtype=cfg.get("compute_dtype", None),
             stack_intermediates=cfg.get("stack_intermediates", True),
-            dc_mode=_check_dc_mode(str(cfg.get("dc_mode", "full")).lower()),
+            dc_mode=check_dc_mode(str(cfg.get("dc_mode", "full")).lower()),
             remat_mode=remat_mode,
             train_dc_dtype=(
                 cfg["train_dc_dtype"] if "train_dc_dtype" in cfg else cfg.get("compute_dtype")

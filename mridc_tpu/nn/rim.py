@@ -57,8 +57,9 @@ class _RIMStep(nn.Module):
     # saves T x [B, H, W, 2] HBM writes; training needs them for step weighting)
     dc_psf1d: bool = False  # 1D-mask PSF fast path: mask/z0 pre-folded
     dc_dtype: Optional[str] = None  # run the DC coil-expand/PSF-matmul chain
-    # in this dtype (train-path knob: bf16 halves the chain's HBM bytes and
-    # doubles its matmul rate; inference keeps f32 for the quality cert)
+    # in this dtype (bf16 halves the chain's HBM bytes and doubles its matmul
+    # rate; CIRIM wires train_dc_dtype here in train mode and infer_dc_dtype
+    # otherwise — both default to compute_dtype, null forces f32)
     pointwise_matmul: bool = False  # lower the cells' 1x1 convs to matmuls
     # (wins in the training step's backward, loses inference fusion — see
     # nn/layers.py Conv)

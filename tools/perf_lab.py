@@ -1,13 +1,18 @@
 """Perf lab: one-off TPU measurements for the flagship CIRIM paths.
 
-Reuses bench.py's model/data builders so numbers are comparable with the
-driver bench. Each subcommand prints one JSON line.
+Reuses bench.py's config/data/train-step/quality builders so numbers are
+comparable with the driver bench. Each subcommand prints one JSON line.
 
 Usage:
-  python tools/perf_lab.py infer [--batch 96] [--dc-dtype bfloat16]
-  python tools/perf_lab.py quality [--dc-dtype bfloat16]
-  python tools/perf_lab.py train [--batch 24] [--iters 5]
+  python tools/perf_lab.py infer [--batch 96] [--dc-dtype float32|bfloat16]
+  python tools/perf_lab.py quality [--dc-dtype float32|bfloat16]
+  python tools/perf_lab.py train [--batch 24] [--iters 5] [--set key=json ...]
   python tools/perf_lab.py trace-train [--batch 24] [--out /tmp/trace]
+  python tools/perf_lab.py trace-infer [--batch 96] [--out /tmp/trace_infer]
+
+--dc-dtype overrides infer_dc_dtype; left unset, the model default applies
+(= compute_dtype, i.e. bfloat16 for the flagship config) and the JSON line
+reports the effective value. Use --dc-dtype float32 for the f32-DC baseline.
 
 Run on the real chip (default platform) unless JAX_PLATFORMS=cpu.
 """
@@ -16,47 +21,35 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
 import bench  # noqa: E402
 
 
-def base_cfg():
-    return {
-        "model_name": "CIRIM",
-        "num_cascades": bench.CASCADES,
-        "time_steps": bench.TIME_STEPS,
-        "recurrent_layer": "IndRNN",
-        "conv_filters": [bench.FILTERS, bench.FILTERS, 2],
-        "conv_kernels": [5, 3, 3],
-        "conv_dilations": [1, 2, 1],
-        "recurrent_filters": [bench.FILTERS, bench.FILTERS, 0],
-        "recurrent_kernels": [1, 1, 0],
-        "recurrent_dilations": [1, 1, 0],
-        "fft_centered": True,
-        "fft_normalization": "ortho",
-        "compute_dtype": "bfloat16",
-        "stack_intermediates": False,
-        "dc_mode": "psf1d",
-    }
+def _infer_cfg(args):
+    """Inference config + the effective DC dtype it implies."""
+    overrides = {"stack_intermediates": False}
+    if args.dc_dtype:
+        overrides["infer_dc_dtype"] = None if args.dc_dtype == "float32" else args.dc_dtype
+    cfg = bench.flagship_cfg(**overrides)
+    effective = cfg.get("infer_dc_dtype", cfg["compute_dtype"]) or "float32"
+    return cfg, effective
 
 
-def run_infer(args):
+def _build_forward(cfg, batch):
     import jax
     import jax.numpy as jnp
 
     from mridc_tpu.models import build_model
 
-    cfg = base_cfg()
-    if args.dc_dtype:
-        cfg["infer_dc_dtype"] = args.dc_dtype
     model = build_model(cfg)
-    y, sens, mask = (jnp.asarray(x) for x in bench._data(args.batch))
+    y, sens, mask = (jnp.asarray(x) for x in bench._data(batch))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
 
     @jax.jit
@@ -64,88 +57,44 @@ def run_infer(args):
         pred = model.apply(variables, y, sens, mask).prediction
         return (pred**2).sum()
 
-    for _ in range(2):
-        float(forward(variables, y, sens, mask))
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        float(forward(variables, y, sens, mask))
-    dt = time.perf_counter() - t0
-    sps = args.iters * args.batch / dt
-    print(json.dumps({"exp": "infer", "batch": args.batch, "dc_dtype": args.dc_dtype,
-                      "slices_per_s": round(sps, 2)}))
+    return forward, (variables, y, sens, mask)
+
+
+def run_infer(args):
+    cfg, dc_dtype = _infer_cfg(args)
+    forward, fargs = _build_forward(cfg, args.batch)
+    dt = bench.time_scalar_fn(forward, fargs, warmup=2, iters=args.iters)
+    print(json.dumps({"exp": "infer", "batch": args.batch, "dc_dtype": dc_dtype,
+                      "slices_per_s": round(args.iters * args.batch / dt, 2)}))
 
 
 def run_quality(args):
-    import jax
-    import jax.numpy as jnp
-
-    from mridc_tpu.metrics.reconstruction import ssim
-    from mridc_tpu.models import build_model
-
-    cfg = base_cfg()
-    fast_cfg = dict(cfg, lane_fold="always")
+    _, dc_dtype = _infer_cfg(args)
+    overrides = {}
     if args.dc_dtype:
-        fast_cfg["infer_dc_dtype"] = args.dc_dtype
-    fast = build_model(fast_cfg)
-    exact = build_model({**cfg, "compute_dtype": None, "dc_mode": "full", "lane_fold": "never"})
-    y, sens, mask = (jnp.asarray(x) for x in bench._data(2))
-    variables = jax.jit(exact.init)(jax.random.PRNGKey(0), y, sens, mask)
-    p_fast = np.asarray(jax.jit(lambda v, a, s, m: fast.apply(v, a, s, m).prediction)(variables, y, sens, mask))
-    p_ref = np.asarray(jax.jit(lambda v, a, s, m: exact.apply(v, a, s, m).prediction)(variables, y, sens, mask))
-
-    def mag(x):
-        m = np.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
-        return m / (m.max() or 1.0)
-
-    rel = float(np.linalg.norm(p_fast - p_ref) / np.linalg.norm(p_ref))
-    print(json.dumps({"exp": "quality", "dc_dtype": args.dc_dtype,
-                      "ssim_vs_f32": round(float(ssim(mag(p_ref), mag(p_fast))), 6),
-                      "rel_l2": round(rel, 6)}))
+        overrides["infer_dc_dtype"] = None if args.dc_dtype == "float32" else args.dc_dtype
+    q = bench.quality_vs_exact(overrides)
+    print(json.dumps({"exp": "quality", "dc_dtype": dc_dtype,
+                      "ssim_vs_f32": round(q["ssim_vs_f32"], 6),
+                      "rel_l2": round(q["rel_l2"], 6)}))
 
 
-def make_train_step(args):
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from mridc_tpu.models import build_model
-    from mridc_tpu.train.losses import process_reconstruction_loss
-
-    cfg = base_cfg()
+def _train_overrides(args):
+    overrides = {}
     for k in (args.set or []):
         key, _, val = k.partition("=")
         try:
             val = json.loads(val)
         except Exception:
             pass
-        cfg[key] = val
-    model = build_model(cfg)
-    y, sens, mask = (jnp.asarray(x) for x in bench._data(args.batch))
-    rng = np.random.default_rng(1)
-    target = jnp.asarray(bench._rv(
-        (rng.standard_normal((args.batch, bench.H, bench.W))
-         + 1j * rng.standard_normal((args.batch, bench.H, bench.W))).astype(np.complex64)))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
-    params = variables["params"]
-    tx = optax.adam(1e-3)
-    opt_state = jax.jit(tx.init)(params)
-
-    @jax.jit
-    def train_step(params, opt_state, y, sens, mask, target):
-        def loss_fn(p):
-            out = model.apply({"params": p}, y, sens, mask, train=True)
-            return process_reconstruction_loss(out, target, "l1")
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return train_step, params, opt_state, (y, sens, mask, target)
+        overrides[key] = val
+    return overrides
 
 
 def run_train(args):
-    train_step, params, opt_state, data = make_train_step(args)
+    train_step, params, opt_state, data = bench.make_flagship_train_step(
+        args.batch, _train_overrides(args)
+    )
     for _ in range(2):
         params, opt_state, loss = train_step(params, opt_state, *data)
         float(loss)
@@ -154,39 +103,31 @@ def run_train(args):
         params, opt_state, loss = train_step(params, opt_state, *data)
         float(loss)
     dt = time.perf_counter() - t0
-    sps = args.iters * args.batch / dt
     print(json.dumps({"exp": "train", "batch": args.batch, "set": args.set,
-                      "slices_per_s": round(sps, 2), "s_per_step": round(dt / args.iters, 3)}))
+                      "slices_per_s": round(args.iters * args.batch / dt, 2),
+                      "s_per_step": round(dt / args.iters, 3)}))
 
 
 def run_trace_infer(args):
     import jax
-    import jax.numpy as jnp
 
-    from mridc_tpu.models import build_model
-
-    model = build_model(base_cfg())
-    y, sens, mask = (jnp.asarray(x) for x in bench._data(args.batch))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
-
-    @jax.jit
-    def forward(variables, y, sens, mask):
-        pred = model.apply(variables, y, sens, mask).prediction
-        return (pred**2).sum()
-
+    cfg, dc_dtype = _infer_cfg(args)
+    forward, fargs = _build_forward(cfg, args.batch)
     for _ in range(2):
-        float(forward(variables, y, sens, mask))
+        float(forward(*fargs))
     jax.profiler.start_trace(args.out)
     for _ in range(2):
-        float(forward(variables, y, sens, mask))
+        float(forward(*fargs))
     jax.profiler.stop_trace()
-    print(json.dumps({"exp": "trace-infer", "out": args.out}))
+    print(json.dumps({"exp": "trace-infer", "dc_dtype": dc_dtype, "out": args.out}))
 
 
 def run_trace_train(args):
     import jax
 
-    train_step, params, opt_state, data = make_train_step(args)
+    train_step, params, opt_state, data = bench.make_flagship_train_step(
+        args.batch, _train_overrides(args)
+    )
     for _ in range(2):
         params, opt_state, loss = train_step(params, opt_state, *data)
         float(loss)
@@ -204,9 +145,9 @@ def main():
     pi = sub.add_parser("infer")
     pi.add_argument("--batch", type=int, default=96)
     pi.add_argument("--iters", type=int, default=7)
-    pi.add_argument("--dc-dtype", default=None)
+    pi.add_argument("--dc-dtype", default=None, choices=["float32", "bfloat16"])
     pq = sub.add_parser("quality")
-    pq.add_argument("--dc-dtype", default=None)
+    pq.add_argument("--dc-dtype", default=None, choices=["float32", "bfloat16"])
     pt = sub.add_parser("train")
     pt.add_argument("--batch", type=int, default=24)
     pt.add_argument("--iters", type=int, default=5)
@@ -218,6 +159,7 @@ def main():
     pf = sub.add_parser("trace-infer")
     pf.add_argument("--batch", type=int, default=96)
     pf.add_argument("--out", default="/tmp/mridc_trace_infer")
+    pf.add_argument("--dc-dtype", default=None, choices=["float32", "bfloat16"])
     args = p.parse_args()
     {"infer": run_infer, "quality": run_quality, "train": run_train,
      "trace-train": run_trace_train, "trace-infer": run_trace_infer}[args.cmd](args)
