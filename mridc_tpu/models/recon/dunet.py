@@ -62,6 +62,7 @@ class DUNet(BaseReconModel):
             cfg.get("unet_num_pool_layers", 2),
             padding_size=cfg.get("unet_padding_size", 11),
             normalize=cfg.get("unet_normalize", True),
+            dtype=cfg.get("compute_dtype"),
         )
 
     @nn.compact

@@ -30,11 +30,13 @@ class JointICNet(BaseReconModel):
     sens_unet_num_filters: int = 16
     sens_unet_num_pool_layers: int = 2
     padding_size: int = 11
+    compute_dtype: str = None  # opt-in bf16 conv compute (params stay f32)
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
             num_iter=cfg.get("num_iter", 2),
+            compute_dtype=cfg.get("compute_dtype", None),
             kspace_unet_num_filters=cfg.get("kspace_unet_num_filters", 16),
             kspace_unet_num_pool_layers=cfg.get("kspace_unet_num_pool_layers", 2),
             imspace_unet_num_filters=cfg.get("imspace_unet_num_filters", 16),
@@ -62,10 +64,12 @@ class JointICNet(BaseReconModel):
         m = mask[..., None]
 
         kspace_model = NormUnet(
-            self.kspace_unet_num_filters, self.kspace_unet_num_pool_layers, padding_size=self.padding_size
+            self.kspace_unet_num_filters, self.kspace_unet_num_pool_layers,
+            padding_size=self.padding_size, dtype=self.compute_dtype,
         )
         image_model = NormUnet(
-            self.imspace_unet_num_filters, self.imspace_unet_num_pool_layers, padding_size=self.padding_size
+            self.imspace_unet_num_filters, self.imspace_unet_num_pool_layers,
+            padding_size=self.padding_size, dtype=self.compute_dtype,
         )
         sens_net = SensitivityModel(
             chans=self.sens_unet_num_filters,

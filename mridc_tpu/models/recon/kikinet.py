@@ -44,6 +44,7 @@ def _make_kspace_model(cfg):
             cfg.get("kspace_unet_num_pool_layers", 2),
             padding_size=cfg.get("kspace_unet_padding_size", 11),
             normalize=cfg.get("kspace_unet_normalize", True),
+            dtype=cfg.get("compute_dtype"),
         )
     raise NotImplementedError(f"KIKINet kspace_model_architecture {arch} not supported")
 
@@ -63,6 +64,7 @@ def _make_image_model(cfg, fft_centered, fft_normalization):
             cfg.get("imspace_unet_num_pool_layers", 2),
             padding_size=cfg.get("imspace_unet_padding_size", 11),
             normalize=cfg.get("imspace_unet_normalize", True),
+            dtype=cfg.get("compute_dtype"),
         )
     raise NotImplementedError(f"KIKINet imspace_model_architecture {arch} not supported")
 

@@ -70,6 +70,7 @@ class LPDNet(BaseReconModel):
                 out_chans=out,
                 padding_size=cfg.get("primal_unet_padding_size", 11),
                 normalize=cfg.get("primal_unet_normalize", True),
+                dtype=cfg.get("compute_dtype"),
             )
         # reference lpd.py:70 only implements MWCNN / UNET for the primal net
         raise ValueError(f"LPDNet primal_model_architecture must be MWCNN or UNET, got {self.primal_arch!r}")
@@ -91,6 +92,7 @@ class LPDNet(BaseReconModel):
                 out_chans=out,
                 padding_size=cfg.get("dual_unet_padding_size", 11),
                 normalize=cfg.get("dual_unet_normalize", True),
+                dtype=cfg.get("compute_dtype"),
             )
         if self.dual_arch == "CONV":  # reference lpd.py:78 conv2d.Conv2d cascade
             return Conv2dCascade(

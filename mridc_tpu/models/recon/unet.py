@@ -18,6 +18,7 @@ class UNet(BaseReconModel):
     padding_size: int = 11
     normalize: bool = True
     dropout: float = 0.0
+    compute_dtype: str = None  # opt-in bf16 conv compute (params stay f32)
 
     @classmethod
     def from_config(cls, cfg):
@@ -27,6 +28,7 @@ class UNet(BaseReconModel):
             padding_size=cfg.get("padding_size", 11),
             normalize=cfg.get("normalize", True),
             dropout=cfg.get("dropout_probability", 0.0),
+            compute_dtype=cfg.get("compute_dtype", None),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -44,5 +46,6 @@ class UNet(BaseReconModel):
             padding_size=self.padding_size,
             normalize=self.normalize,
             drop_prob=self.dropout,
+            dtype=self.compute_dtype,
         )(x, train)
         return ModelOutput(prediction=x)

@@ -26,6 +26,8 @@ class _VarNetBlock(BaseReconModel):
     padding_size: int = 11
     normalize: bool = True
     no_dc: bool = False
+    compute_dtype: str = None  # NormUnet conv compute dtype (bf16: params
+    # stay f32, norm stats f32; the DC/FFT chain stays f32)
 
     @nn.compact
     def __call__(self, pred, ref_kspace, sens, mask, train: bool = False):
@@ -39,6 +41,7 @@ class _VarNetBlock(BaseReconModel):
             num_pools=self.pooling_layers,
             padding_size=self.padding_size,
             normalize=self.normalize,
+            dtype=self.compute_dtype,
         )(x, train)
         model_term = sens_expand(
             x, sens, self.fft_centered, self.fft_normalization, self.spatial_dims
@@ -55,6 +58,7 @@ class VarNet(BaseReconModel):
     padding_size: int = 11
     normalize: bool = True
     no_dc: bool = False
+    compute_dtype: str = None
 
     @classmethod
     def from_config(cls, cfg):
@@ -65,6 +69,7 @@ class VarNet(BaseReconModel):
             padding_size=cfg.get("padding_size", 11),
             normalize=cfg.get("normalize", True),
             no_dc=cfg.get("no_dc", False),
+            compute_dtype=cfg.get("compute_dtype", None),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -84,6 +89,7 @@ class VarNet(BaseReconModel):
                 padding_size=self.padding_size,
                 normalize=self.normalize,
                 no_dc=self.no_dc,
+                compute_dtype=self.compute_dtype,
                 fft_centered=self.fft_centered,
                 fft_normalization=self.fft_normalization,
                 spatial_dims=self.spatial_dims,

@@ -54,6 +54,7 @@ class VSNet(BaseReconModel):
                 cfg.get("imspace_unet_num_pool_layers", 2),
                 padding_size=cfg.get("imspace_unet_padding_size", 11),
                 normalize=cfg.get("imspace_unet_normalize", True),
+                dtype=cfg.get("compute_dtype"),
             )
         return Conv2dCascade(
             out_channels=2,

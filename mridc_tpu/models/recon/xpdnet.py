@@ -73,6 +73,7 @@ class XPDNet(BaseReconModel):
             out_chans=out,
             padding_size=cfg.get("imspace_unet_padding_size", 11),
             normalize=cfg.get("imspace_unet_normalize", True),
+            dtype=cfg.get("compute_dtype"),
         )
 
     def _kspace_model(self):
@@ -92,6 +93,7 @@ class XPDNet(BaseReconModel):
                 out_chans=out,
                 padding_size=cfg.get("kspace_unet_padding_size", 11),
                 normalize=cfg.get("kspace_unet_normalize", True),
+                dtype=cfg.get("compute_dtype"),
             )
         from mridc_tpu.nn.conv2d import Conv2dCascade
 

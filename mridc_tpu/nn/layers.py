@@ -215,9 +215,12 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         axes = tuple(range(1, x.ndim - 1))
-        mean = x.mean(axis=axes, keepdims=True)
-        var = x.var(axis=axes, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # stats in f32 regardless of the compute dtype (bf16 mean/var over
+        # 100k spatial elements is too coarse); output follows the input dtype
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=axes, keepdims=True)
+        var = xf.var(axis=axes, keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
 
 
 class ConvNonlinear(nn.Module):

@@ -10,7 +10,7 @@ downsampling, transpose-conv upsampling with skip concat, group-normalized and
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -23,11 +23,14 @@ __all__ = ["ConvBlock", "TransposeConvBlock", "Unet", "NormUnet"]
 class ConvBlock(nn.Module):
     out_chans: int
     drop_prob: float = 0.0
+    dtype: Optional[str] = None  # conv compute dtype (bf16 feeds the MXU at
+    # full rate; params stay f32; InstanceNorm stats run f32 either way).
+    # None = f32 — bit-identical to the pre-dtype behavior.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(2):
-            x = nn.Conv(self.out_chans, (3, 3), padding="SAME", use_bias=False)(x)
+            x = nn.Conv(self.out_chans, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
             x = InstanceNorm()(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
@@ -36,10 +39,11 @@ class ConvBlock(nn.Module):
 
 class TransposeConvBlock(nn.Module):
     out_chans: int
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(self.out_chans, (2, 2), strides=(2, 2), use_bias=False)(x)
+        x = nn.ConvTranspose(self.out_chans, (2, 2), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
         x = InstanceNorm()(x)
         return nn.leaky_relu(x, 0.2)
 
@@ -49,24 +53,25 @@ class Unet(nn.Module):
     chans: int = 32
     num_pool_layers: int = 4
     drop_prob: float = 0.0
+    dtype: Optional[str] = None  # compute dtype for every conv (see ConvBlock)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         stack = []
         ch = self.chans
-        out = x
+        out = x if self.dtype is None else x.astype(self.dtype)
         for i in range(self.num_pool_layers):
-            out = ConvBlock(ch, self.drop_prob)(out, train)
+            out = ConvBlock(ch, self.drop_prob, dtype=self.dtype)(out, train)
             stack.append(out)
             out = nn.avg_pool(out, (2, 2), strides=(2, 2))
             if i < self.num_pool_layers - 1:
                 ch *= 2
 
-        out = ConvBlock(ch * 2, self.drop_prob)(out, train)
+        out = ConvBlock(ch * 2, self.drop_prob, dtype=self.dtype)(out, train)
 
         for i in range(self.num_pool_layers):
             skip = stack.pop()
-            out = TransposeConvBlock(ch)(out)
+            out = TransposeConvBlock(ch, dtype=self.dtype)(out)
             # odd-size inputs: reflect-pad on the right/bottom to match skip
             pad_h = skip.shape[1] - out.shape[1]
             pad_w = skip.shape[2] - out.shape[2]
@@ -74,12 +79,12 @@ class Unet(nn.Module):
                 out = jnp.pad(out, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
             out = jnp.concatenate([out, skip], axis=-1)
             if i < self.num_pool_layers - 1:
-                out = ConvBlock(ch, self.drop_prob)(out, train)
+                out = ConvBlock(ch, self.drop_prob, dtype=self.dtype)(out, train)
                 ch //= 2
             else:
-                out = ConvBlock(ch, self.drop_prob)(out, train)
-                out = nn.Conv(self.out_chans, (1, 1))(out)
-        return out
+                out = ConvBlock(ch, self.drop_prob, dtype=self.dtype)(out, train)
+                out = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(out)
+        return out if self.dtype is None else out.astype(jnp.float32)
 
     # NOTE: channel schedule mirrors the reference: down chans, 2c, 4c, 8c;
     # bottleneck 16c; ups mirror back.
@@ -99,6 +104,8 @@ class NormUnet(nn.Module):
     padding_size: int = 15
     normalize: bool = True
     norm_groups: int = 2
+    dtype: Optional[str] = None  # conv compute dtype for the wrapped Unet;
+    # the group norm/unnorm wrapper stays f32 (Unet casts back at its output)
 
     def _norm(self, x):
         b, h, w, c = x.shape
@@ -133,7 +140,7 @@ class NormUnet(nn.Module):
         if self.normalize:
             x, mean, std = self._norm(x)
         x, pads = self._pad(x)
-        x = Unet(self.out_chans, self.chans, self.num_pools, self.drop_prob)(x, train)
+        x = Unet(self.out_chans, self.chans, self.num_pools, self.drop_prob, dtype=self.dtype)(x, train)
         x = self._unpad(x, *pads)
         if self.normalize:
             x = self._unnorm(x, mean, std)

@@ -210,3 +210,104 @@ def test_cs_fista_improves_over_zf():
     s_zf = ssim(tgt, zf_mag / zf_mag.max())
     s_cs = ssim(tgt, cs_mag / cs_mag.max())
     assert s_cs > s_zf, (s_cs, s_zf)
+
+
+def test_varnet_bf16_compute_dtype():
+    """compute_dtype=bfloat16 on VarNet: params stay f32 and identical to the
+    f32 build (checkpoint-compatible), output finite and close to f32 on one
+    cascade. bf16 is an opt-in perf knob (+47% on v5e, docs/performance.md);
+    at random weights the 8-cascade unrolled iteration roughly doubles the
+    rounding error per cascade, so the default stays f32."""
+    base = {"model_name": "VN", "num_cascades": 1, "channels": 4, "pooling_layers": 2, **COMMON}
+    y, s, m = _inputs()
+    exact = build_model(base)
+    fast = build_model({**base, "compute_dtype": "bfloat16"})
+    v_exact = exact.init(jax.random.PRNGKey(0), y, s, m)
+    v_fast = fast.init(jax.random.PRNGKey(0), y, s, m)
+    # identical parameter trees and dtypes (bf16 is compute-only)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_exact["params"], v_fast["params"],
+    )
+    assert all(x.dtype == jnp.float32 for x in jax.tree_util.tree_leaves(v_fast["params"]))
+    p_exact = np.asarray(exact.apply(v_exact, y, s, m).prediction)
+    p_fast = np.asarray(fast.apply(v_exact, y, s, m).prediction)
+    assert np.isfinite(p_fast).all()
+    rel = np.linalg.norm(p_fast - p_exact) / np.linalg.norm(p_exact)
+    assert rel < 0.05, rel
+
+
+def test_instance_norm_bf16_stats_in_f32():
+    """InstanceNorm on bf16 input: stats computed in f32, output keeps the
+    input dtype and matches the f32 reference to bf16 rounding."""
+    from mridc_tpu.nn.layers import InstanceNorm
+
+    rng = np.random.default_rng(3)
+    x_bf16 = jnp.asarray(rng.standard_normal((2, 32, 32, 4)).astype(np.float32), dtype=jnp.bfloat16)
+    norm = InstanceNorm()
+    out = norm.apply({}, x_bf16)
+    assert out.dtype == jnp.bfloat16
+    # reference: f32 norm of the SAME bf16-quantized values
+    ref = np.asarray(norm.apply({}, x_bf16.astype(jnp.float32)))
+    assert np.abs(np.asarray(out.astype(jnp.float32)) - ref).max() < 0.05
+
+
+BF16_CONFIGS = [
+    {"model_name": "UNet", "channels": 8, "pooling_layers": 2, **COMMON},
+    {"model_name": "VN", "num_cascades": 1, "channels": 4, "pooling_layers": 2, **COMMON},
+    {
+        "model_name": "LPD", "num_iter": 1, "num_primal": 2, "num_dual": 2,
+        "primal_model_architecture": "UNET", "primal_unet_num_filters": 4,
+        "primal_unet_num_pool_layers": 2, "dual_model_architecture": "UNET",
+        "dual_unet_num_filters": 4, "dual_unet_num_pool_layers": 2, **COMMON,
+    },
+    {
+        "model_name": "XPDNET", "num_iter": 1, "num_primal": 2, "use_primal_only": True,
+        "image_model_architecture": "UNET", "imspace_unet_num_filters": 4,
+        "imspace_unet_num_pool_layers": 2, **COMMON,
+    },
+    {
+        "model_name": "DUNET", "num_iter": 1, "reg_model_architecture": "UNET",
+        "unet_num_filters": 4, "unet_num_pool_layers": 2,
+        "data_consistency_term": "VS", **COMMON,
+    },
+    {
+        "model_name": "KIKINET", "num_iter": 1, "kspace_model_architecture": "UNET",
+        "kspace_unet_num_filters": 4, "kspace_unet_num_pool_layers": 2,
+        "imspace_model_architecture": "UNET", "imspace_unet_num_filters": 4,
+        "imspace_unet_num_pool_layers": 2, **COMMON,
+    },
+    {
+        "model_name": "VSNET", "num_cascades": 1, "imspace_model_architecture": "UNET",
+        "imspace_unet_num_filters": 4, "imspace_unet_num_pool_layers": 2, **COMMON,
+    },
+    {
+        "model_name": "JOINTICNET", "num_iter": 1, "kspace_unet_num_filters": 4,
+        "kspace_unet_num_pool_layers": 2, "imspace_unet_num_filters": 4,
+        "imspace_unet_num_pool_layers": 2, "sens_unet_num_filters": 4,
+        "sens_unet_num_pool_layers": 2, **COMMON,
+    },
+]
+
+
+@pytest.mark.parametrize("cfg", BF16_CONFIGS, ids=lambda c: c["model_name"])
+def test_unet_family_bf16_opt_in(cfg):
+    """compute_dtype=bfloat16 is honored by every NormUnet-based model:
+    identical f32 params (checkpoint-compatible) and finite output. The knob
+    is opt-in — defaults stay f32 (see test_varnet_bf16_compute_dtype for
+    the error-vs-f32 characterization)."""
+    y, s, m = _inputs()
+    exact = build_model(cfg)
+    fast = build_model({**cfg, "compute_dtype": "bfloat16"})
+    v = exact.init(jax.random.PRNGKey(0), y, s, m)
+    v_fast = fast.init(jax.random.PRNGKey(0), y, s, m)
+    assert jax.tree_util.tree_structure(v_fast["params"]) == jax.tree_util.tree_structure(v["params"])
+    assert all(x.dtype == jnp.float32 for x in jax.tree_util.tree_leaves(v_fast["params"]))
+    p_fast = np.asarray(fast.apply(v, y, s, m).prediction)
+    p_exact = np.asarray(exact.apply(v, y, s, m).prediction)
+    assert np.isfinite(p_fast).all()
+    # bf16 conv compute must actually engage (output differs from f32)...
+    assert np.abs(p_fast - p_exact).max() > 0
+    # ...but stays in the same ballpark at one iteration/cascade
+    rel = np.linalg.norm(p_fast - p_exact) / np.linalg.norm(p_exact)
+    assert rel < 0.1, rel
