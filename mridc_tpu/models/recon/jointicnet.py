@@ -78,6 +78,7 @@ class JointICNet(BaseReconModel):
             fft_normalization=self.fft_normalization,
             spatial_dims=self.spatial_dims,
             coil_dim=self.coil_dim,
+            dtype=self.compute_dtype,
         )
 
         reg_i = self.param("reg_param_I", nn.initializers.ones, (self.num_iter,))

@@ -28,6 +28,7 @@ class WithSensNet(nn.Module):
     sens_mask_type: str = "2D"
     sens_normalize: bool = True
     sens_mask_center: bool = True
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, y, sens, mask, init_pred=None, train: bool = False) -> ModelOutput:
@@ -42,6 +43,7 @@ class WithSensNet(nn.Module):
             coil_dim=self.model.coil_dim,
             normalize=self.sens_normalize,
             mask_center=self.sens_mask_center,
+            dtype=self.compute_dtype,
         )(y, mask, train=train)
         return self.model(y, est, mask, init_pred, train=train)
 
@@ -76,4 +78,5 @@ def maybe_wrap_sens_net(model, cfg, model_name: str = "") -> Any:
         sens_mask_type=cfg.get("sens_mask_type", "2D"),
         sens_normalize=cfg.get("sens_normalize", True),
         sens_mask_center=cfg.get("sens_mask_center", True),
+        compute_dtype=cfg.get("compute_dtype", None),
     )

@@ -31,6 +31,8 @@ class SensitivityModel(nn.Module):
     coil_dim: int = 1
     normalize: bool = True
     mask_center: bool = True
+    dtype: Optional[str] = None  # opt-in bf16 conv compute for the per-coil
+    # NormUnet (params stay f32; ACS masking, FFT and RSS-normalize stay f32)
 
     @nn.compact
     def __call__(
@@ -74,7 +76,7 @@ class SensitivityModel(nn.Module):
         images = ifft2_rv(x, self.fft_centered, self.fft_normalization, self.spatial_dims)
         b, c, h, w, _ = images.shape
         per_coil = images.reshape(b * c, h, w, 2)
-        est = NormUnet(self.chans, self.num_pools, normalize=self.normalize)(per_coil, train)
+        est = NormUnet(self.chans, self.num_pools, normalize=self.normalize, dtype=self.dtype)(per_coil, train)
         est = est.reshape(b, c, h, w, 2)
         if self.normalize:
             rss = jnp.sqrt(cabs2(est).sum(axis=self.coil_dim, keepdims=True))[..., None]

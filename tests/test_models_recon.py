@@ -287,10 +287,16 @@ BF16_CONFIGS = [
         "imspace_unet_num_pool_layers": 2, "sens_unet_num_filters": 4,
         "sens_unet_num_pool_layers": 2, **COMMON,
     },
+    # the use_sens_net wrapper threads compute_dtype into SensitivityModel
+    {"model_name": "VN", "num_cascades": 1, "channels": 4, "pooling_layers": 2,
+     "use_sens_net": True, "sens_chans": 4, "sens_pools": 2, **COMMON},
 ]
 
 
-@pytest.mark.parametrize("cfg", BF16_CONFIGS, ids=lambda c: c["model_name"])
+@pytest.mark.parametrize(
+    "cfg", BF16_CONFIGS,
+    ids=lambda c: c["model_name"] + ("+sensnet" if c.get("use_sens_net") else ""),
+)
 def test_unet_family_bf16_opt_in(cfg):
     """compute_dtype=bfloat16 is honored by every NormUnet-based model:
     identical f32 params (checkpoint-compatible) and finite output. The knob
