@@ -89,11 +89,26 @@ class MTLRS(BaseReconModel):
     task_adaption_type: str = "multi_task_learning"
     dc_mode: str = "full"  # "psf1d": exact DC fast path for 1D column masks
     # (see nn/dc.py psf1d_gauss_mats; same semantics as CIRIM's dc_mode)
+    compute_dtype: str = None  # opt-in bf16 compute for the RECON trunk's
+    # conv/RNN stack (same knob/cert as CIRIM; the seg head stays f32 — it is
+    # a small fraction of the step). Params stay f32.
+    lane_fold: str = "auto"  # MXU lane folding for the recon trunk (nn/fold.py)
+    train_dc_dtype: str = None  # psf1d DC chain dtype in train mode;
+    infer_dc_dtype: str = None  # ... and at inference. Both default to
+    # compute_dtype in from_config, like CIRIM (null forces f32).
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
             dc_mode=check_dc_mode(str(cfg.get("dc_mode", "full")).lower()),
+            compute_dtype=cfg.get("compute_dtype", None),
+            lane_fold=str(cfg.get("lane_fold", "auto")).lower(),
+            train_dc_dtype=(
+                cfg["train_dc_dtype"] if "train_dc_dtype" in cfg else cfg.get("compute_dtype")
+            ),
+            infer_dc_dtype=(
+                cfg["infer_dc_dtype"] if "infer_dc_dtype" in cfg else cfg.get("compute_dtype")
+            ),
             rs_cascades=cfg.get("joint_reconstruction_segmentation_module_cascades", 5),
             recon_num_cascades=cfg.get("reconstruction_module_num_cascades", 1),
             recon_time_steps=cfg.get("reconstruction_module_time_steps", 8),
@@ -143,7 +158,10 @@ class MTLRS(BaseReconModel):
                     fft_normalization=self.fft_normalization,
                     spatial_dims=self.spatial_dims,
                     coil_dim=self.coil_dim,
+                    compute_dtype=self.compute_dtype,
+                    lane_fold=self.lane_fold,
                     dc_psf1d=self.dc_mode == "psf1d",
+                    dc_dtype=self.train_dc_dtype if train else self.infer_dc_dtype,
                     pointwise_matmul=train,
                 )
                 if init_eta is not None:

@@ -150,3 +150,53 @@ def test_mtlrs_psf1d_matches_full():
     np.testing.assert_allclose(pq, pf, rtol=0, atol=5e-4 * np.abs(pf).max())
     sf, sq = np.asarray(seg_full), np.asarray(seg_fast)
     np.testing.assert_allclose(sq, sf, rtol=0, atol=5e-4 * max(np.abs(sf).max(), 1e-6))
+
+
+def test_mtlrs_bf16_opt_in():
+    """compute_dtype=bfloat16 on MTLRS: f32 params identical to the f32 build
+    (checkpoint-compatible), finite output in the same ballpark. The knob
+    covers the recon trunk only (the seg head stays f32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mridc_tpu.models import build_model
+
+    rng = np.random.default_rng(42)
+
+    def rv(x):
+        return np.stack([x.real, x.imag], -1).astype(np.float32)
+
+    b, c, h, w = 1, 2, 16, 16
+    y = rv((rng.standard_normal((b, c, h, w)) + 1j * rng.standard_normal((b, c, h, w))).astype(np.complex64))
+    sens = rv((rng.standard_normal((b, c, h, w)) + 1j * rng.standard_normal((b, c, h, w))).astype(np.complex64))
+    mask = np.zeros((b, 1, h, w), np.float32)
+    mask[..., ::2] = 1.0
+    cfg = {
+        "model_name": "MTLRS",
+        "joint_reconstruction_segmentation_module_cascades": 2,
+        "reconstruction_module_num_cascades": 1,
+        "reconstruction_module_time_steps": 2,
+        "reconstruction_module_conv_filters": [4, 4, 2],
+        "reconstruction_module_recurrent_filters": [4, 4, 0],
+        "segmentation_module": "unet",
+        "segmentation_module_output_channels": 2,
+        "segmentation_module_channels": 4,
+        "segmentation_module_pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    exact = build_model(cfg)
+    fast = build_model({**cfg, "compute_dtype": "bfloat16"})
+    v = exact.init(jax.random.PRNGKey(0), y, sens, mask)
+    v_fast = fast.init(jax.random.PRNGKey(0), y, sens, mask)
+    assert jax.tree_util.tree_structure(v_fast["params"]) == jax.tree_util.tree_structure(v["params"])
+    assert all(x.dtype == jnp.float32 for x in jax.tree_util.tree_leaves(v_fast["params"]))
+    out_f, seg_f = exact.apply(v, y, sens, mask)
+    out_b, seg_b = fast.apply(v, y, sens, mask)
+    pb = np.asarray(out_b.prediction)
+    assert np.isfinite(pb).all() and np.isfinite(np.asarray(seg_b)).all()
+    pf = np.asarray(out_f.prediction)
+    assert np.abs(pb - pf).max() > 0  # bf16 actually engaged
+    rel = np.linalg.norm(pb - pf) / np.linalg.norm(pf)
+    assert rel < 0.1, rel
