@@ -195,15 +195,23 @@ class MTLRS(BaseReconModel):
 
             # task adaption: feed |recon * seg| into the next cascade's hidden state
             if self.task_adaption_type == "multi_task_learning" and hx is not None:
+                from mridc_tpu.nn.fold import fold_w, unfold_w
+
                 recon_mag = cabs(eta)[..., None]  # [B, H, W, 1]
                 shared = jnp.abs(recon_mag * seg)  # [B, H, W, classes]
                 new_hx = []
                 for h in hx:
-                    reps = h.shape[-1] // self.seg_classes
+                    # with lane folding active the RIMBlock carries hidden
+                    # states as [B, H, W/2, 2f]; apply the adaption in the
+                    # unfolded layout (exact) and refold
+                    folded = h.shape[2] * 2 == shared.shape[2]
+                    hu = unfold_w(h) if folded else h
+                    reps = hu.shape[-1] // self.seg_classes
                     tiled = jnp.tile(shared, (1, 1, 1, max(reps, 1)))
-                    if tiled.shape[-1] < h.shape[-1]:
-                        tiled = jnp.pad(tiled, ((0, 0),) * 3 + ((0, h.shape[-1] - tiled.shape[-1]),))
-                    new_hx.append(h + tiled[..., : h.shape[-1]])
+                    if tiled.shape[-1] < hu.shape[-1]:
+                        tiled = jnp.pad(tiled, ((0, 0),) * 3 + ((0, hu.shape[-1] - tiled.shape[-1]),))
+                    hu = hu + tiled[..., : hu.shape[-1]].astype(hu.dtype)
+                    new_hx.append(fold_w(hu) if folded else hu)
                 hx = tuple(new_hx)
 
         intermediates = jnp.concatenate(all_recons, 0)

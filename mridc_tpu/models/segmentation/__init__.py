@@ -54,11 +54,25 @@ def _seg_cfg(cfg):
     )
 
 
+def _seg_dtype(cfg, supported: bool, name: str):
+    # compute_dtype for the UNet/AttentionUNet trunks; architectures without
+    # bf16 plumbing reject the knob loudly instead of silently training f32
+    dtype = cfg.get("compute_dtype", None)
+    if dtype is not None and not supported:
+        raise ValueError(
+            f"compute_dtype is not supported for {name} (only the "
+            "UNet/AttentionUNet segmentation trunks have bf16 plumbing); "
+            "remove compute_dtype from the model config"
+        )
+    return dtype
+
+
 class _SegBase(nn.Module):
     classes: int = 2
     chans: int = 32
     pools: int = 4
     normalize_output: bool = False
+    compute_dtype: str = None  # opt-in bf16 conv compute (UNet/AttentionUNet)
 
     def _maybe_norm(self, logits):
         if self.normalize_output:
@@ -69,16 +83,20 @@ class _SegBase(nn.Module):
 class SegmentationUNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
-        return cls(**_seg_cfg(cfg))
+        return cls(**_seg_cfg(cfg), compute_dtype=_seg_dtype(cfg, True, cls.__name__))
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        return Unet(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+        return Unet(
+            out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools,
+            dtype=self.compute_dtype,
+        )(image, train)
 
 
 class Segmentation3DUNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
+        _seg_dtype(cfg, False, cls.__name__)
         return cls(**_seg_cfg(cfg))
 
     @nn.compact
@@ -89,11 +107,14 @@ class Segmentation3DUNet(_SegBase):
 class SegmentationAttentionUNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
-        return cls(**_seg_cfg(cfg))
+        return cls(**_seg_cfg(cfg), compute_dtype=_seg_dtype(cfg, True, cls.__name__))
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        return AttentionUnet(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+        return AttentionUnet(
+            out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools,
+            dtype=self.compute_dtype,
+        )(image, train)
 
 
 class SegmentationLambdaUNet(_SegBase):
@@ -105,6 +126,7 @@ class SegmentationLambdaUNet(_SegBase):
 
     @classmethod
     def from_config(cls, cfg):
+        _seg_dtype(cfg, False, cls.__name__)
         return cls(
             **_seg_cfg(cfg),
             query_depth=cfg.get("segmentation_module_query_depth", 16),
@@ -131,6 +153,7 @@ class SegmentationLambdaUNet(_SegBase):
 class SegmentationVNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
+        _seg_dtype(cfg, False, cls.__name__)
         return cls(**_seg_cfg(cfg))
 
     @nn.compact
@@ -147,6 +170,7 @@ class SegmentationDYNUNet(_SegBase):
 
     @classmethod
     def from_config(cls, cfg):
+        _seg_dtype(cfg, False, cls.__name__)
         filters = cfg.get("segmentation_module_channels")
         strides = cfg.get("segmentation_module_strides", (1, 2, 2, 2))
         base = _seg_cfg(cfg)
@@ -182,6 +206,7 @@ class SegmentationUNetR(_SegBase):
 
     @classmethod
     def from_config(cls, cfg):
+        _seg_dtype(cfg, False, cls.__name__)
         base = _seg_cfg(cfg)
         return cls(
             classes=base["classes"],

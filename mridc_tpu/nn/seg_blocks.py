@@ -69,6 +69,8 @@ class AttentionUnet(nn.Module):
     chans: int = 32
     num_pool_layers: int = 4
     drop_prob: float = 0.0
+    dtype: str = None  # opt-in bf16 conv compute for the trunks (params and
+    # the attention gates stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -76,28 +78,33 @@ class AttentionUnet(nn.Module):
 
         ch = self.chans
         skips = []
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i in range(self.num_pool_layers):
-            x = ConvBlock(ch, self.drop_prob)(x, train)
+            x = ConvBlock(ch, self.drop_prob, dtype=self.dtype)(x, train)
             skips.append(x)
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
             if i < self.num_pool_layers - 1:
                 ch *= 2
-        x = ConvBlock(ch * 2, self.drop_prob)(x, train)
+        x = ConvBlock(ch * 2, self.drop_prob, dtype=self.dtype)(x, train)
         for i in range(self.num_pool_layers):
             skip = skips.pop()
-            gated = AttentionGate(ch)(skip, x)
-            x = TransposeConvBlock(ch)(x)
+            # the gate mixes sigmoid attention over small tensors — keep f32
+            gated = AttentionGate(ch)(skip.astype(jnp.float32), x.astype(jnp.float32))
+            if self.dtype is not None:
+                gated = gated.astype(self.dtype)
+            x = TransposeConvBlock(ch, dtype=self.dtype)(x)
             pad_h = gated.shape[1] - x.shape[1]
             pad_w = gated.shape[2] - x.shape[2]
             if pad_h or pad_w:
                 x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
             x = jnp.concatenate([x, gated], axis=-1)
-            x = ConvBlock(ch, self.drop_prob)(x, train)
+            x = ConvBlock(ch, self.drop_prob, dtype=self.dtype)(x, train)
             if i < self.num_pool_layers - 1:
                 ch //= 2
             else:
-                x = nn.Conv(self.out_chans, (1, 1))(x)
-        return x
+                x = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(x)
+        return x if self.dtype is None else x.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------

@@ -159,3 +159,48 @@ def test_qrim_lane_fold_exact():
     _, m0 = b0.apply(v, y, maps, tes, sens, mask, gamma)
     _, m1 = b1.apply(v, y, maps, tes, sens, mask, gamma)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=0, atol=1e-5 * float(jnp.abs(m0).max()))
+
+
+def test_mtlrs_lane_fold_exact():
+    """MTLRS folded path equals the standard path. Regression: the
+    multi_task_learning adaption adds the seg-weighted magnitude into the
+    RIMBlock hidden states, which are carried FOLDED [B, H, W/2, 2f] when
+    lane folding is active — the adaption must unfold/refold around the add
+    (models/multitask/models.py)."""
+    from mridc_tpu.models import build_model
+
+    rng = np.random.default_rng(11)
+
+    def rv(z):
+        return np.stack([z.real, z.imag], -1).astype(np.float32)
+
+    B, C, H, W = 1, 2, 12, 16
+    y = rv((rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64))
+    s = rv((rng.standard_normal((B, C, H, W)) + 1j * rng.standard_normal((B, C, H, W))).astype(np.complex64))
+    mask = np.zeros((B, 1, H, W), np.float32)
+    mask[..., ::2] = 1
+    cfg = {
+        "model_name": "MTLRS",
+        "joint_reconstruction_segmentation_module_cascades": 2,
+        "reconstruction_module_num_cascades": 1,
+        "reconstruction_module_time_steps": 2,
+        "reconstruction_module_conv_filters": [8, 8, 2],
+        "reconstruction_module_recurrent_filters": [8, 8, 0],
+        "segmentation_module_output_channels": 2,
+        "segmentation_module_channels": 8,
+        "segmentation_module_pooling_layers": 2,
+        "task_adaption_type": "multi_task_learning",
+    }
+    m0 = build_model({**cfg, "lane_fold": "never"})
+    m1 = build_model({**cfg, "lane_fold": "always"})
+    v = m0.init(jax.random.PRNGKey(0), y, s, mask)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), y, s, mask)
+    )
+    out0, seg0 = m0.apply(v, y, s, mask)
+    out1, seg1 = m1.apply(v, y, s, mask)
+    p0, p1 = np.asarray(out0.prediction), np.asarray(out1.prediction)
+    np.testing.assert_allclose(p1, p0, rtol=0, atol=1e-5 * np.abs(p0).max())
+    np.testing.assert_allclose(
+        np.asarray(seg1), np.asarray(seg0), rtol=0, atol=1e-5 * max(float(np.abs(np.asarray(seg0)).max()), 1e-6)
+    )

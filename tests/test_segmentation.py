@@ -91,3 +91,38 @@ def test_dice_class_api():
     target = one_hot(labels, CLS)
     _, loss = d(target, 20.0 * target)
     assert float(loss) < 0.01
+
+
+@pytest.mark.parametrize("name", ["SegmentationUNet", "SegmentationAttentionUNet"])
+def test_seg_bf16_opt_in(name):
+    """compute_dtype=bfloat16 on the UNet/AttentionUNet seg trunks: identical
+    f32 params (checkpoint-compatible), finite logits near the f32 ones."""
+    cfg = {
+        "model_name": name.upper(),
+        "segmentation_module_output_channels": 2,
+        "segmentation_module_channels": 8,
+        "segmentation_module_pooling_layers": 2,
+    }
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 1)).astype(np.float32))
+    exact = build_model(cfg)
+    fast = build_model({**cfg, "compute_dtype": "bfloat16"})
+    v = exact.init(jax.random.PRNGKey(0), x)
+    v_fast = fast.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v_fast["params"]) == jax.tree_util.tree_structure(v["params"])
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(v_fast["params"]))
+    lf = np.asarray(fast.apply(v, x))
+    le = np.asarray(exact.apply(v, x))
+    assert np.isfinite(lf).all()
+    assert np.abs(lf - le).max() > 0  # bf16 actually engaged
+    assert np.linalg.norm(lf - le) / max(np.linalg.norm(le), 1e-6) < 0.1
+
+
+def test_seg_bf16_rejected_for_unsupported_arch():
+    cfg = {
+        "model_name": "SEGMENTATIONVNET",
+        "segmentation_module_output_channels": 2,
+        "compute_dtype": "bfloat16",
+    }
+    with pytest.raises(ValueError, match="compute_dtype is not supported"):
+        build_model(cfg)
