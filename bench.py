@@ -125,8 +125,25 @@ def bench_jax() -> float:
     # slices/s, SSIM-vs-f32 cert unchanged — see bench_quality and
     # docs/performance.md). stack_intermediates=False skips stacking the
     # cascades x T per-step predictions (bit-identical final prediction).
-    model = build_model(flagship_cfg(stack_intermediates=False))
-    y, sens, mask = (jnp.asarray(x) for x in _data(BATCH))
+    forward, fargs = make_flagship_forward(BATCH)
+    dt = time_scalar_fn(forward, fargs, WARMUP, ITERS)
+
+    sps = (ITERS * BATCH) / dt
+    tflops = cirim_flops_per_slice() * sps / 1e12
+    return sps, tflops
+
+
+def make_flagship_forward(batch, overrides=None):
+    """Build the jitted flagship inference forward (scalar readback form).
+    Returns (forward, (variables, y, sens, mask)) — shared with
+    tools/perf_lab.py so its numbers match the driver bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+
+    model = build_model(flagship_cfg(stack_intermediates=False, **(overrides or {})))
+    y, sens, mask = (jnp.asarray(x) for x in _data(batch))
     # jit the init: eager init costs ~70s of per-op compiles over the axon tunnel
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
 
@@ -139,11 +156,7 @@ def bench_jax() -> float:
         pred = model.apply(variables, y, sens, mask).prediction
         return (pred**2).sum()
 
-    dt = time_scalar_fn(forward, (variables, y, sens, mask), WARMUP, ITERS)
-
-    sps = (ITERS * BATCH) / dt
-    tflops = cirim_flops_per_slice() * sps / 1e12
-    return sps, tflops
+    return forward, (variables, y, sens, mask)
 
 
 def quality_vs_exact(fast_overrides=None) -> dict:

@@ -20,6 +20,7 @@ class CascadeNet(BaseReconModel):
     n_convs: int = 5
     batchnorm: bool = False
     no_dc: bool = False
+    compute_dtype: str = None  # opt-in bf16 conv compute (DC/FFT stay f32)
 
     @classmethod
     def from_config(cls, cfg):
@@ -29,6 +30,7 @@ class CascadeNet(BaseReconModel):
             n_convs=cfg.get("n_convs", 5),
             batchnorm=cfg.get("batchnorm", False),
             no_dc=cfg.get("no_dc", False),
+            compute_dtype=cfg.get("compute_dtype"),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -48,7 +50,8 @@ class CascadeNet(BaseReconModel):
                 pred, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
             )
             x = Conv2dCascade(
-                out_channels=2, hidden_channels=self.hidden_channels, n_convs=self.n_convs, batchnorm=self.batchnorm
+                out_channels=2, hidden_channels=self.hidden_channels, n_convs=self.n_convs,
+                batchnorm=self.batchnorm, dtype=self.compute_dtype,
             )(image, train)
             model_term = sens_expand(
                 x, sens, self.fft_centered, self.fft_normalization, self.spatial_dims

@@ -25,6 +25,7 @@ class _CRNNIter(BaseReconModel):
     n_convs: int = 3
     batchnorm: bool = False
     no_dc: bool = False
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, carry, _, ref_kspace, sens, mask):
@@ -35,7 +36,8 @@ class _CRNNIter(BaseReconModel):
             pred, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
         )
         x = Conv2dCascade(
-            out_channels=2, hidden_channels=self.hidden_channels, n_convs=self.n_convs, batchnorm=self.batchnorm
+            out_channels=2, hidden_channels=self.hidden_channels, n_convs=self.n_convs,
+            batchnorm=self.batchnorm, dtype=self.compute_dtype,
         )(image)
         reg = x + image  # residual connection (reference :158)
         model_term = sens_expand(reg, sens, self.fft_centered, self.fft_normalization, self.spatial_dims)
@@ -49,6 +51,7 @@ class CRNNet(BaseReconModel):
     n_convs: int = 3
     batchnorm: bool = False
     no_dc: bool = False
+    compute_dtype: str = None  # opt-in bf16 conv compute (DC/FFT stay f32)
 
     @classmethod
     def from_config(cls, cfg):
@@ -58,6 +61,7 @@ class CRNNet(BaseReconModel):
             n_convs=cfg.get("n_convs", 3),
             batchnorm=cfg.get("batchnorm", False),
             no_dc=cfg.get("no_dc", False),
+            compute_dtype=cfg.get("compute_dtype"),
             fft_centered=cfg.get("fft_centered", False),
             fft_normalization=cfg.get("fft_normalization", "backward"),
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
@@ -81,6 +85,7 @@ class CRNNet(BaseReconModel):
             n_convs=self.n_convs,
             batchnorm=self.batchnorm,
             no_dc=self.no_dc,
+            compute_dtype=self.compute_dtype,
             fft_centered=self.fft_centered,
             fft_normalization=self.fft_normalization,
             spatial_dims=self.spatial_dims,

@@ -56,6 +56,7 @@ class DUNet(BaseReconModel):
                 hidden_channels=cfg.get("didn_hidden_channels", 64),
                 num_dubs=cfg.get("didn_num_dubs", 2),
                 num_convs_recon=cfg.get("didn_num_convs_recon", 3),
+                dtype=cfg.get("compute_dtype"),
             )
         return NormUnet(
             cfg.get("unet_num_filters", 16),

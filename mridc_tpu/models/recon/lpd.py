@@ -55,12 +55,15 @@ class LPDNet(BaseReconModel):
                 input_channels=2 * (self.num_primal + 1),
                 first_conv_hidden_channels=cfg.get("primal_mwcnn_hidden_channels", 16),
                 num_scales=cfg.get("primal_mwcnn_num_scales", 2),
+                dtype=cfg.get("compute_dtype"),
             )
+            head_dtype = cfg.get("compute_dtype")
 
             class _Wrap(nn.Module):
                 @nn.compact
                 def __call__(self, x):
-                    return nn.Conv(out, (1, 1))(mw(x))
+                    y = nn.Conv(out, (1, 1), dtype=head_dtype)(mw(x))
+                    return y.astype(x.dtype)
 
             return _Wrap()
         if self.primal_arch in ("UNET", "NORMUNET"):
@@ -84,6 +87,7 @@ class LPDNet(BaseReconModel):
                 hidden_channels=cfg.get("kspace_didn_hidden_channels", 32),
                 num_dubs=cfg.get("kspace_didn_num_dubs", 2),
                 num_convs_recon=cfg.get("kspace_didn_num_convs_recon", 3),
+                dtype=cfg.get("compute_dtype"),
             )
         if self.dual_arch in ("UNET", "NORMUNET"):
             return NormUnet(
@@ -100,6 +104,7 @@ class LPDNet(BaseReconModel):
                 hidden_channels=cfg.get("kspace_conv_hidden_channels", 16),
                 n_convs=cfg.get("kspace_conv_n_convs", 4),
                 batchnorm=cfg.get("kspace_conv_batchnorm", False),
+                dtype=cfg.get("compute_dtype"),
             )
         raise ValueError(f"LPDNet dual_model_architecture must be CONV, DIDN or UNET, got {self.dual_arch!r}")
 

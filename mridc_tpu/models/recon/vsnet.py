@@ -47,6 +47,7 @@ class VSNet(BaseReconModel):
                 input_channels=2,
                 first_conv_hidden_channels=cfg.get("image_mwcnn_hidden_channels", 16),
                 num_scales=cfg.get("image_mwcnn_num_scales", 2),
+                dtype=cfg.get("compute_dtype"),
             )
         if self.image_arch in ("UNET", "NORMUNET"):
             return NormUnet(
@@ -61,6 +62,7 @@ class VSNet(BaseReconModel):
             hidden_channels=cfg.get("imspace_conv_hidden_channels", 16),
             n_convs=cfg.get("imspace_conv_n_convs", 4),
             batchnorm=cfg.get("imspace_conv_batchnorm", False),
+            dtype=cfg.get("compute_dtype"),
         )
 
     @nn.compact

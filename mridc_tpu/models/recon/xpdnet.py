@@ -59,12 +59,15 @@ class XPDNet(BaseReconModel):
                 first_conv_hidden_channels=cfg.get("mwcnn_hidden_channels", 16),
                 num_scales=cfg.get("mwcnn_num_scales", 2),
                 batchnorm=cfg.get("mwcnn_batchnorm", False),
+                dtype=cfg.get("compute_dtype"),
             )
+            head_dtype = cfg.get("compute_dtype")
 
             class _Wrap(nn.Module):
                 @nn.compact
                 def __call__(self, x):
-                    return nn.Conv(out, (3, 3), padding="SAME")(mw(x))
+                    y = nn.Conv(out, (3, 3), padding="SAME", dtype=head_dtype)(mw(x))
+                    return y.astype(x.dtype)
 
             return _Wrap()
         return NormUnet(
@@ -85,6 +88,7 @@ class XPDNet(BaseReconModel):
                 hidden_channels=cfg.get("dual_didn_hidden_channels", 32),
                 num_dubs=cfg.get("dual_didn_num_dubs", 2),
                 num_convs_recon=cfg.get("dual_didn_num_convs_recon", 3),
+                dtype=cfg.get("compute_dtype"),
             )
         if self.kspace_arch in ("UNET", "NORMUNET"):
             return NormUnet(
@@ -101,6 +105,7 @@ class XPDNet(BaseReconModel):
             out_channels=out,
             hidden_channels=cfg.get("dual_conv_hidden_channels", 16),
             n_convs=cfg.get("dual_conv_n_convs", 4),
+            dtype=cfg.get("compute_dtype"),
         )
 
     @nn.compact

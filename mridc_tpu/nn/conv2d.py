@@ -26,6 +26,8 @@ class Conv2dCascade(nn.Module):
     # width on non-CPU backends (exact rewrite, nn/fold.py; params are laid
     # out identically either way). Disabled with batchnorm: folded per-channel
     # stats would split over column parities.
+    dtype: str = None  # opt-in bf16 conv compute; params and BatchNorm stats
+    # stay f32, output is cast back to f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -37,14 +39,18 @@ class Conv2dCascade(nn.Module):
         )
         if fold:
             x = fold_w(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for idx in range(self.n_convs):
             feats = self.hidden_channels if idx != self.n_convs - 1 else self.out_channels
-            x = Conv(feats, (3, 3), padding="SAME", lane_fold=fold, fold_pad_mode="zero")(x)
+            x = Conv(feats, (3, 3), padding="SAME", lane_fold=fold, fold_pad_mode="zero", dtype=self.dtype)(x)
             if self.batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, epsilon=1e-4)(x)
+                x = nn.BatchNorm(use_running_average=not train, epsilon=1e-4)(x.astype(jnp.float32)).astype(
+                    x.dtype
+                )
             if idx != self.n_convs - 1:
                 alpha = self.param(f"prelu_{idx}", nn.initializers.constant(0.25), (1,))
-                x = jnp.where(x >= 0, x, alpha * x)
+                x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
         if fold:
             x = unfold_w(x)
-        return x
+        return x if self.dtype is None else x.astype(jnp.float32)

@@ -45,29 +45,37 @@ def iwt2(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _bn_f32(x, train):
+    """BatchNorm computed in f32 regardless of the compute dtype."""
+    out = nn.BatchNorm(use_running_average=not train, epsilon=1e-4, momentum=0.95)(x.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
 class _CB(nn.Module):
     features: int
     batchnorm: bool = False
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         if self.batchnorm:
-            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-4, momentum=0.95)(x)
+            x = _bn_f32(x, train)
         return nn.relu(x)
 
 
 class _DilCB(nn.Module):
     dilations: Tuple[int, int]
     batchnorm: bool = False
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         for d in self.dilations:
-            x = nn.Conv(c, (3, 3), kernel_dilation=(d, d), padding="SAME")(x)
+            x = nn.Conv(c, (3, 3), kernel_dilation=(d, d), padding="SAME", dtype=self.dtype)(x)
             if self.batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, epsilon=1e-4, momentum=0.95)(x)
+                x = _bn_f32(x, train)
             x = nn.relu(x)
         return x
 
@@ -77,6 +85,8 @@ class MWCNN(nn.Module):
     first_conv_hidden_channels: int = 16
     num_scales: int = 4
     batchnorm: bool = False
+    dtype: str = None  # opt-in bf16 conv compute; params/BatchNorm stats stay
+    # f32, the DWT/IWT ladders run in the compute dtype, output cast to f32
 
     @nn.compact
     def __call__(self, x, res: bool = False, train: bool = False):
@@ -89,14 +99,16 @@ class MWCNN(nn.Module):
 
         inp = x
         x = pad_even(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         res_values = []
         hc = self.first_conv_hidden_channels
         for idx in range(self.num_scales):
             dil = (2, 1) if idx != self.num_scales - 1 else (2, 3)
             feats = hc * 2**idx
             inp_x = x if idx == 0 else dwt2(x)
-            x = _CB(feats, self.batchnorm)(inp_x, train)
-            x = _DilCB(dil, self.batchnorm)(x, train)
+            x = _CB(feats, self.batchnorm, self.dtype)(inp_x, train)
+            x = _DilCB(dil, self.batchnorm, self.dtype)(x, train)
             if idx != self.num_scales - 1:
                 x = pad_even(x)
                 res_values.append(x)
@@ -104,17 +116,17 @@ class MWCNN(nn.Module):
             scale = self.num_scales - 1 - idx
             dil = (2, 1) if scale != self.num_scales - 1 else (3, 2)
             out_feats = self.input_channels if scale == 0 else hc * 2 ** (scale + 1)
-            x = _DilCB(dil, self.batchnorm)(x, train)
+            x = _DilCB(dil, self.batchnorm, self.dtype)(x, train)
             if scale != 0:
-                x = _CB(out_feats, self.batchnorm)(x, train)
+                x = _CB(out_feats, self.batchnorm, self.dtype)(x, train)
                 x = iwt2(x)
                 skip = res_values[scale - 1]
                 x = x[:, : skip.shape[1], : skip.shape[2]] + skip
             else:
                 # the reference's final ConvBlock also applies the activation
                 # (mwcnn.py ConvBlock net = [conv, act]); mirror that exactly
-                x = nn.relu(nn.Conv(self.input_channels, (3, 3), padding="SAME")(x))
-                x = x[:, : inp.shape[1], : inp.shape[2]]
+                x = nn.relu(nn.Conv(self.input_channels, (3, 3), padding="SAME", dtype=self.dtype)(x))
+                x = x[:, : inp.shape[1], : inp.shape[2]].astype(inp.dtype)
                 if res:
                     x = x + inp
         return x

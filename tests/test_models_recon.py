@@ -290,6 +290,38 @@ BF16_CONFIGS = [
     # the use_sens_net wrapper threads compute_dtype into SensitivityModel
     {"model_name": "VN", "num_cascades": 1, "channels": 4, "pooling_layers": 2,
      "use_sens_net": True, "sens_chans": 4, "sens_pools": 2, **COMMON},
+    # non-UNet regularizer branches (MWCNN / DIDN / Conv2dCascade) honor the
+    # knob too — previously they silently trained f32
+    {
+        "model_name": "LPD", "num_iter": 1, "num_primal": 2, "num_dual": 2,
+        "primal_model_architecture": "MWCNN", "primal_mwcnn_hidden_channels": 4,
+        "primal_mwcnn_num_scales": 1, "dual_model_architecture": "CONV",
+        "kspace_conv_hidden_channels": 4, "kspace_conv_n_convs": 2, **COMMON,
+    },
+    {
+        "model_name": "XPDNET", "num_iter": 1, "num_primal": 2, "num_dual": 2,
+        "use_primal_only": False, "image_model_architecture": "MWCNN",
+        "mwcnn_hidden_channels": 4, "mwcnn_num_scales": 1,
+        "kspace_model_architecture": "DIDN", "dual_didn_hidden_channels": 4,
+        "dual_didn_num_dubs": 1, "dual_didn_num_convs_recon": 2, **COMMON,
+    },
+    {
+        "model_name": "KIKINET", "num_iter": 1, "kspace_model_architecture": "DIDN",
+        "kspace_didn_hidden_channels": 4, "kspace_didn_num_dubs": 1,
+        "kspace_didn_num_convs_recon": 2, "imspace_model_architecture": "MWCNN",
+        "image_mwcnn_hidden_channels": 4, "image_mwcnn_num_scales": 1, **COMMON,
+    },
+    {
+        "model_name": "VSNET", "num_cascades": 1, "imspace_model_architecture": "CONV",
+        "imspace_conv_hidden_channels": 4, "imspace_conv_n_convs": 2, **COMMON,
+    },
+    {
+        "model_name": "DUNET", "num_iter": 1, "reg_model_architecture": "DIDN",
+        "didn_hidden_channels": 4, "didn_num_dubs": 1, "didn_num_convs_recon": 2,
+        "data_consistency_term": "VS", **COMMON,
+    },
+    {"model_name": "CASCADENET", "num_cascades": 1, "hidden_channels": 4, "n_convs": 2, **COMMON},
+    {"model_name": "CRNNET", "num_iterations": 2, "hidden_channels": 4, "n_convs": 2, **COMMON},
 ]
 
 

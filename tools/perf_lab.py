@@ -32,47 +32,27 @@ import numpy as np  # noqa: E402
 import bench  # noqa: E402
 
 
-def _infer_cfg(args):
-    """Inference config + the effective DC dtype it implies."""
-    overrides = {"stack_intermediates": False}
+def _infer_overrides(args):
+    """The --dc-dtype flag as flagship_cfg overrides + the effective DC dtype.
+    Single home of the None-means-f32 encoding, shared by infer/quality/trace."""
+    overrides = {}
     if args.dc_dtype:
         overrides["infer_dc_dtype"] = None if args.dc_dtype == "float32" else args.dc_dtype
     cfg = bench.flagship_cfg(**overrides)
     effective = cfg.get("infer_dc_dtype", cfg["compute_dtype"]) or "float32"
-    return cfg, effective
-
-
-def _build_forward(cfg, batch):
-    import jax
-    import jax.numpy as jnp
-
-    from mridc_tpu.models import build_model
-
-    model = build_model(cfg)
-    y, sens, mask = (jnp.asarray(x) for x in bench._data(batch))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
-
-    @jax.jit
-    def forward(variables, y, sens, mask):
-        pred = model.apply(variables, y, sens, mask).prediction
-        return (pred**2).sum()
-
-    return forward, (variables, y, sens, mask)
+    return overrides, effective
 
 
 def run_infer(args):
-    cfg, dc_dtype = _infer_cfg(args)
-    forward, fargs = _build_forward(cfg, args.batch)
+    overrides, dc_dtype = _infer_overrides(args)
+    forward, fargs = bench.make_flagship_forward(args.batch, overrides)
     dt = bench.time_scalar_fn(forward, fargs, warmup=2, iters=args.iters)
     print(json.dumps({"exp": "infer", "batch": args.batch, "dc_dtype": dc_dtype,
                       "slices_per_s": round(args.iters * args.batch / dt, 2)}))
 
 
 def run_quality(args):
-    _, dc_dtype = _infer_cfg(args)
-    overrides = {}
-    if args.dc_dtype:
-        overrides["infer_dc_dtype"] = None if args.dc_dtype == "float32" else args.dc_dtype
+    overrides, dc_dtype = _infer_overrides(args)
     q = bench.quality_vs_exact(overrides)
     print(json.dumps({"exp": "quality", "dc_dtype": dc_dtype,
                       "ssim_vs_f32": round(q["ssim_vs_f32"], 6),
@@ -111,8 +91,8 @@ def run_train(args):
 def run_trace_infer(args):
     import jax
 
-    cfg, dc_dtype = _infer_cfg(args)
-    forward, fargs = _build_forward(cfg, args.batch)
+    overrides, dc_dtype = _infer_overrides(args)
+    forward, fargs = bench.make_flagship_forward(args.batch, overrides)
     for _ in range(2):
         float(forward(*fargs))
     jax.profiler.start_trace(args.out)
