@@ -48,6 +48,8 @@ class _QRIMStep(nn.Module):
     recurrent_dilations: Sequence[int] = (1, 1, 0)
     recurrent_bias: Sequence[bool] = (True, True, False)
     lane_fold: bool = False  # folded conv stack (nn/fold.py; exact)
+    compute_dtype: str = None  # opt-in bf16 conv/RNN compute; the map carry,
+    # R2* clamp and signal-model gradient stay f32 (params stay f32 too)
 
     @nn.compact
     def __call__(self, carry, _, grad_channels):
@@ -70,11 +72,18 @@ class _QRIMStep(nn.Module):
             self.recurrent_bias,
             nonlinears,
         ):
-            conv = ConvNonlinear(cf, ck, cd, cb, nl, lane_fold=self.lane_fold) if cf != 0 else None
+            conv = (
+                ConvNonlinear(cf, ck, cd, cb, nl, dtype=self.compute_dtype, lane_fold=self.lane_fold)
+                if cf != 0
+                else None
+            )
             if rf != 0 and nl is not None:
                 x = conv(x)
-                cell = make_cell(self.recurrent_layer, rf, rk, rd, rb, lane_fold=self.lane_fold)
-                x = cell(x, hx[h_idx])
+                cell = make_cell(
+                    self.recurrent_layer, rf, rk, rd, rb,
+                    dtype=self.compute_dtype, lane_fold=self.lane_fold,
+                )
+                x = cell(x, hx[h_idx]).astype(hx[h_idx].dtype)
                 new_hx.append(x)
                 h_idx += 1
             else:
@@ -82,7 +91,7 @@ class _QRIMStep(nn.Module):
         dx = final(x)
         if self.lane_fold:
             dx = unfold_w(dx)
-        maps = maps + dx
+        maps = maps + dx.astype(maps.dtype)
         # clamp R2* (channel 0) non-negative
         maps = maps.at[..., 0].set(jnp.maximum(maps[..., 0], 0.0))
         return (maps, tuple(new_hx)), maps
@@ -101,6 +110,7 @@ class qRIMBlock(BaseReconModel):
     time_steps: int = 8
     lane_fold: str = "auto"  # fold the conv/RNN stack on non-CPU backends
     # (IndRNN only, even W; exact — see nn/fold.py)
+    compute_dtype: str = None  # opt-in bf16 conv/RNN compute (maps/fits f32)
 
     @nn.compact
     def __call__(self, y, maps, tes, sens, sampling_mask, gamma):
@@ -133,8 +143,9 @@ class qRIMBlock(BaseReconModel):
             and w % 2 == 0
         )
         hx_w = w // 2 if fold else w
+        hx_dtype = self.compute_dtype or jnp.float32
         hx = tuple(
-            jnp.zeros((b, h, hx_w, 2 * f if fold else f), jnp.float32)
+            jnp.zeros((b, h, hx_w, 2 * f if fold else f), hx_dtype)
             for f in self.recurrent_filters
             if f != 0
         )
@@ -156,6 +167,7 @@ class qRIMBlock(BaseReconModel):
             recurrent_dilations=self.recurrent_dilations,
             recurrent_bias=self.recurrent_bias,
             lane_fold=fold,
+            compute_dtype=self.compute_dtype,
         )
         (maps, _), all_maps = scan((maps, hx), None, grad)
         return all_maps, maps
@@ -186,12 +198,16 @@ class qCIRIM(BaseReconModel):
     recon_conv_filters: Sequence[int] = (64, 64, 2)
     recon_recurrent_filters: Sequence[int] = (64, 64, 0)
     recon_keep_prediction: bool = True
+    compute_dtype: str = None  # opt-in bf16 conv/RNN compute for the qRIM
+    # trunk and the optional recon module; map carries, MEGRE fits, the
+    # analytical gradient and all clamps stay f32. Params stay f32.
 
     @classmethod
     def from_config(cls, cfg):
         g = lambda k, d: cfg.get(f"quantitative_module_{k}", d)  # noqa: E731
         r = lambda k, d: cfg.get(f"reconstruction_module_{k}", d)  # noqa: E731
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             use_reconstruction_module=bool(cfg.get("use_reconstruction_module", False)),
             recon_num_cascades=r("num_cascades", 5),
             recon_time_steps=r("time_steps", 8),
@@ -241,6 +257,7 @@ class qCIRIM(BaseReconModel):
                         fft_normalization=self.fft_normalization,
                         spatial_dims=self.spatial_dims,
                         coil_dim=1,
+                        compute_dtype=self.compute_dtype,
                         pointwise_matmul=train,
                     )
                     _, eta_final = block(y[:, e], sens, mask4, eta=eta)
@@ -278,6 +295,7 @@ class qCIRIM(BaseReconModel):
                 fft_centered=self.fft_centered,
                 fft_normalization=self.fft_normalization,
                 spatial_dims=self.spatial_dims,
+                compute_dtype=self.compute_dtype,
             )
             etas, maps = block(y, maps, tes, sens, sampling_mask, gamma)
             all_casc.append(etas)

@@ -62,6 +62,9 @@ class qVarNet(BaseReconModel):
     recon_channels: int = 18
     recon_pooling_layers: int = 4
     recon_no_dc: bool = False
+    compute_dtype: str = None  # opt-in bf16 compute for the NormUnet
+    # regularizers and the optional recon module; the MEGRE signal model,
+    # DC/FFT chain, map threading and clamps stay f32. Params stay f32.
 
     @classmethod
     def from_config(cls, cfg):
@@ -73,6 +76,7 @@ class qVarNet(BaseReconModel):
                 f"quantitative_module_map_threading must be 'complex' or 'real', got {threading!r}"
             )
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             use_reconstruction_module=bool(cfg.get("use_reconstruction_module", False)),
             recon_num_cascades=r("num_cascades", 8),
             recon_channels=r("channels", 18),
@@ -115,6 +119,7 @@ class qVarNet(BaseReconModel):
                     fft_normalization=self.fft_normalization,
                     spatial_dims=self.spatial_dims,
                     coil_dim=1,
+                    compute_dtype=self.compute_dtype,
                 )
                 for _ in range(self.recon_num_cascades)
             ]
@@ -173,6 +178,7 @@ class qVarNet(BaseReconModel):
                 out_chans=8,
                 padding_size=self.padding_size,
                 normalize=self.normalize,
+                dtype=self.compute_dtype,
             )
             out = unet(reg_in, train)  # [B, H, W, 8]
             # torch chan_complex_to_last_dim: [B, 2*4, H, W] -> [B, 4, H, W, 2]
@@ -219,6 +225,7 @@ class qVarNet(BaseReconModel):
                 out_chans=4,
                 padding_size=self.padding_size,
                 normalize=self.normalize,
+                dtype=self.compute_dtype,
             )
             maps = maps + unet(reg_in, train)
             maps = maps.at[..., 0].set(jnp.maximum(maps[..., 0], 0.0))

@@ -294,3 +294,49 @@ def test_qvarnet_real_threading_optin():
     out = model.apply(v, y, sens, mask, maps_init, tes)
     assert out.prediction.shape == maps_init.shape
     assert bool(jnp.isfinite(out.prediction).all())
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        {
+            "model_name": "qCIRIM",
+            "quantitative_module_num_cascades": 1,
+            "quantitative_module_time_steps": 4,
+            "quantitative_module_conv_filters": [8, 8, 4],
+            "quantitative_module_recurrent_filters": [8, 8, 0],
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        },
+        {
+            "model_name": "qVN",
+            "quantitative_module_num_cascades": 2,
+            "quantitative_module_channels": 4,
+            "quantitative_module_pooling_layers": 2,
+            # tame gamma: at the 150-600x defaults the MEGRE exponentials
+            # amplify bf16 regularizer rounding (like VarNet, the knob is
+            # certified by training under it, not weight-independence)
+            "quantitative_module_gamma_regularization_factors": [1.0, 1.0, 1.0, 1.0],
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        },
+    ],
+    ids=["qCIRIM", "qVN"],
+)
+def test_quantitative_bf16_opt_in(cfg):
+    """compute_dtype=bfloat16 on the quantitative models: identical f32 params
+    (checkpoint-compatible), finite maps near the f32 ones, bf16 engaged. The
+    map carries, MEGRE signal model/fits, DC chain and clamps stay f32."""
+    y, sens, mask, maps_init, tes = _q_inputs()
+    exact = build_model(cfg)
+    fast = build_model({**cfg, "compute_dtype": "bfloat16"})
+    v = exact.init(jax.random.PRNGKey(0), y, sens, mask, maps_init, tes)
+    v_fast = fast.init(jax.random.PRNGKey(0), y, sens, mask, maps_init, tes)
+    assert jax.tree_util.tree_structure(v_fast["params"]) == jax.tree_util.tree_structure(v["params"])
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(v_fast["params"]))
+    p_fast = np.asarray(fast.apply(v, y, sens, mask, maps_init, tes).prediction)
+    p_exact = np.asarray(exact.apply(v, y, sens, mask, maps_init, tes).prediction)
+    assert np.isfinite(p_fast).all()
+    assert np.abs(p_fast - p_exact).max() > 0  # bf16 actually engaged
+    rel = np.linalg.norm(p_fast - p_exact) / max(np.linalg.norm(p_exact), 1e-6)
+    assert rel < 0.1, rel
