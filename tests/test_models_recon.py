@@ -349,3 +349,44 @@ def test_unet_family_bf16_opt_in(cfg):
     # ...but stays in the same ballpark at one iteration/cascade
     rel = np.linalg.norm(p_fast - p_exact) / np.linalg.norm(p_exact)
     assert rel < 0.1, rel
+
+
+@pytest.mark.parametrize(
+    "arches",
+    [("MWCNN", "DIDN"), ("UNET", "UNET")],
+    ids=["mwcnn+didn", "unet+unet"],
+)
+def test_xpdnet_scan_iterations_exact(arches):
+    """scan_iterations=True runs the iterations as a lax.scan with stacked
+    per-iteration params (~4x faster compiles at the default depth: init
+    152 -> 35 s on CPU). stack_iteration_params converts a trained unrolled
+    checkpoint to the scan layout; outputs must match exactly. The UNET+UNET
+    case pins the per-iteration creation order (kspace NormUnet before image
+    NormUnet) that the converter's round-robin relies on."""
+    from mridc_tpu.models.recon.xpdnet import stack_iteration_params
+
+    image_arch, kspace_arch = arches
+    cfg = {
+        "model_name": "XPDNET", "num_iter": 3, "num_primal": 2, "num_dual": 2,
+        "use_primal_only": False,
+        "image_model_architecture": image_arch,
+        "mwcnn_hidden_channels": 4, "mwcnn_num_scales": 1,
+        "imspace_unet_num_filters": 4, "imspace_unet_num_pool_layers": 2,
+        "kspace_model_architecture": kspace_arch,
+        "dual_didn_hidden_channels": 4, "dual_didn_num_dubs": 1,
+        "dual_didn_num_convs_recon": 2,
+        "kspace_unet_num_filters": 4, "kspace_unet_num_pool_layers": 2,
+        **COMMON,
+    }
+    y, s, m = _inputs()
+    unrolled = build_model(cfg)
+    scanned = build_model({**cfg, "scan_iterations": True})
+    vu = unrolled.init(jax.random.PRNGKey(0), y, s, m)
+    vs = scanned.init(jax.random.PRNGKey(0), y, s, m)
+    rebuilt = stack_iteration_params(vu["params"], cfg["num_iter"])
+    assert jax.tree_util.tree_structure(rebuilt) == jax.tree_util.tree_structure(
+        dict(vs["params"])
+    )
+    p_unrolled = np.asarray(unrolled.apply(vu, y, s, m).prediction)
+    p_scan = np.asarray(scanned.apply({"params": rebuilt}, y, s, m).prediction)
+    np.testing.assert_allclose(p_scan, p_unrolled, rtol=0, atol=1e-5 * max(np.abs(p_unrolled).max(), 1e-6))
