@@ -78,11 +78,16 @@ class KIKINet(BaseReconModel):
     kspace_arch: str = "DIDN"
     image_arch: str = "MWCNN"
     cfg: dict = None
+    scan_iterations: bool = False  # lax.scan over the iterations. Weights are
+    # shared across iterations (reference [model] * num_iter ModuleLists), so
+    # the param tree is IDENTICAL to the unrolled path — checkpoints move
+    # freely; compiles scale with one iteration instead of num_iter.
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
             num_iter=cfg.get("num_iter", 2),
+            scan_iterations=bool(cfg.get("scan_iterations", False)),
             no_dc=cfg.get("no_dc", False),
             cfg=dict(cfg),
             fft_centered=cfg.get("fft_centered", False),
@@ -110,12 +115,7 @@ class KIKINet(BaseReconModel):
 
         # reference shares ONE kspace model and ONE image model across all
         # iterations ([model] * num_iter ModuleLists, kikinet.py:100-102)
-        kmodel = _make_kspace_model(cfg)()
-        imodel = _make_image_model(cfg, self.fft_centered, self.fft_normalization)()
-
-        kspace = y
-        image = None
-        for idx in range(self.num_iter):
+        def step(kmodel, imodel, kspace):
             soft_dc = jnp.where(m.astype(bool), kspace - y, jnp.zeros((), y.dtype)) * dc_weight
             b, c, h, w, _ = kspace.shape
             kspace = kmodel(kspace.reshape(b * c, h, w, 2)).reshape(b, c, h, w, 2)
@@ -124,6 +124,37 @@ class KIKINet(BaseReconModel):
                 # reference kikinet.py:160-175: the DC residual feeds the image,
                 # NOT the k-space carried to the next iteration
                 image = reduce(kspace - soft_dc - expand(image))
+            return kspace, image
+
+        if self.scan_iterations:
+            # shared weights make this a pure params-broadcast scan: the body
+            # traces once, so the submodules it creates get the SAME names as
+            # the unrolled path's — the param tree is identical and compiles
+            # scale with one iteration. The final iteration's trailing
+            # expand() is computed and discarded (scan bodies cannot branch
+            # on the index) — numerics unchanged.
+            def body(mdl, carry, _):
+                del mdl
+                kmodel = _make_kspace_model(cfg)()
+                imodel = _make_image_model(cfg, self.fft_centered, self.fft_normalization)()
+                _, image = step(kmodel, imodel, carry)
+                return expand(image), image
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=self.num_iter,
+            )
+            _, images = scan(self, y, None)
+            return ModelOutput(prediction=images[-1])
+
+        kmodel = _make_kspace_model(cfg)()
+        imodel = _make_image_model(cfg, self.fft_centered, self.fft_normalization)()
+        kspace = y
+        image = None
+        for idx in range(self.num_iter):
+            kspace, image = step(kmodel, imodel, kspace)
             if idx < self.num_iter - 1:
                 kspace = expand(image)
         return ModelOutput(prediction=image)

@@ -30,11 +30,16 @@ class LPDNet(BaseReconModel):
     primal_arch: str = "UNET"
     dual_arch: str = "UNET"
     cfg: dict = None
+    scan_iterations: bool = False  # lax.scan over the iterations. The
+    # reference shares ONE primal/dual model across iterations, so the param
+    # tree is IDENTICAL to the unrolled path (checkpoints move freely);
+    # compiles scale with one iteration instead of num_iter.
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
             num_iter=cfg.get("num_iter", 2),
+            scan_iterations=bool(cfg.get("scan_iterations", False)),
             num_primal=cfg.get("num_primal", 5),
             num_dual=cfg.get("num_dual", 5),
             primal_arch=str(cfg.get("primal_model_architecture", "UNET")).upper(),
@@ -132,15 +137,36 @@ class LPDNet(BaseReconModel):
         # The reference passes the SAME primal/dual architecture instance to
         # every PrimalNet/DualNet (lpd.py:110-115), so weights are shared
         # across the num_iter unrolled iterations — instantiate once.
-        dual_model = self._dual_model()
-        primal_model = self._primal_model()
-        for _ in range(self.num_iter):
+        def step(dual_model, primal_model, primal, dual):
             f2 = fwd(primal[..., 2:4])
             dual_in = jnp.concatenate([dual, f2, y], axis=-1)  # [B, C, H, W, 2(nd+2)]
             b, c, h, w, ch = dual_in.shape
             dual = dual_model(dual_in.reshape(b * c, h, w, ch)).reshape(b, c, h, w, 2 * self.num_dual)
             h1 = adj(dual[..., 0:2])
             primal = primal_model(jnp.concatenate([primal, h1], axis=-1))
+            return primal, dual
+
+        if self.scan_iterations:
+            # weight-sharing makes this a pure params-broadcast scan: the body
+            # traces once, so the submodules it creates get the same names as
+            # the unrolled path's (dual first, primal second) and the param
+            # tree is identical.
+            def body(mdl, carry, _):
+                return step(mdl._dual_model(), mdl._primal_model(), *carry), None
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=self.num_iter,
+            )
+            (primal, dual), _ = scan(self, (primal, dual), None)
+            return ModelOutput(prediction=primal[..., 0:2])
+
+        dual_model = self._dual_model()
+        primal_model = self._primal_model()
+        for _ in range(self.num_iter):
+            primal, dual = step(dual_model, primal_model, primal, dual)
 
         out = primal[..., 0:2]
         return ModelOutput(prediction=out)

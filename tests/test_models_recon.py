@@ -390,3 +390,52 @@ def test_xpdnet_scan_iterations_exact(arches):
     p_unrolled = np.asarray(unrolled.apply(vu, y, s, m).prediction)
     p_scan = np.asarray(scanned.apply({"params": rebuilt}, y, s, m).prediction)
     np.testing.assert_allclose(p_scan, p_unrolled, rtol=0, atol=1e-5 * max(np.abs(p_unrolled).max(), 1e-6))
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        {
+            "model_name": "KIKINET", "num_iter": 3, "kspace_model_architecture": "DIDN",
+            "kspace_didn_hidden_channels": 4, "kspace_didn_num_dubs": 1,
+            "kspace_didn_num_convs_recon": 2, "imspace_model_architecture": "MWCNN",
+            "image_mwcnn_hidden_channels": 4, "image_mwcnn_num_scales": 1, **COMMON,
+        },
+        {
+            "model_name": "KIKINET", "num_iter": 3, "no_dc": True,
+            "kspace_model_architecture": "UNET", "kspace_unet_num_filters": 4,
+            "kspace_unet_num_pool_layers": 2, "imspace_model_architecture": "UNET",
+            "imspace_unet_num_filters": 4, "imspace_unet_num_pool_layers": 2, **COMMON,
+        },
+        {
+            "model_name": "LPD", "num_iter": 3, "num_primal": 2, "num_dual": 2,
+            "primal_model_architecture": "UNET", "primal_unet_num_filters": 4,
+            "primal_unet_num_pool_layers": 2, "dual_model_architecture": "UNET",
+            "dual_unet_num_filters": 4, "dual_unet_num_pool_layers": 2, **COMMON,
+        },
+        {
+            "model_name": "LPD", "num_iter": 3, "num_primal": 2, "num_dual": 2,
+            "primal_model_architecture": "MWCNN", "primal_mwcnn_hidden_channels": 4,
+            "primal_mwcnn_num_scales": 1, "dual_model_architecture": "CONV",
+            "kspace_conv_hidden_channels": 4, "kspace_conv_n_convs": 2, **COMMON,
+        },
+    ],
+    ids=["kiki-didn+mwcnn", "kiki-unet+unet-nodc", "lpd-unet+unet", "lpd-mwcnn+conv"],
+)
+def test_shared_weight_scan_iterations_exact(cfg):
+    """KIKINet/LPDNet scan_iterations: the reference shares ONE model per
+    domain across iterations, so the scan is params-broadcast and the param
+    tree is IDENTICAL to the unrolled path (checkpoints move freely, no
+    conversion). Outputs must match to f32 reassociation noise — the rel-l2
+    stays ~1e-6 while untrained outputs grow ~10x per iteration, so the
+    tolerance is relative."""
+    y, s, m = _inputs()
+    unrolled = build_model(cfg)
+    scanned = build_model({**cfg, "scan_iterations": True})
+    vu = unrolled.init(jax.random.PRNGKey(0), y, s, m)
+    vs = scanned.init(jax.random.PRNGKey(0), y, s, m)
+    assert jax.tree_util.tree_structure(vu) == jax.tree_util.tree_structure(vs)
+    pu = np.asarray(unrolled.apply(vu, y, s, m).prediction)
+    ps = np.asarray(scanned.apply(vu, y, s, m).prediction)  # same params verbatim
+    rel = np.linalg.norm(ps - pu) / max(np.linalg.norm(pu), 1e-12)
+    assert rel < 1e-5, rel
