@@ -127,18 +127,25 @@ class KIKINet(BaseReconModel):
             return kspace, image
 
         if self.scan_iterations:
+            if cfg.get("kspace_conv_batchnorm") or cfg.get("image_mwcnn_batchnorm"):
+                # nn.scan here declares only the params collection; BatchNorm's
+                # batch_stats would need carried-collection semantics (stats
+                # updated num_iter times per step) — unsupported, fail loudly
+                raise ValueError("scan_iterations does not support batchnorm regularizers; use the unrolled path")
             # shared weights make this a pure params-broadcast scan: the body
             # traces once, so the submodules it creates get the SAME names as
             # the unrolled path's — the param tree is identical and compiles
             # scale with one iteration. The final iteration's trailing
             # expand() is computed and discarded (scan bodies cannot branch
-            # on the index) — numerics unchanged.
+            # on the index) — numerics unchanged. The image rides the carry
+            # (ys=None) so no [num_iter, B, H, W, 2] buffer is materialized.
             def body(mdl, carry, _):
                 del mdl
+                kspace, _ = carry
                 kmodel = _make_kspace_model(cfg)()
                 imodel = _make_image_model(cfg, self.fft_centered, self.fft_normalization)()
-                _, image = step(kmodel, imodel, carry)
-                return expand(image), image
+                _, image = step(kmodel, imodel, kspace)
+                return (expand(image), image), None
 
             scan = nn.scan(
                 body,
@@ -146,8 +153,9 @@ class KIKINet(BaseReconModel):
                 split_rngs={"params": False},
                 length=self.num_iter,
             )
-            _, images = scan(self, y, None)
-            return ModelOutput(prediction=images[-1])
+            image0 = jnp.zeros(y.shape[:1] + y.shape[2:4] + (2,), y.dtype)
+            (_, image), _ = scan(self, (y, image0), None)
+            return ModelOutput(prediction=image)
 
         kmodel = _make_kspace_model(cfg)()
         imodel = _make_image_model(cfg, self.fft_centered, self.fft_normalization)()

@@ -147,6 +147,8 @@ class LPDNet(BaseReconModel):
             return primal, dual
 
         if self.scan_iterations:
+            if (self.cfg or {}).get("kspace_conv_batchnorm"):
+                raise ValueError("scan_iterations does not support batchnorm regularizers; use the unrolled path")
             # weight-sharing makes this a pure params-broadcast scan: the body
             # traces once, so the submodules it creates get the same names as
             # the unrolled path's (dual first, primal second) and the param

@@ -39,11 +39,22 @@ def stack_iteration_params(params, num_iter):
     import re
 
     groups = collections.defaultdict(dict)
+    passthrough = {}
     for key, sub in params.items():
         mt = re.match(r"(.+)_(\d+)$", key)
         if mt is None:
+            if key == "model":
+                # use_sens_net wraps the recon model: convert the nested
+                # tree, keep the SensitivityModel untouched
+                passthrough[key] = stack_iteration_params(sub, num_iter)
+                continue
             raise ValueError(f"unexpected non-indexed param scope {key!r}")
+        if mt.group(1) == "SensitivityModel":
+            passthrough[key] = sub
+            continue
         groups[mt.group(1)][int(mt.group(2))] = sub
+    if passthrough and "model" in passthrough:
+        return {**passthrough}
     children = {}
     for cls, idx_map in groups.items():
         if len(idx_map) % num_iter:
@@ -57,6 +68,21 @@ def stack_iteration_params(params, num_iter):
                 *[idx_map[i * per_iter + j] for i in range(num_iter)],
             )
     return {"Scan_XPDIter_0": children}
+
+
+def _make_fwd_bwd(m, sens, fft_centered, fft_normalization, spatial_dims, coil_dim):
+    """The masked SENSE forward/adjoint pair shared by the unrolled and
+    scanned paths — single home so the two cannot drift."""
+
+    def fwd(img):
+        k = fft2_rv(cmul(img[:, None], sens), fft_centered, fft_normalization, spatial_dims)
+        return jnp.where(m == 0, jnp.zeros((), k.dtype), k)
+
+    def bwd(k):
+        k = jnp.where(m == 0, jnp.zeros((), k.dtype), k)
+        return cmul_conj(ifft2_rv(k, fft_centered, fft_normalization, spatial_dims), sens).sum(axis=coil_dim)
+
+    return fwd, bwd
 
 
 def _xpd_step(
@@ -182,21 +208,16 @@ class XPDNet(BaseReconModel):
         del init_pred, train
         mask = expand_mask(mask)
         m = mask[..., None]
-
-        def fwd(img):
-            k = fft2_rv(cmul(img[:, None], sens), self.fft_centered, self.fft_normalization, self.spatial_dims)
-            return jnp.where(m == 0, jnp.zeros((), k.dtype), k)
-
-        def bwd(k):
-            k = jnp.where(m == 0, jnp.zeros((), k.dtype), k)
-            return cmul_conj(
-                ifft2_rv(k, self.fft_centered, self.fft_normalization, self.spatial_dims), sens
-            ).sum(axis=self.coil_dim)
+        fwd, bwd = _make_fwd_bwd(
+            m, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
+        )
 
         image_buffer = jnp.concatenate([bwd(y)] * self.num_primal, axis=-1)
         kspace_buffer = jnp.concatenate([y] * self.num_dual, axis=-1)
 
         if self.scan_iterations:
+            if (self.cfg or {}).get("mwcnn_batchnorm"):
+                raise ValueError("scan_iterations does not support batchnorm regularizers; use the unrolled path")
             scan = nn.scan(
                 _XPDIter,
                 variable_axes={"params": 0},  # per-iteration params, stacked
@@ -246,17 +267,9 @@ class _XPDIter(BaseReconModel):
     @nn.compact
     def __call__(self, carry, _, y, sens, m):
         image_buffer, kspace_buffer = carry
-
-        def fwd(img):
-            k = fft2_rv(cmul(img[:, None], sens), self.fft_centered, self.fft_normalization, self.spatial_dims)
-            return jnp.where(m == 0, jnp.zeros((), k.dtype), k)
-
-        def bwd(k):
-            k = jnp.where(m == 0, jnp.zeros((), k.dtype), k)
-            return cmul_conj(
-                ifft2_rv(k, self.fft_centered, self.fft_normalization, self.spatial_dims), sens
-            ).sum(axis=self.coil_dim)
-
+        fwd, bwd = _make_fwd_bwd(
+            m, sens, self.fft_centered, self.fft_normalization, self.spatial_dims, self.coil_dim
+        )
         image_buffer, kspace_buffer = _xpd_step(
             self._image_model, self._kspace_model, self.use_primal_only,
             self.num_primal, self.num_dual,

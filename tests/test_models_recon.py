@@ -439,3 +439,58 @@ def test_shared_weight_scan_iterations_exact(cfg):
     ps = np.asarray(scanned.apply(vu, y, s, m).prediction)  # same params verbatim
     rel = np.linalg.norm(ps - pu) / max(np.linalg.norm(pu), 1e-12)
     assert rel < 1e-5, rel
+
+
+def test_scan_iterations_rejects_batchnorm():
+    """nn.scan here only declares the params collection, so BatchNorm's
+    batch_stats would silently be unreachable — the combination must fail
+    loudly (review finding: it used to crash with ScopeCollectionNotFound)."""
+    y, s, m = _inputs()
+    for cfg in (
+        {"model_name": "KIKINET", "num_iter": 2, "kspace_model_architecture": "CONV",
+         "kspace_conv_hidden_channels": 4, "kspace_conv_n_convs": 2,
+         "kspace_conv_batchnorm": True, "imspace_model_architecture": "MWCNN",
+         "image_mwcnn_hidden_channels": 4, "image_mwcnn_num_scales": 1,
+         "scan_iterations": True, **COMMON},
+        {"model_name": "LPD", "num_iter": 2, "num_primal": 2, "num_dual": 2,
+         "primal_model_architecture": "UNET", "primal_unet_num_filters": 4,
+         "primal_unet_num_pool_layers": 2, "dual_model_architecture": "CONV",
+         "kspace_conv_hidden_channels": 4, "kspace_conv_n_convs": 2,
+         "kspace_conv_batchnorm": True, "scan_iterations": True, **COMMON},
+        {"model_name": "XPDNET", "num_iter": 2, "num_primal": 2,
+         "use_primal_only": True, "image_model_architecture": "MWCNN",
+         "mwcnn_hidden_channels": 4, "mwcnn_num_scales": 1,
+         "mwcnn_batchnorm": True, "scan_iterations": True, **COMMON},
+    ):
+        model = build_model(cfg)
+        with pytest.raises(ValueError, match="batchnorm"):
+            model.init(jax.random.PRNGKey(0), y, s, m)
+
+
+def test_xpdnet_scan_converter_handles_sens_net_wrapper():
+    """use_sens_net wraps XPDNet params under a 'model' scope;
+    stack_iteration_params converts the nested tree and keeps the
+    SensitivityModel untouched (review finding: it used to reject it)."""
+    from mridc_tpu.models.recon.xpdnet import stack_iteration_params
+
+    cfg = {
+        "model_name": "XPDNET", "num_iter": 2, "num_primal": 2, "num_dual": 2,
+        "use_primal_only": False, "image_model_architecture": "MWCNN",
+        "mwcnn_hidden_channels": 4, "mwcnn_num_scales": 1,
+        "kspace_model_architecture": "DIDN", "dual_didn_hidden_channels": 4,
+        "dual_didn_num_dubs": 1, "dual_didn_num_convs_recon": 2,
+        "use_sens_net": True, "sens_chans": 4, "sens_pools": 2, **COMMON,
+    }
+    y, s, m = _inputs()
+    unrolled = build_model(cfg)
+    scanned = build_model({**cfg, "scan_iterations": True})
+    vu = unrolled.init(jax.random.PRNGKey(0), y, s, m)
+    vs = scanned.init(jax.random.PRNGKey(0), y, s, m)
+    rebuilt = stack_iteration_params(vu["params"], cfg["num_iter"])
+    assert jax.tree_util.tree_structure(rebuilt) == jax.tree_util.tree_structure(
+        dict(vs["params"])
+    )
+    p_unrolled = np.asarray(unrolled.apply(vu, y, s, m).prediction)
+    p_scan = np.asarray(scanned.apply({"params": rebuilt}, y, s, m).prediction)
+    rel = np.linalg.norm(p_scan - p_unrolled) / max(np.linalg.norm(p_unrolled), 1e-12)
+    assert rel < 1e-5, rel

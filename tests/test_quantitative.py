@@ -320,13 +320,47 @@ def test_qvarnet_real_threading_optin():
             "fft_centered": True,
             "fft_normalization": "ortho",
         },
+        # the use_reconstruction_module paths thread the dtype into the
+        # per-echo CIRIM / VarNet chains and the MEGRE re-fit hand-off
+        {
+            "model_name": "qCIRIM",
+            "use_reconstruction_module": True,
+            "reconstruction_module_num_cascades": 1,
+            "reconstruction_module_time_steps": 2,
+            "reconstruction_module_conv_filters": [8, 8, 2],
+            "reconstruction_module_recurrent_filters": [8, 8, 0],
+            "quantitative_module_num_cascades": 1,
+            "quantitative_module_time_steps": 2,
+            "quantitative_module_conv_filters": [8, 8, 4],
+            "quantitative_module_recurrent_filters": [8, 8, 0],
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        },
+        {
+            "model_name": "qVN",
+            "use_reconstruction_module": True,
+            "reconstruction_module_num_cascades": 1,
+            "reconstruction_module_channels": 4,
+            "reconstruction_module_pooling_layers": 2,
+            "quantitative_module_num_cascades": 1,
+            "quantitative_module_channels": 4,
+            "quantitative_module_pooling_layers": 2,
+            "quantitative_module_gamma_regularization_factors": [1.0, 1.0, 1.0, 1.0],
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        },
     ],
-    ids=["qCIRIM", "qVN"],
+    ids=["qCIRIM", "qVN", "qCIRIM+recon", "qVN+recon"],
 )
 def test_quantitative_bf16_opt_in(cfg):
     """compute_dtype=bfloat16 on the quantitative models: identical f32 params
     (checkpoint-compatible), finite maps near the f32 ones, bf16 engaged. The
-    map carries, MEGRE signal model/fits, DC chain and clamps stay f32."""
+    map carries, MEGRE signal model/fits, DC chain and clamps stay f32. The
+    recon-module cases get a looser bound: the MEGRE re-fit of the
+    bf16-reconstructed echoes divides by TE differences, amplifying the
+    recon rounding at random weights (the knob's training certification
+    covers deployment, like VarNet)."""
+    tol = 0.3 if cfg.get("use_reconstruction_module") else 0.1
     y, sens, mask, maps_init, tes = _q_inputs()
     exact = build_model(cfg)
     fast = build_model({**cfg, "compute_dtype": "bfloat16"})
@@ -339,4 +373,4 @@ def test_quantitative_bf16_opt_in(cfg):
     assert np.isfinite(p_fast).all()
     assert np.abs(p_fast - p_exact).max() > 0  # bf16 actually engaged
     rel = np.linalg.norm(p_fast - p_exact) / max(np.linalg.norm(p_exact), 1e-6)
-    assert rel < 0.1, rel
+    assert rel < tol, rel
