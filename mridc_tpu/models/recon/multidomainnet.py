@@ -21,10 +21,12 @@ class MultiDomainNet(BaseReconModel):
     standardization: bool = True
     num_filters: int = 16
     num_pool_layers: int = 2
+    compute_dtype: str = None  # opt-in bf16 conv compute (feature FFTs f32)
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             standardization=cfg.get("standardization", True),
             num_filters=cfg.get("num_filters", 16),
             num_pool_layers=cfg.get("num_pool_layers", 2),
@@ -47,6 +49,7 @@ class MultiDomainNet(BaseReconModel):
             num_pool_layers=self.num_pool_layers,
             fft_centered=self.fft_centered,
             fft_normalization=self.fft_normalization,
+            dtype=self.compute_dtype,
         )
         b, c, h, w, ch = image.shape
         pred = unet(image.reshape(b * c, h, w, ch), train).reshape(b, c, h, w, 2)

@@ -30,18 +30,23 @@ class ResidualNetwork(nn.Module):
     nb_res_blocks: int = 15
     channels: int = 64
     regularization_factor: float = 0.1
+    dtype: str = None  # opt-in bf16 conv compute; params stay f32, output f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         conv = lambda f: nn.Conv(  # noqa: E731
-            f, (3, 3), padding="SAME", use_bias=False, kernel_init=nn.initializers.xavier_normal()
+            f, (3, 3), padding="SAME", use_bias=False, kernel_init=nn.initializers.xavier_normal(),
+            dtype=self.dtype,
         )
         out = conv(self.channels)(x)
         h = out
         for _ in range(self.nb_res_blocks):
             h = self.regularization_factor * conv(self.channels)(nn.relu(conv(self.channels)(h))) + h
         h = conv(self.channels)(h) + out
-        return conv(2)(h)
+        return conv(2)(h).astype(in_dtype)
 
 
 def conjugate_gradient(
@@ -103,10 +108,13 @@ class ResNet(BaseReconModel):
     conjugate_gradient_dc: bool = False
     conjugate_gradient_iterations: int = 10
     penalization_weight: float = 1.0
+    compute_dtype: str = None  # opt-in bf16 for the residual conv net; the
+    # CG data-consistency solve stays f32
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             unrolled_iterations=cfg.get("unrolled_iterations", 10),
             residual_blocks=cfg.get("residual_blocks", 15),
             channels=cfg.get("channels", 64),
@@ -126,7 +134,9 @@ class ResNet(BaseReconModel):
         del init_pred, train
         mask = expand_mask(mask)
         prediction = self.zero_filled(y, sens)
-        net = ResidualNetwork(self.residual_blocks, self.channels, self.regularization_factor)
+        net = ResidualNetwork(
+            self.residual_blocks, self.channels, self.regularization_factor, dtype=self.compute_dtype
+        )
         mu = (
             self.param("mu", nn.initializers.constant(self.penalization_weight), (1,))
             if self.conjugate_gradient_dc

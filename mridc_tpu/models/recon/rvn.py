@@ -30,13 +30,20 @@ class Conv2dGRU(nn.Module):
     out_channels: int = 2
     num_layers: int = 4
     gru_kernel_size: int = 1
+    dtype: str = None  # opt-in bf16 conv compute; params stay f32, the GRU
+    # state is carried in the compute dtype, the output is cast back to f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, state: Optional[jnp.ndarray]):
         """x [B, H, W, C]; state [B, H, W, hidden, num_layers] or None."""
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         b, h, w, _ = x.shape
         if state is None:
             state = jnp.zeros((b, h, w, self.hidden_channels, self.num_layers), x.dtype)
+        else:
+            state = state.astype(x.dtype)
         new_states = []
         cell = x
         for idx in range(self.num_layers):
@@ -45,7 +52,8 @@ class Conv2dGRU(nn.Module):
             pad = d * (k - 1) // 2
             padded = jnp.pad(cell, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
             cell = nn.relu(
-                nn.Conv(self.hidden_channels, (k, k), kernel_dilation=(d, d), padding="VALID")(padded)
+                nn.Conv(self.hidden_channels, (k, k), kernel_dilation=(d, d), padding="VALID",
+                        dtype=self.dtype)(padded)
             )
             prev = state[..., idx]
             stacked = jnp.concatenate([cell, prev], axis=-1)
@@ -54,6 +62,7 @@ class Conv2dGRU(nn.Module):
                 (self.gru_kernel_size, self.gru_kernel_size),
                 padding="SAME",
                 kernel_init=nn.initializers.orthogonal(),
+                dtype=self.dtype,
             )
             update = nn.sigmoid(gconv()(stacked))
             reset = nn.sigmoid(gconv()(stacked))
@@ -63,8 +72,8 @@ class Conv2dGRU(nn.Module):
             cell = nn.relu(cell)
         pad = 1
         padded = jnp.pad(cell, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
-        out = nn.Conv(self.out_channels, (3, 3), padding="VALID")(padded)
-        return out, jnp.stack(new_states, axis=-1)
+        out = nn.Conv(self.out_channels, (3, 3), padding="VALID", dtype=self.dtype)(padded)
+        return out.astype(in_dtype), jnp.stack(new_states, axis=-1)
 
 
 class RecurrentInit(nn.Module):
@@ -75,19 +84,23 @@ class RecurrentInit(nn.Module):
     dilations: Sequence[int] = (1, 1, 2, 4)
     depth: int = 4
     multiscale_depth: int = 1
+    dtype: str = None  # opt-in bf16 conv compute (the produced hidden state
+    # stays in the compute dtype to match Conv2dGRU's carry)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         features = []
         for ch, dil in zip(self.channels, self.dilations):
             pad = dil
             padded = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
-            x = nn.relu(nn.Conv(ch, (3, 3), kernel_dilation=(dil, dil), padding="VALID")(padded))
+            x = nn.relu(nn.Conv(ch, (3, 3), kernel_dilation=(dil, dil), padding="VALID", dtype=self.dtype)(padded))
             if self.multiscale_depth > 1:
                 features.append(x)
         if self.multiscale_depth > 1:
             x = jnp.concatenate(features[-self.multiscale_depth :], axis=-1)
-        outs = [nn.relu(nn.Conv(self.out_channels, (1, 1))(x)) for _ in range(self.depth)]
+        outs = [nn.relu(nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)) for _ in range(self.depth)]
         return jnp.stack(outs, axis=-1)
 
 
@@ -95,6 +108,7 @@ class _RVNBlock(BaseReconModel):
     in_channels: int = 2
     hidden_channels: int = 64
     num_layers: int = 4
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, current_kspace, masked_kspace, mask, sens, hidden):
@@ -106,7 +120,8 @@ class _RVNBlock(BaseReconModel):
             ifft2_rv(current_kspace, self.fft_centered, self.fft_normalization, self.spatial_dims), sens
         ).sum(axis=self.coil_dim)
         reg, hidden = Conv2dGRU(
-            hidden_channels=self.hidden_channels, out_channels=self.in_channels, num_layers=self.num_layers
+            hidden_channels=self.hidden_channels, out_channels=self.in_channels,
+            num_layers=self.num_layers, dtype=self.compute_dtype,
         )(img, hidden)
         reg_k = fft2_rv(cmul(reg[:, None], sens), self.fft_centered, self.fft_normalization, self.spatial_dims)
         return current_kspace - lr * dc + reg_k, hidden
@@ -123,10 +138,13 @@ class RecurrentVarNet(BaseReconModel):
     initializer_channels: Sequence[int] = (32, 32, 64, 64)
     initializer_dilations: Sequence[int] = (1, 1, 2, 4)
     initializer_multiscale: int = 1
+    compute_dtype: str = None  # opt-in bf16 compute for the GRU regularizer
+    # and the state initializer; the DC/FFT chain stays f32, params stay f32
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             in_channels=cfg.get("in_channels", 2),
             recurrent_hidden_channels=cfg.get("recurrent_hidden_channels", 64),
             recurrent_num_layers=cfg.get("recurrent_num_layers", 4),
@@ -165,6 +183,7 @@ class RecurrentVarNet(BaseReconModel):
                 dilations=self.initializer_dilations,
                 depth=self.recurrent_num_layers,
                 multiscale_depth=self.initializer_multiscale,
+                dtype=self.compute_dtype,
             )(init_k)
 
         kspace = y
@@ -174,6 +193,7 @@ class RecurrentVarNet(BaseReconModel):
                 in_channels=self.in_channels,
                 hidden_channels=self.recurrent_hidden_channels,
                 num_layers=self.recurrent_num_layers,
+                compute_dtype=self.compute_dtype,
                 fft_centered=self.fft_centered,
                 fft_normalization=self.fft_normalization,
                 spatial_dims=self.spatial_dims,

@@ -38,18 +38,26 @@ class MultiDomainConv(nn.Module):
     transpose: bool = False
     fft_centered: bool = False
     fft_normalization: str = "backward"
+    dtype: str = None  # conv compute dtype; the per-pair feature FFTs run in
+    # f32 regardless (their DFT matmuls are precision-laddered separately)
 
     @nn.compact
     def __call__(self, x):
+        def feature_fft(v, inverse):
+            out = _pairwise_fft(v.astype(jnp.float32), inverse, self.fft_centered, self.fft_normalization)
+            return out.astype(v.dtype)
+
         if self.transpose:
-            img = nn.ConvTranspose(self.out_channels // 2, (2, 2), strides=(2, 2), use_bias=False)(x)
-            k = _pairwise_fft(x, False, self.fft_centered, self.fft_normalization)
-            k = nn.ConvTranspose(self.out_channels // 2, (2, 2), strides=(2, 2), use_bias=False)(k)
+            img = nn.ConvTranspose(self.out_channels // 2, (2, 2), strides=(2, 2), use_bias=False,
+                                   dtype=self.dtype)(x)
+            k = feature_fft(x, False)
+            k = nn.ConvTranspose(self.out_channels // 2, (2, 2), strides=(2, 2), use_bias=False,
+                                 dtype=self.dtype)(k)
         else:
-            img = nn.Conv(self.out_channels // 2, (3, 3), padding="SAME", use_bias=False)(x)
-            k = _pairwise_fft(x, False, self.fft_centered, self.fft_normalization)
-            k = nn.Conv(self.out_channels // 2, (3, 3), padding="SAME", use_bias=False)(k)
-        k = _pairwise_fft(k, True, self.fft_centered, self.fft_normalization)
+            img = nn.Conv(self.out_channels // 2, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
+            k = feature_fft(x, False)
+            k = nn.Conv(self.out_channels // 2, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(k)
+        k = feature_fft(k, True)
         return jnp.concatenate([img, k], axis=-1)
 
 
@@ -58,11 +66,13 @@ class MultiDomainConvBlock(nn.Module):
     drop_prob: float = 0.0
     fft_centered: bool = False
     fft_normalization: str = "backward"
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(2):
-            x = MultiDomainConv(self.out_channels, False, self.fft_centered, self.fft_normalization)(x)
+            x = MultiDomainConv(self.out_channels, False, self.fft_centered, self.fft_normalization,
+                                dtype=self.dtype)(x)
             x = InstanceNorm()(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
@@ -90,22 +100,29 @@ class MultiDomainUnet2d(nn.Module):
     drop_prob: float = 0.0
     fft_centered: bool = False
     fft_normalization: str = "backward"
+    dtype: str = None  # opt-in bf16 conv compute (feature FFTs and
+    # InstanceNorm stats stay f32; params stay f32; output cast back to f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         ch = self.chans
         stack = []
         out = x
         for i in range(self.num_pool_layers):
-            out = MultiDomainConvBlock(ch, self.drop_prob, self.fft_centered, self.fft_normalization)(out, train)
+            out = MultiDomainConvBlock(ch, self.drop_prob, self.fft_centered, self.fft_normalization,
+                                       dtype=self.dtype)(out, train)
             stack.append(out)
             out = nn.avg_pool(out, (2, 2), strides=(2, 2))
             if i < self.num_pool_layers - 1:
                 ch *= 2
-        out = MultiDomainConvBlock(ch * 2, self.drop_prob, self.fft_centered, self.fft_normalization)(out, train)
+        out = MultiDomainConvBlock(ch * 2, self.drop_prob, self.fft_centered, self.fft_normalization,
+                                   dtype=self.dtype)(out, train)
         for i in range(self.num_pool_layers):
             skip = stack.pop()
-            out = MultiDomainConv(ch, True, self.fft_centered, self.fft_normalization)(out)
+            out = MultiDomainConv(ch, True, self.fft_centered, self.fft_normalization, dtype=self.dtype)(out)
             # reference TransposeMultiDomainConvBlock = convT + InstanceNorm +
             # LeakyReLU (multidomain.py:233-234)
             out = InstanceNorm()(out)
@@ -115,7 +132,8 @@ class MultiDomainUnet2d(nn.Module):
             if pad_h or pad_w:
                 out = jnp.pad(out, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
             out = jnp.concatenate([out, skip], axis=-1)
-            out = MultiDomainConvBlock(ch, self.drop_prob, self.fft_centered, self.fft_normalization)(out, train)
+            out = MultiDomainConvBlock(ch, self.drop_prob, self.fft_centered, self.fft_normalization,
+                                       dtype=self.dtype)(out, train)
             if i < self.num_pool_layers - 1:
                 ch //= 2
-        return nn.Conv(self.out_channels, (1, 1))(out)
+        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(out).astype(in_dtype)

@@ -322,6 +322,12 @@ BF16_CONFIGS = [
     },
     {"model_name": "CASCADENET", "num_cascades": 1, "hidden_channels": 4, "n_convs": 2, **COMMON},
     {"model_name": "CRNNET", "num_iterations": 2, "hidden_channels": 4, "n_convs": 2, **COMMON},
+    # recurrent/residual/multi-domain families
+    {"model_name": "RVN", "num_steps": 8, "recurrent_hidden_channels": 8,
+     "recurrent_num_layers": 2, **COMMON},
+    {"model_name": "RESNET", "unrolled_iterations": 2, "residual_blocks": 2, "channels": 8,
+     "conjugate_gradient_dc": True, "conjugate_gradient_iterations": 2, **COMMON},
+    {"model_name": "MULTIDOMAINNET", "num_filters": 4, "num_pool_layers": 2, **COMMON},
 ]
 
 
