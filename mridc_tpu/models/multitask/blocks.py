@@ -78,6 +78,9 @@ class UnetEncoder(nn.Module):
     padding: bool = True
     padding_size: int = 11
     norm_groups: int = 2
+    dtype: str = None  # opt-in bf16 conv compute; group norm stats are
+    # computed on the f32 input before the cast, params stay f32; the
+    # returned feature stack is in the compute dtype
 
     def pad_sizes(self, h: int, w: int):
         w_mult = ((w - 1) | self.padding_size) + 1
@@ -101,17 +104,19 @@ class UnetEncoder(nn.Module):
             h_pad, w_pad, h_mult, w_mult = self.pad_sizes(x.shape[1], x.shape[2])
             pad_sizes = (h_pad, w_pad, h_mult, w_mult)
             x = jnp.pad(x, ((0, 0), h_pad, w_pad, (0, 0)))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         ch = self.chans
         stack = []
         out = x
         for i in range(self.num_pools):
-            out = ConvBlock(ch)(out, train)
+            out = ConvBlock(ch, dtype=self.dtype)(out, train)
             stack.append(out)
             out = nn.avg_pool(out, (2, 2), strides=(2, 2))
             if i < self.num_pools - 1:
                 ch *= 2
-        out = ConvBlock(ch * 2)(out, train)
+        out = ConvBlock(ch * 2, dtype=self.dtype)(out, train)
         stack.append(out)
         return stack, pad_sizes, mean, std
 
@@ -126,6 +131,8 @@ class UnetDecoder(nn.Module):
     normalize: bool = True
     padding: bool = True
     norm_groups: int = 2
+    dtype: str = None  # opt-in bf16 conv compute; the output is cast back to
+    # f32 before unpad/unnormalize
 
     @nn.compact
     def __call__(
@@ -139,18 +146,23 @@ class UnetDecoder(nn.Module):
         stack = list(stack)
         out = stack.pop()
         ch = self.chans * 2 ** (self.num_pools - 1)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+            stack = [s.astype(self.dtype) for s in stack]
         for i in range(self.num_pools):
             skip = stack.pop()
-            out = TransposeConvBlock(ch)(out)
+            out = TransposeConvBlock(ch, dtype=self.dtype)(out)
             pad_h = skip.shape[1] - out.shape[1]
             pad_w = skip.shape[2] - out.shape[2]
             if pad_h or pad_w:
                 out = jnp.pad(out, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
             out = jnp.concatenate([out, skip], axis=-1)
-            out = ConvBlock(ch)(out, train)
+            out = ConvBlock(ch, dtype=self.dtype)(out, train)
             if i < self.num_pools - 1:
                 ch //= 2
-        out = nn.Conv(self.out_chans, (1, 1))(out)
+        out = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(out)
+        if self.dtype is not None:
+            out = out.astype(jnp.float32)
         if self.padding and pad_sizes is not None:
             h_pad, w_pad, h_mult, w_mult = pad_sizes
             out = out[:, h_pad[0] : h_mult - h_pad[1], w_pad[0] : w_mult - w_pad[1]]

@@ -55,8 +55,9 @@ def _norm_by_max(s):
 
 def _group_norm_nograd(x: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     """torch.no_grad F.group_norm equivalent (channel groups over the last
-    axis for NHWC inputs): normalize + stop_gradient."""
-    return jax.lax.stop_gradient(apply_group_norm(x, groups))
+    axis for NHWC inputs): normalize + stop_gradient. Stats always run in
+    f32 (bf16 feature stacks are normalized exactly); output is f32."""
+    return jax.lax.stop_gradient(apply_group_norm(x.astype(jnp.float32), groups))
 
 
 def _make_seg_module(kind: str, classes: int, chans: int, pools: int):
@@ -241,10 +242,14 @@ class IDSLR(BaseReconModel):
     padding: bool = True
     padding_size: int = 11
     normalize_segmentation_output: bool = True
+    compute_dtype: str = None  # opt-in bf16 conv compute for the shared
+    # encoder/decoders and seg head; k-space DC/FFT chain and the group
+    # normalizations stay f32, params stay f32
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             num_iters=cfg.get("num_iters", 5),
             chans=cfg.get("channels", cfg.get("segmentation_module_channels", 32)),
             num_pools=cfg.get("num_pools", cfg.get("segmentation_module_pooling_layers", 4)),
@@ -274,6 +279,7 @@ class IDSLR(BaseReconModel):
             padding=self.padding,
             padding_size=self.padding_size,
             norm_groups=self.norm_groups,
+            dtype=self.compute_dtype,
         )
         recon_decoder = UnetDecoder(
             out_chans=2 * coils,
@@ -282,9 +288,13 @@ class IDSLR(BaseReconModel):
             normalize=self.normalize,
             padding=self.padding,
             norm_groups=self.norm_groups,
+            dtype=self.compute_dtype,
         )
         if self.seg_head == "unet":
-            seg_module = Unet(out_chans=self.seg_classes, chans=self.chans, num_pool_layers=self.num_pools)
+            seg_module = Unet(
+                out_chans=self.seg_classes, chans=self.chans, num_pool_layers=self.num_pools,
+                dtype=self.compute_dtype,
+            )
         else:
             seg_module = UnetDecoder(
                 out_chans=self.seg_classes,
@@ -293,6 +303,7 @@ class IDSLR(BaseReconModel):
                 normalize=self.normalize,
                 padding=self.padding,
                 norm_groups=self.norm_groups,
+                dtype=self.compute_dtype,
             )
         dc = KSpaceDC()
 
@@ -362,10 +373,12 @@ class SegNet(BaseReconModel):
     seg_final_bias: bool = False
     seg_final_nonlinear: str = "relu"
     normalize_segmentation_output: bool = True
+    compute_dtype: str = None  # opt-in bf16 conv compute (DC/FFT stay f32)
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             num_iters=cfg.get("num_cascades", cfg.get("num_iters", 2)),
             chans=cfg.get("channels", cfg.get("segmentation_module_channels", 32)),
             num_pools=cfg.get("num_pools", cfg.get("segmentation_module_pooling_layers", 4)),
@@ -406,6 +419,7 @@ class SegNet(BaseReconModel):
                 padding=self.padding,
                 padding_size=self.padding_size,
                 norm_groups=self.norm_groups,
+                dtype=self.compute_dtype,
             )(x, train)
             seg_stack = [_group_norm_nograd(s, self.norm_groups) for s in stack]
             if self.magnitude_input:
@@ -418,6 +432,7 @@ class SegNet(BaseReconModel):
                     normalize=self.normalize,
                     padding=self.padding,
                     norm_groups=self.norm_groups,
+                    dtype=self.compute_dtype,
                 )(seg_stack, pad_sizes, None, None, train)
             )
             delta = UnetDecoder(
@@ -427,6 +442,7 @@ class SegNet(BaseReconModel):
                 normalize=self.normalize,
                 padding=self.padding,
                 norm_groups=self.norm_groups,
+                dtype=self.compute_dtype,
             )(stack, pad_sizes, mean, std, train)
             # NOTE: unlike IDSLR, the reference SegNet does NOT add the
             # zero-filled image back (segnet.py:186-193 — no residual)
@@ -441,7 +457,8 @@ class SegNet(BaseReconModel):
             kernel_size=self.seg_final_kernel,
             use_bias=self.seg_final_bias,
             nonlinear=self.seg_final_nonlinear,
-        )(jnp.concatenate(segs, axis=-1))
+            dtype=self.compute_dtype,
+        )(jnp.concatenate(segs, axis=-1)).astype(jnp.float32)
         segs.append(seg)  # reference appends the fused seg to the list (segnet.py:198-199)
         if self.normalize_segmentation_output:
             segs = [_norm_by_max(s) for s in segs]
@@ -463,10 +480,12 @@ class RecSegUNet(BaseReconModel):
     seg_classes: int = 2
     input_channels: int = 1
     normalize_segmentation_output: bool = True
+    compute_dtype: str = None  # opt-in bf16 compute for both UNets
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             recon_chans=cfg.get("reconstruction_module_channels", 64),
             recon_pools=cfg.get("reconstruction_module_pooling_layers", 2),
             seg_chans=cfg.get("segmentation_module_channels", 64),
@@ -487,9 +506,15 @@ class RecSegUNet(BaseReconModel):
         if init_pred is None or init_pred.ndim < 4:
             init_pred = self.zero_filled(y, sens)
         x = cabs(init_pred)[..., None] if self.input_channels == 1 else init_pred
-        recon = Unet(out_chans=x.shape[-1], chans=self.recon_chans, num_pool_layers=self.recon_pools)(x, train)
+        recon = Unet(
+            out_chans=x.shape[-1], chans=self.recon_chans, num_pool_layers=self.recon_pools,
+            dtype=self.compute_dtype,
+        )(x, train)
         seg_in = _group_norm_nograd(recon)
-        seg = Unet(out_chans=self.seg_classes, chans=self.seg_chans, num_pool_layers=self.seg_pools)(seg_in, train)
+        seg = Unet(
+            out_chans=self.seg_classes, chans=self.seg_chans, num_pool_layers=self.seg_pools,
+            dtype=self.compute_dtype,
+        )(seg_in, train)
         seg = jnp.abs(seg)
         if self.normalize_segmentation_output:
             seg = _norm_by_max(seg)
@@ -559,10 +584,14 @@ class SERANet(BaseReconModel):
     attention_chans: int = 32
     attention_pools: int = 4
     normalize_segmentation_output: bool = True
+    compute_dtype: str = None  # opt-in bf16 compute for the UNet regularizer
+    # and both ConvLSTMNormUnets; the SERANet DC chain and the attention gate
+    # stay f32
 
     @classmethod
     def from_config(cls, cfg):
         return cls(
+            compute_dtype=cfg.get("compute_dtype"),
             input_channels=cfg.get("input_channels", 2),
             recon_out_chans=cfg.get("reconstruction_module_output_channels", 2),
             recon_chans=cfg.get("reconstruction_module_channels", 32),
@@ -595,7 +624,10 @@ class SERANet(BaseReconModel):
         # ---- reconstruction block (recon_block.py:84): the reference stacks
         # the SAME regularizer instance num_blocks times over the SAME input,
         # so the U-Net runs once; only the per-block DC weights evolve.
-        regularizer = Unet(out_chans=self.recon_out_chans, chans=self.recon_chans, num_pool_layers=self.recon_pools)
+        regularizer = Unet(
+            out_chans=self.recon_out_chans, chans=self.recon_chans, num_pool_layers=self.recon_pools,
+            dtype=self.compute_dtype,
+        )
         unet_recon = regularizer(pred0, train)  # [B, H, W, 2]
         reconstructions = []
         prev = y
@@ -618,6 +650,7 @@ class SERANet(BaseReconModel):
         segmentation = ConvLSTMNormUnet(
             chans=self.seg_chans, num_pools=self.seg_pools,
             in_chans=self.seg_in_chans, out_chans=self.seg_classes,
+            dtype=self.compute_dtype,
         )(seg_in.transpose(0, 2, 3, 1), train)  # [B, H, W, classes]
 
         # ---- recurrent attention refinement (recon_block.py:240)
@@ -625,6 +658,7 @@ class SERANet(BaseReconModel):
         recurrent_unet = ConvLSTMNormUnet(
             chans=self.attention_chans, num_pools=self.attention_pools,
             in_chans=self.seg_in_chans * 2, out_chans=self.seg_classes,
+            dtype=self.compute_dtype,
         )
         dc = SERANetDC(self.fft_centered, self.fft_normalization, tuple(self.spatial_dims))
         attention_map = segmentation

@@ -54,25 +54,13 @@ def _seg_cfg(cfg):
     )
 
 
-def _seg_dtype(cfg, supported: bool, name: str):
-    # compute_dtype for the UNet/AttentionUNet trunks; architectures without
-    # bf16 plumbing reject the knob loudly instead of silently training f32
-    dtype = cfg.get("compute_dtype", None)
-    if dtype is not None and not supported:
-        raise ValueError(
-            f"compute_dtype is not supported for {name} (only the "
-            "UNet/AttentionUNet segmentation trunks have bf16 plumbing); "
-            "remove compute_dtype from the model config"
-        )
-    return dtype
-
-
 class _SegBase(nn.Module):
     classes: int = 2
     chans: int = 32
     pools: int = 4
     normalize_output: bool = False
-    compute_dtype: str = None  # opt-in bf16 conv compute (UNet/AttentionUNet)
+    compute_dtype: str = None  # opt-in bf16 conv compute — every trunk honors
+    # it (norm stats, softmaxes and logits stay f32; params stay f32)
 
     def _maybe_norm(self, logits):
         if self.normalize_output:
@@ -83,7 +71,7 @@ class _SegBase(nn.Module):
 class SegmentationUNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
-        return cls(**_seg_cfg(cfg), compute_dtype=_seg_dtype(cfg, True, cls.__name__))
+        return cls(**_seg_cfg(cfg), compute_dtype=cfg.get("compute_dtype"))
 
     @nn.compact
     def __call__(self, image, train: bool = False):
@@ -96,18 +84,20 @@ class SegmentationUNet(_SegBase):
 class Segmentation3DUNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
-        _seg_dtype(cfg, False, cls.__name__)
-        return cls(**_seg_cfg(cfg))
+        return cls(**_seg_cfg(cfg), compute_dtype=cfg.get("compute_dtype"))
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        return UNet3D(out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools)(image, train)
+        return UNet3D(
+            out_chans=self.classes, chans=self.chans, num_pool_layers=self.pools,
+            dtype=self.compute_dtype,
+        )(image, train)
 
 
 class SegmentationAttentionUNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
-        return cls(**_seg_cfg(cfg), compute_dtype=_seg_dtype(cfg, True, cls.__name__))
+        return cls(**_seg_cfg(cfg), compute_dtype=cfg.get("compute_dtype"))
 
     @nn.compact
     def __call__(self, image, train: bool = False):
@@ -126,9 +116,9 @@ class SegmentationLambdaUNet(_SegBase):
 
     @classmethod
     def from_config(cls, cfg):
-        _seg_dtype(cfg, False, cls.__name__)
         return cls(
             **_seg_cfg(cfg),
+            compute_dtype=cfg.get("compute_dtype"),
             query_depth=cfg.get("segmentation_module_query_depth", 16),
             intra_depth=cfg.get("segmentation_module_intra_depth", 1),
             receptive_kernel=cfg.get("segmentation_module_receptive_kernel", 3),
@@ -147,18 +137,18 @@ class SegmentationLambdaUNet(_SegBase):
             receptive_kernel=self.receptive_kernel,
             temporal_kernel=self.temporal_kernel,
             num_slices=self.num_slices,
+            dtype=self.compute_dtype,
         )(image, train)
 
 
 class SegmentationVNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
-        _seg_dtype(cfg, False, cls.__name__)
-        return cls(**_seg_cfg(cfg))
+        return cls(**_seg_cfg(cfg), compute_dtype=cfg.get("compute_dtype"))
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        return VNet(out_chans=self.classes)(image, train)
+        return VNet(out_chans=self.classes, dtype=self.compute_dtype)(image, train)
 
 
 class SegmentationDYNUNet(_SegBase):
@@ -170,12 +160,12 @@ class SegmentationDYNUNet(_SegBase):
 
     @classmethod
     def from_config(cls, cfg):
-        _seg_dtype(cfg, False, cls.__name__)
         filters = cfg.get("segmentation_module_channels")
         strides = cfg.get("segmentation_module_strides", (1, 2, 2, 2))
         base = _seg_cfg(cfg)
         return cls(
             classes=base["classes"],
+            compute_dtype=cfg.get("compute_dtype"),
             kernel_size=tuple(cfg.get("segmentation_module_kernel_size", (3,) * len(strides))),
             strides=tuple(strides),
             filters=tuple(filters) if isinstance(filters, (list, tuple)) else None,
@@ -192,6 +182,7 @@ class SegmentationDYNUNet(_SegBase):
             filters=self.filters,
             deep_supervision=self.deep_supervision,
             deep_supr_num=self.deep_supr_num,
+            dtype=self.compute_dtype,
         )(image, train)
 
 
@@ -206,10 +197,10 @@ class SegmentationUNetR(_SegBase):
 
     @classmethod
     def from_config(cls, cfg):
-        _seg_dtype(cfg, False, cls.__name__)
         base = _seg_cfg(cfg)
         return cls(
             classes=base["classes"],
+            compute_dtype=cfg.get("compute_dtype"),
             chans=cfg.get("segmentation_module_channels", 64),
             hidden_size=cfg.get("segmentation_module_hidden_size", 768),
             mlp_dim=cfg.get("segmentation_module_mlp_dim", 3072),
@@ -232,5 +223,6 @@ class SegmentationUNetR(_SegBase):
             conv_block=self.conv_block,
             res_block=self.res_block,
             qkv_bias=self.qkv_bias,
+            dtype=self.compute_dtype,
         )(image, train)
 

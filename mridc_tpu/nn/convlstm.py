@@ -31,6 +31,7 @@ class ConvLSTMCell(nn.Module):
     hidden_dim: int
     kernel_size: int = 3
     use_bias: bool = True
+    dtype: str = None  # conv compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, state: Tuple[jnp.ndarray, jnp.ndarray]):
@@ -41,6 +42,7 @@ class ConvLSTMCell(nn.Module):
             (self.kernel_size, self.kernel_size),
             padding="SAME",
             use_bias=self.use_bias,
+            dtype=self.dtype,
         )(combined)
         cc_i, cc_f, cc_o, cc_g = jnp.split(gates, 4, axis=-1)
         i = nn.sigmoid(cc_i)
@@ -61,13 +63,16 @@ class ConvLSTM(nn.Module):
     kernel_size: int = 3
     num_layers: int = 1
     use_bias: bool = True
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         b, t, hgt, wdt, _ = x.shape
         seq = x
         for _ in range(self.num_layers):
-            cell = ConvLSTMCell(self.hidden_dim, self.kernel_size, self.use_bias)
+            cell = ConvLSTMCell(self.hidden_dim, self.kernel_size, self.use_bias, dtype=self.dtype)
             h = jnp.zeros((b, hgt, wdt, self.hidden_dim), x.dtype)
             c = jnp.zeros_like(h)
             outs = []
@@ -94,6 +99,8 @@ class ConvLSTMNormUnet(nn.Module):
     padding_size: int = 15
     normalize: bool = True
     norm_groups: int = 2
+    dtype: str = None  # opt-in bf16 compute for the ConvLSTM stage and the
+    # wrapped UNet; norm/unnorm and their stats stay f32
 
     def _norm(self, x):
         b, h, w, c = x.shape
@@ -128,8 +135,9 @@ class ConvLSTMNormUnet(nn.Module):
         if self.normalize:
             x, mean, std = self._norm(x)
         x, pads = self._pad(x)
-        x = ConvLSTM(self.chans, kernel_size=3, num_layers=1)(x[:, None])[:, 0]
-        x = Unet(self.out_chans, self.chans, self.num_pools, self.drop_prob)(x, train)
+        x = ConvLSTM(self.chans, kernel_size=3, num_layers=1, dtype=self.dtype)(x[:, None])[:, 0]
+        x = Unet(self.out_chans, self.chans, self.num_pools, self.drop_prob, dtype=self.dtype)(x, train)
+        x = x.astype(jnp.float32)
         x = self._unpad(x, *pads)
         if self.normalize:
             x = self._unnorm(x, mean, std)

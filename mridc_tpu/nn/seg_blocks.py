@@ -38,6 +38,14 @@ __all__ = [
 # --------------------------------------------------------------------------
 
 
+def _bn_f32(x, train):
+    """TorchBatchNorm computed in f32 regardless of the compute dtype
+    (running stats are params; bf16 batch stats would drift them)."""
+    from mridc_tpu.nn.layers import TorchBatchNorm
+
+    return TorchBatchNorm()(x.astype(jnp.float32), train).astype(x.dtype)
+
+
 class AttentionGate(nn.Module):
     """Additive attention gate (Oktay et al.), reference
     attention_unet_block.py:10: W_x is a strided 2x2 conv (no bias), W_g a 1x1
@@ -126,11 +134,13 @@ class LambdaLayer(nn.Module):
     temporal_kernel: int = 1
     heads: int = 4
     num_slices: int = 1
+    dtype: str = None  # opt-in bf16 compute (BatchNorms and the key softmax
+    # run f32; params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from mridc_tpu.nn.layers import TorchBatchNorm
-
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.out_channels % self.heads:
             raise ValueError("out_channels must be divisible by the number of heads")
         b, hh, ww, _ = x.shape
@@ -138,11 +148,11 @@ class LambdaLayer(nn.Module):
         vd = self.out_channels // h
         n = hh * ww
 
-        q = nn.Conv(kd * h, (1, 1), use_bias=False)(x)
-        q = TorchBatchNorm()(q, train)
-        k = nn.Conv(kd * u, (1, 1), use_bias=False)(x)
-        v = nn.Conv(vd * u, (1, 1), use_bias=False)(x)
-        v = TorchBatchNorm()(v, train)
+        q = nn.Conv(kd * h, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        q = _bn_f32(q, train)
+        k = nn.Conv(kd * u, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        v = nn.Conv(vd * u, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        v = _bn_f32(v, train)
 
         # NHWC channel c maps to torch (group, inner) = (c // inner, c % inner)?
         # torch rearrange "b (h k) hh ww" splits channel-major: group index h
@@ -152,7 +162,7 @@ class LambdaLayer(nn.Module):
         k = k.reshape(b, n, u, kd)          # [b, n, u, k]
         v = v.reshape(b, n, u, vd)          # [b, n, u, v]
 
-        k = jax.nn.softmax(k, axis=1)       # softmax over positions m
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(k.dtype)  # softmax over positions m (f32)
         lam_c = jnp.einsum("bmuk,bmuv->bkv", k, v)
         y_c = jnp.einsum("bnhk,bkv->bnhv", q, lam_c)
 
@@ -160,7 +170,7 @@ class LambdaLayer(nn.Module):
         # NDHWC layout: [b, v(depth), hh, ww, u] -> [b, v, hh, ww, k]
         v_p = v.reshape(b, hh, ww, u, vd).transpose(0, 4, 1, 2, 3)
         lam_p = nn.Conv(
-            kd, (1, self.receptive_kernel, self.receptive_kernel), padding="SAME"
+            kd, (1, self.receptive_kernel, self.receptive_kernel), padding="SAME", dtype=self.dtype
         )(v_p)                               # [b, v, hh, ww, k]
         lam_p = lam_p.reshape(b, vd, n, kd)
         y_p = jnp.einsum("bnhk,bvnk->bnhv", q, lam_p)
@@ -174,7 +184,7 @@ class LambdaLayer(nn.Module):
             # reference: v [(g t), u, v, p] -> [(g p), u, v, t], Conv2d(u->k,
             # (1, tk)); NHWC: [(g p), v, t, u] -> [(g p), v, t, k]
             v_t = v.reshape(g, t, n, u, vd).transpose(0, 2, 4, 1, 3).reshape(g * n, vd, t, u)
-            lam_t = nn.Conv(kd, (1, self.temporal_kernel), padding="SAME")(v_t)
+            lam_t = nn.Conv(kd, (1, self.temporal_kernel), padding="SAME", dtype=self.dtype)(v_t)
             lam_t = lam_t.reshape(g, n, vd, t, kd).transpose(0, 3, 4, 2, 1).reshape(b, kd, vd, n)
             y_t = jnp.einsum("bnhk,bkvn->bnhv", q, lam_t)
             y = y + y_t
@@ -193,6 +203,7 @@ class LambdaBlock(nn.Module):
     receptive_kernel: int = 3
     temporal_kernel: int = 1
     num_slices: int = 1
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -206,6 +217,7 @@ class LambdaBlock(nn.Module):
                 temporal_kernel=self.temporal_kernel,
                 heads=heads,
                 num_slices=self.num_slices,
+                dtype=self.dtype,
             )(x, train)
             x = InstanceNorm()(x)
             x = nn.leaky_relu(x, 0.2)
@@ -227,11 +239,14 @@ class LambdaUnet(nn.Module):
     receptive_kernel: int = 3
     temporal_kernel: int = 1
     num_slices: int = 1
+    dtype: str = None  # opt-in bf16 compute; output cast back to f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from mridc_tpu.nn.unet import TransposeConvBlock
 
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         kw = dict(
             drop_prob=self.drop_prob,
             query_depth=self.query_depth,
@@ -239,6 +254,7 @@ class LambdaUnet(nn.Module):
             receptive_kernel=self.receptive_kernel,
             temporal_kernel=self.temporal_kernel,
             num_slices=self.num_slices,
+            dtype=self.dtype,
         )
         ch = self.chans
         skips = []
@@ -251,7 +267,7 @@ class LambdaUnet(nn.Module):
         x = LambdaBlock(out_chans=ch * 2, **kw)(x, train)
         for i in range(self.num_pool_layers):
             skip = skips.pop()
-            x = TransposeConvBlock(ch)(x)
+            x = TransposeConvBlock(ch, dtype=self.dtype)(x)
             pad_h = skip.shape[1] - x.shape[1]
             pad_w = skip.shape[2] - x.shape[2]
             if pad_h or pad_w:
@@ -261,8 +277,8 @@ class LambdaUnet(nn.Module):
             if i < self.num_pool_layers - 1:
                 ch //= 2
             else:
-                x = nn.Conv(self.out_chans, (1, 1))(x)
-        return x
+                x = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(x)
+        return x if self.dtype is None else x.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -276,7 +292,7 @@ class _PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", nn.initializers.constant(0.25), (1,))
-        return jnp.where(x >= 0, x, alpha * x)
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
 def _vnet_act(name: str):
@@ -298,13 +314,12 @@ class _LUConv(nn.Module):
     channels: int
     act: str = "elu"
     use_bias: bool = False
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from mridc_tpu.nn.layers import TorchBatchNorm
-
-        x = nn.Conv(self.channels, (5, 5), padding="SAME", use_bias=self.use_bias)(x)
-        x = TorchBatchNorm()(x, train)
+        x = nn.Conv(self.channels, (5, 5), padding="SAME", use_bias=self.use_bias, dtype=self.dtype)(x)
+        x = _bn_f32(x, train)
         return _vnet_act(self.act)(self, x)
 
 
@@ -317,20 +332,20 @@ class _VNetDown(nn.Module):
     act: str = "elu"
     dropout_prob: float = 0.0
     use_bias: bool = False
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from mridc_tpu.nn.layers import TorchBatchNorm
-
         out_channels = 2 * self.in_channels
-        down = nn.Conv(out_channels, (2, 2), strides=(2, 2), padding="VALID", use_bias=self.use_bias)(x)
-        down = TorchBatchNorm()(down, train)
+        down = nn.Conv(out_channels, (2, 2), strides=(2, 2), padding="VALID", use_bias=self.use_bias,
+                       dtype=self.dtype)(x)
+        down = _bn_f32(down, train)
         down = _vnet_act(self.act)(self, down)
         out = down
         if self.dropout_prob > 0:
             out = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2), deterministic=not train)(out)
         for _ in range(self.convs):
-            out = _LUConv(out_channels, self.act, self.use_bias)(out, train)
+            out = _LUConv(out_channels, self.act, self.use_bias, dtype=self.dtype)(out, train)
         return _vnet_act(self.act)(self, out + down)
 
 
@@ -343,21 +358,20 @@ class _VNetUp(nn.Module):
     convs: int
     act: str = "elu"
     dropout_prob: float = 0.0
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        from mridc_tpu.nn.layers import TorchBatchNorm
-
         if self.dropout_prob > 0:
             x = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2), deterministic=not train)(x)
         skip = nn.Dropout(0.5, broadcast_dims=(1, 2), deterministic=not train)(skip)
-        out = nn.ConvTranspose(self.out_channels // 2, (2, 2), strides=(2, 2))(x)
-        out = TorchBatchNorm()(out, train)
+        out = nn.ConvTranspose(self.out_channels // 2, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
+        out = _bn_f32(out, train)
         out = _vnet_act(self.act)(self, out)
-        xcat = jnp.concatenate([out, skip], axis=-1)
+        xcat = jnp.concatenate([out, skip.astype(out.dtype)], axis=-1)
         out = xcat
         for _ in range(self.convs):
-            out = _LUConv(self.out_channels, self.act)(out, train)
+            out = _LUConv(self.out_channels, self.act, dtype=self.dtype)(out, train)
         return _vnet_act(self.act)(self, out + xcat)
 
 
@@ -370,32 +384,36 @@ class VNet(nn.Module):
     act: str = "elu"
     drop_prob: float = 0.5
     use_bias: bool = False
+    dtype: str = None  # opt-in bf16 conv compute (BatchNorms f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from mridc_tpu.nn.layers import TorchBatchNorm
-
         in_chans = x.shape[-1]
         if 16 % in_chans != 0:
             raise ValueError(f"16 should be divisible by in_chans, got {in_chans}")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         # InputTransition (reference vnet_block.py:70)
-        out = nn.Conv(16, (5, 5), padding="SAME", use_bias=self.use_bias)(x)
-        out = TorchBatchNorm()(out, train)
+        out = nn.Conv(16, (5, 5), padding="SAME", use_bias=self.use_bias, dtype=self.dtype)(x)
+        out = _bn_f32(out, train)
         out16 = _vnet_act(self.act)(self, out + jnp.tile(x, (1, 1, 1, 16 // in_chans)))
 
-        out32 = _VNetDown(16, 1, self.act, use_bias=self.use_bias)(out16, train)
-        out64 = _VNetDown(32, 2, self.act, use_bias=self.use_bias)(out32, train)
-        out128 = _VNetDown(64, 3, self.act, dropout_prob=self.drop_prob, use_bias=self.use_bias)(out64, train)
-        out256 = _VNetDown(128, 2, self.act, dropout_prob=self.drop_prob, use_bias=self.use_bias)(out128, train)
-        y = _VNetUp(256, 2, self.act, dropout_prob=self.drop_prob)(out256, out128, train)
-        y = _VNetUp(128, 2, self.act, dropout_prob=self.drop_prob)(y, out64, train)
-        y = _VNetUp(64, 1, self.act)(y, out32, train)
-        y = _VNetUp(32, 1, self.act)(y, out16, train)
+        out32 = _VNetDown(16, 1, self.act, use_bias=self.use_bias, dtype=self.dtype)(out16, train)
+        out64 = _VNetDown(32, 2, self.act, use_bias=self.use_bias, dtype=self.dtype)(out32, train)
+        out128 = _VNetDown(64, 3, self.act, dropout_prob=self.drop_prob, use_bias=self.use_bias,
+                           dtype=self.dtype)(out64, train)
+        out256 = _VNetDown(128, 2, self.act, dropout_prob=self.drop_prob, use_bias=self.use_bias,
+                           dtype=self.dtype)(out128, train)
+        y = _VNetUp(256, 2, self.act, dropout_prob=self.drop_prob, dtype=self.dtype)(out256, out128, train)
+        y = _VNetUp(128, 2, self.act, dropout_prob=self.drop_prob, dtype=self.dtype)(y, out64, train)
+        y = _VNetUp(64, 1, self.act, dtype=self.dtype)(y, out32, train)
+        y = _VNetUp(32, 1, self.act, dtype=self.dtype)(y, out16, train)
         # OutputTransition (reference vnet_block.py:216)
-        y = nn.Conv(self.out_chans, (5, 5), padding="SAME", use_bias=self.use_bias)(y)
-        y = TorchBatchNorm()(y, train)
+        y = nn.Conv(self.out_chans, (5, 5), padding="SAME", use_bias=self.use_bias, dtype=self.dtype)(y)
+        y = _bn_f32(y, train)
         y = _vnet_act(self.act)(self, y)
-        return nn.Conv(self.out_chans, (1, 1))(y)
+        y = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(y)
+        return y if self.dtype is None else y.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -411,12 +429,12 @@ def _monai_padding(kernel: int, stride: int) -> int:
     return int(p)
 
 
-def _torch_conv(x, features, kernel, stride, use_bias=False):
+def _torch_conv(x, features, kernel, stride, use_bias=False, dtype=None):
     """torch Conv2d with MONAI padding semantics (explicit symmetric pad)."""
     p = _monai_padding(kernel, stride)
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
-        padding=((p, p), (p, p)), use_bias=use_bias,
+        padding=((p, p), (p, p)), use_bias=use_bias, dtype=dtype,
     )(x)
 
 
@@ -428,13 +446,15 @@ class _TorchConvTranspose(nn.Module):
     kernel: int
     stride: int
     use_bias: bool = False
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x):
         k, s = self.kernel, self.stride
         p = _monai_padding(k, s)
         out = nn.ConvTranspose(
-            self.features, (k, k), strides=(s, s), padding="VALID", use_bias=self.use_bias
+            self.features, (k, k), strides=(s, s), padding="VALID", use_bias=self.use_bias,
+            dtype=self.dtype,
         )(x)
         h, w = x.shape[1] * s, x.shape[2] * s
         return out[:, p : p + h, p : p + w, :]
@@ -447,14 +467,15 @@ class UnetBasicBlock(nn.Module):
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train
-        x = _torch_conv(x, self.out_channels, self.kernel_size, self.stride)
+        x = _torch_conv(x, self.out_channels, self.kernel_size, self.stride, dtype=self.dtype)
         x = InstanceNorm()(x)
         x = nn.leaky_relu(x, 0.01)
-        x = _torch_conv(x, self.out_channels, self.kernel_size, 1)
+        x = _torch_conv(x, self.out_channels, self.kernel_size, 1, dtype=self.dtype)
         x = InstanceNorm()(x)
         return nn.leaky_relu(x, 0.01)
 
@@ -466,20 +487,22 @@ class UnetResBlock(nn.Module):
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train
         residual = x
-        out = _torch_conv(x, self.out_channels, self.kernel_size, self.stride)
+        out = _torch_conv(x, self.out_channels, self.kernel_size, self.stride, dtype=self.dtype)
         out = InstanceNorm()(out)
         out = nn.leaky_relu(out, 0.01)
-        out = _torch_conv(out, self.out_channels, self.kernel_size, 1)
+        out = _torch_conv(out, self.out_channels, self.kernel_size, 1, dtype=self.dtype)
         out = InstanceNorm()(out)
         stride_np = np.atleast_1d(self.stride)
         downsample = (x.shape[-1] != self.out_channels) or not np.all(stride_np == 1)
         if downsample:
-            residual = _torch_conv(residual, self.out_channels, 1, self.stride)
+            residual = _torch_conv(residual, self.out_channels, 1, self.stride, dtype=self.dtype)
+        residual = residual.astype(out.dtype)
         # the reference creates norm3 unconditionally (unetr_block.py:355 init)
         # so the residual is ALWAYS instance-normalized, shortcut conv or not
         residual = InstanceNorm()(residual)
@@ -495,24 +518,28 @@ class UnetUpBlock(nn.Module):
     kernel_size: int = 3
     upsample_kernel_size: int = 2
     trans_bias: bool = False
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         out = _TorchConvTranspose(
-            self.out_channels, self.upsample_kernel_size, self.upsample_kernel_size, self.trans_bias
+            self.out_channels, self.upsample_kernel_size, self.upsample_kernel_size, self.trans_bias,
+            dtype=self.dtype,
         )(x)
-        out = jnp.concatenate([out, skip], axis=-1)
-        return UnetBasicBlock(self.out_channels, self.kernel_size, 1)(out, train)
+        out = jnp.concatenate([out, skip.astype(out.dtype)], axis=-1)
+        return UnetBasicBlock(self.out_channels, self.kernel_size, 1, dtype=self.dtype)(out, train)
 
 
 class UnetOutBlock(nn.Module):
-    """MONAI UnetOutBlock: 1x1 conv with bias (reference unetr_block.py:16)."""
+    """MONAI UnetOutBlock: 1x1 conv with bias (reference unetr_block.py:16);
+    always returns f32 logits."""
 
     out_channels: int
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (1, 1), use_bias=True)(x)
+        return nn.Conv(self.out_channels, (1, 1), use_bias=True, dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class DynUNet(nn.Module):
@@ -530,36 +557,41 @@ class DynUNet(nn.Module):
     res_block: bool = False
     deep_supervision: bool = False
     deep_supr_num: int = 1
+    dtype: str = None  # opt-in bf16 conv compute (InstanceNorm stats f32,
+    # f32 logits out)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         n = len(self.strides)
         if len(self.kernel_size) != n or n < 3:
             raise ValueError("kernel_size and strides must have equal length >= 3")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         filters = list(self.filters) if self.filters is not None else [min(2 ** (5 + i), 512) for i in range(n)]
         block = UnetResBlock if self.res_block else UnetBasicBlock
 
         # downs: input block + intermediate downsamples
         down_outs = []
-        out = block(filters[0], self.kernel_size[0], self.strides[0])(x, train)
+        out = block(filters[0], self.kernel_size[0], self.strides[0], dtype=self.dtype)(x, train)
         down_outs.append(out)
         for i in range(1, n - 1):
-            out = block(filters[i], self.kernel_size[i], self.strides[i])(out, train)
+            out = block(filters[i], self.kernel_size[i], self.strides[i], dtype=self.dtype)(out, train)
             down_outs.append(out)
-        out = block(filters[-1], self.kernel_size[-1], self.strides[-1])(out, train)  # bottleneck
+        out = block(filters[-1], self.kernel_size[-1], self.strides[-1], dtype=self.dtype)(out, train)  # bottleneck
 
         # ups: reversed pairing with down outputs (dynunet_block.py get_upsamples)
         heads = []
         for i in range(n - 1):
             j = n - 2 - i  # index into down_outs / filters
             out = UnetUpBlock(
-                filters[j], self.kernel_size[j + 1], upsample_kernel_size=self.strides[j + 1]
+                filters[j], self.kernel_size[j + 1], upsample_kernel_size=self.strides[j + 1],
+                dtype=self.dtype,
             )(out, down_outs[j], train)
             # supervision heads attach to the deepest deep_supr_num up outputs
             # above the final one (MONAI heads indices 1..deep_supr_num)
             if self.deep_supervision and 0 < j <= self.deep_supr_num:
-                heads.append(UnetOutBlock(self.out_chans)(out))
-        logits = UnetOutBlock(self.out_chans)(out)
+                heads.append(UnetOutBlock(self.out_chans, dtype=self.dtype)(out))
+        logits = UnetOutBlock(self.out_chans, dtype=self.dtype)(out)
         if self.deep_supervision and train:
             from mridc_tpu.nn.layers import nearest_resize
 
@@ -582,23 +614,25 @@ class SABlock(nn.Module):
     num_heads: int
     dropout_rate: float = 0.0
     qkv_bias: bool = False
+    dtype: str = None  # compute dtype for the projections/attention matmuls;
+    # the softmax runs f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, n, _ = x.shape
         h = self.num_heads
         d = self.hidden_size // h
-        qkv = nn.Dense(self.hidden_size * 3, use_bias=self.qkv_bias)(x)
+        qkv = nn.Dense(self.hidden_size * 3, use_bias=self.qkv_bias, dtype=self.dtype)(x)
         # torch Rearrange "b h (qkv l d) -> qkv b l h d": channel split order
         # is (qkv, heads, dim)
         qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         att = jnp.einsum("blxd,blyd->blxy", q, k) * (d ** -0.5)
-        att = jax.nn.softmax(att, axis=-1)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(att.dtype)
         att = nn.Dropout(self.dropout_rate, deterministic=not train)(att)
         out = jnp.einsum("bhxy,bhyd->bhxd", att, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_size)
-        out = nn.Dense(self.hidden_size)(out)
+        out = nn.Dense(self.hidden_size, dtype=self.dtype)(out)
         return nn.Dropout(self.dropout_rate, deterministic=not train)(out)
 
 
@@ -609,12 +643,13 @@ class MLPBlock(nn.Module):
     hidden_size: int
     mlp_dim: int
     dropout_rate: float = 0.0
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.gelu(nn.Dense(self.mlp_dim)(x), approximate=False)
+        x = nn.gelu(nn.Dense(self.mlp_dim, dtype=self.dtype)(x), approximate=False)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.hidden_size)(x)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype)(x)
         return nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
 
@@ -624,9 +659,10 @@ def _token_instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     input as unbatched (C, H, W), so each batch element is normalized over
     all (token, feature) positions jointly, with no affine. Mirrored exactly
     (upstream deviation from MONAI's LayerNorm, pinned by golden test)."""
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class TransformerBlock(nn.Module):
@@ -637,13 +673,14 @@ class TransformerBlock(nn.Module):
     num_heads: int
     dropout_rate: float = 0.0
     qkv_bias: bool = False
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x + SABlock(self.hidden_size, self.num_heads, self.dropout_rate, self.qkv_bias)(
-            _token_instance_norm(x), train
-        )
-        x = x + MLPBlock(self.hidden_size, self.mlp_dim, self.dropout_rate)(_token_instance_norm(x), train)
+        x = x + SABlock(self.hidden_size, self.num_heads, self.dropout_rate, self.qkv_bias,
+                        dtype=self.dtype)(_token_instance_norm(x), train)
+        x = x + MLPBlock(self.hidden_size, self.mlp_dim, self.dropout_rate,
+                         dtype=self.dtype)(_token_instance_norm(x), train)
         return x
 
 
@@ -655,6 +692,7 @@ class PatchEmbedding(nn.Module):
     hidden_size: int
     pos_embed: str = "conv"
     dropout_rate: float = 0.0
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -662,13 +700,13 @@ class PatchEmbedding(nn.Module):
         p = self.patch_size
         n = (hh // p) * (ww // p)
         if self.pos_embed == "conv":
-            tok = nn.Conv(self.hidden_size, (p, p), strides=(p, p), padding="VALID")(x)
+            tok = nn.Conv(self.hidden_size, (p, p), strides=(p, p), padding="VALID", dtype=self.dtype)(x)
             tok = tok.reshape(b, -1, self.hidden_size)
         elif self.pos_embed == "perceptron":
             # torch rearrange "b c (h p1) (w p2) -> b (h w) (p1 p2 c)"
             tok = x.transpose(0, 3, 1, 2).reshape(b, c, hh // p, p, ww // p, p)
             tok = tok.transpose(0, 2, 4, 3, 5, 1).reshape(b, n, p * p * c)
-            tok = nn.Dense(self.hidden_size)(tok)
+            tok = nn.Dense(self.hidden_size, dtype=self.dtype)(tok)
         else:
             raise ValueError(f"Unknown pos_embed {self.pos_embed!r}")
         pos = self.param(
@@ -676,7 +714,7 @@ class PatchEmbedding(nn.Module):
             nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0),
             (1, n, self.hidden_size),
         )
-        return nn.Dropout(self.dropout_rate, deterministic=not train)(tok + pos)
+        return nn.Dropout(self.dropout_rate, deterministic=not train)(tok + pos.astype(tok.dtype))
 
 
 class _LayerNorm(nn.Module):
@@ -689,9 +727,10 @@ class _LayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
-        mean = x.mean(-1, keepdims=True)
-        var = x.var(-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias).astype(x.dtype)
 
 
 class ViT(nn.Module):
@@ -707,14 +746,19 @@ class ViT(nn.Module):
     pos_embed: str = "conv"
     dropout_rate: float = 0.0
     qkv_bias: bool = False
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        tok = PatchEmbedding(self.patch_size, self.hidden_size, self.pos_embed, self.dropout_rate)(x, train)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        tok = PatchEmbedding(self.patch_size, self.hidden_size, self.pos_embed, self.dropout_rate,
+                             dtype=self.dtype)(x, train)
         hidden_states = []
         for _ in range(self.num_layers):
             tok = TransformerBlock(
-                self.hidden_size, self.mlp_dim, self.num_heads, self.dropout_rate, self.qkv_bias
+                self.hidden_size, self.mlp_dim, self.num_heads, self.dropout_rate, self.qkv_bias,
+                dtype=self.dtype,
             )(tok, train)
             hidden_states.append(tok)
         return _LayerNorm()(tok), hidden_states
@@ -731,16 +775,17 @@ class UnetrPrUpBlock(nn.Module):
     upsample_kernel_size: int = 2
     conv_block: bool = True
     res_block: bool = True
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         up = self.upsample_kernel_size
-        x = _TorchConvTranspose(self.out_channels, up, up)(x)
+        x = _TorchConvTranspose(self.out_channels, up, up, dtype=self.dtype)(x)
         block = UnetResBlock if self.res_block else UnetBasicBlock
         for _ in range(self.num_layer):
-            x = _TorchConvTranspose(self.out_channels, up, up)(x)
+            x = _TorchConvTranspose(self.out_channels, up, up, dtype=self.dtype)(x)
             if self.conv_block:
-                x = block(self.out_channels, self.kernel_size, 1)(x, train)
+                x = block(self.out_channels, self.kernel_size, 1, dtype=self.dtype)(x, train)
         return x
 
 
@@ -752,14 +797,15 @@ class UnetrUpBlock(nn.Module):
     kernel_size: int = 3
     upsample_kernel_size: int = 2
     res_block: bool = True
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         up = self.upsample_kernel_size
-        out = _TorchConvTranspose(self.out_channels, up, up)(x)
-        out = jnp.concatenate([out, skip], axis=-1)
+        out = _TorchConvTranspose(self.out_channels, up, up, dtype=self.dtype)(x)
+        out = jnp.concatenate([out, skip.astype(out.dtype)], axis=-1)
         block = UnetResBlock if self.res_block else UnetBasicBlock
-        return block(self.out_channels, self.kernel_size, 1)(out, train)
+        return block(self.out_channels, self.kernel_size, 1, dtype=self.dtype)(out, train)
 
 
 class UNETR(nn.Module):
@@ -779,6 +825,8 @@ class UNETR(nn.Module):
     res_block: bool = True
     dropout_rate: float = 0.0
     qkv_bias: bool = False
+    dtype: str = None  # opt-in bf16 compute (norm stats + softmax f32;
+    # f32 logits out)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -799,26 +847,24 @@ class UNETR(nn.Module):
             pos_embed=self.pos_embed,
             dropout_rate=self.dropout_rate,
             qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
         )(x, train)
 
         f = self.feature_size
         basic = UnetResBlock if self.res_block else UnetBasicBlock
-        enc1 = basic(f, 3, 1)(x, train)
-        enc2 = UnetrPrUpBlock(f * 2, num_layer=2, conv_block=self.conv_block, res_block=self.res_block)(
-            proj_feat(hidden[3]), train
-        )
-        enc3 = UnetrPrUpBlock(f * 4, num_layer=1, conv_block=self.conv_block, res_block=self.res_block)(
-            proj_feat(hidden[6]), train
-        )
-        enc4 = UnetrPrUpBlock(f * 8, num_layer=0, conv_block=self.conv_block, res_block=self.res_block)(
-            proj_feat(hidden[9]), train
-        )
+        enc1 = basic(f, 3, 1, dtype=self.dtype)(x, train)
+        enc2 = UnetrPrUpBlock(f * 2, num_layer=2, conv_block=self.conv_block, res_block=self.res_block,
+                              dtype=self.dtype)(proj_feat(hidden[3]), train)
+        enc3 = UnetrPrUpBlock(f * 4, num_layer=1, conv_block=self.conv_block, res_block=self.res_block,
+                              dtype=self.dtype)(proj_feat(hidden[6]), train)
+        enc4 = UnetrPrUpBlock(f * 8, num_layer=0, conv_block=self.conv_block, res_block=self.res_block,
+                              dtype=self.dtype)(proj_feat(hidden[9]), train)
         dec4 = proj_feat(normed)
-        dec3 = UnetrUpBlock(f * 8, res_block=self.res_block)(dec4, enc4, train)
-        dec2 = UnetrUpBlock(f * 4, res_block=self.res_block)(dec3, enc3, train)
-        dec1 = UnetrUpBlock(f * 2, res_block=self.res_block)(dec2, enc2, train)
-        out = UnetrUpBlock(f, res_block=self.res_block)(dec1, enc1, train)
-        return UnetOutBlock(self.out_chans)(out)
+        dec3 = UnetrUpBlock(f * 8, res_block=self.res_block, dtype=self.dtype)(dec4, enc4, train)
+        dec2 = UnetrUpBlock(f * 4, res_block=self.res_block, dtype=self.dtype)(dec3, enc3, train)
+        dec1 = UnetrUpBlock(f * 2, res_block=self.res_block, dtype=self.dtype)(dec2, enc2, train)
+        out = UnetrUpBlock(f, res_block=self.res_block, dtype=self.dtype)(dec1, enc1, train)
+        return UnetOutBlock(self.out_chans, dtype=self.dtype)(out)
 
 
 class Conv3dBlock(nn.Module):
@@ -827,11 +873,12 @@ class Conv3dBlock(nn.Module):
 
     out_chans: int
     drop_prob: float = 0.0
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(2):
-            x = nn.Conv(self.out_chans, (3, 3, 3), padding="SAME", use_bias=False)(x)
+            x = nn.Conv(self.out_chans, (3, 3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
             x = InstanceNorm()(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Dropout(self.drop_prob, deterministic=not train)(x)
@@ -843,10 +890,11 @@ class TransposeConv3dBlock(nn.Module):
     (reference unet3d_block.py:44) — upsampling in-plane only, depth kept."""
 
     out_chans: int
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(self.out_chans, (1, 2, 2), strides=(1, 2, 2), use_bias=False)(x)
+        x = nn.ConvTranspose(self.out_chans, (1, 2, 2), strides=(1, 2, 2), use_bias=False, dtype=self.dtype)(x)
         x = InstanceNorm()(x)
         return nn.leaky_relu(x, 0.2)
 
@@ -860,28 +908,32 @@ class UNet3D(nn.Module):
     chans: int = 16
     num_pool_layers: int = 3
     drop_prob: float = 0.0
+    dtype: str = None  # opt-in bf16 conv compute; f32 logits out
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         ch = self.chans
         stack = []
         out = x
         for i in range(self.num_pool_layers):
-            out = Conv3dBlock(ch, self.drop_prob)(out, train)
+            out = Conv3dBlock(ch, self.drop_prob, dtype=self.dtype)(out, train)
             stack.append(out)
             out = nn.avg_pool(out, (1, 2, 2), strides=(1, 2, 2))
             if i < self.num_pool_layers - 1:
                 ch *= 2
-        out = Conv3dBlock(ch * 2, self.drop_prob)(out, train)
+        out = Conv3dBlock(ch * 2, self.drop_prob, dtype=self.dtype)(out, train)
 
         for i in range(self.num_pool_layers):
             skip = stack.pop()
-            out = TransposeConv3dBlock(ch)(out)
+            out = TransposeConv3dBlock(ch, dtype=self.dtype)(out)
             pads = [(0, skip.shape[d] - out.shape[d]) for d in (1, 2, 3)]
             if any(p[1] for p in pads):
                 out = jnp.pad(out, ((0, 0), *pads, (0, 0)), mode="reflect")
-            out = Conv3dBlock(ch, self.drop_prob)(jnp.concatenate([out, skip], -1), train)
+            out = Conv3dBlock(ch, self.drop_prob, dtype=self.dtype)(jnp.concatenate([out, skip], -1), train)
             if i < self.num_pool_layers - 1:
                 ch //= 2
-        return nn.Conv(self.out_chans, (1, 1, 1))(out)
+        out = nn.Conv(self.out_chans, (1, 1, 1), dtype=self.dtype)(out)
+        return out if self.dtype is None else out.astype(jnp.float32)
 

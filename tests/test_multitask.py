@@ -200,3 +200,36 @@ def test_mtlrs_bf16_opt_in():
     assert np.abs(pb - pf).max() > 0  # bf16 actually engaged
     rel = np.linalg.norm(pb - pf) / np.linalg.norm(pf)
     assert rel < 0.1, rel
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        pytest.param(c, marks=pytest.mark.slow) if c["model_name"] == "SERANET" else c
+        for c in CONFIGS
+        if c["model_name"] != "MTLRS"  # MTLRS has its own knob test above
+    ],
+    ids=lambda c: (c.get("model_name") if isinstance(c, dict) else None),
+)
+def test_multitask_bf16_opt_in(cfg):
+    """compute_dtype=bfloat16 on the IDSLR/SegNet/RecSeg/SERANet family:
+    identical f32 params (checkpoint-compatible), finite recon+seg near the
+    f32 ones, bf16 engaged. DC/FFT chains, group norms and the attention
+    gate stay f32."""
+    y, sens, mask = _inputs()
+    exact = build_model(cfg)
+    fast = build_model({**cfg, "compute_dtype": "bfloat16"})
+    v = exact.init(jax.random.PRNGKey(0), y, sens, mask)
+    v_fast = fast.init(jax.random.PRNGKey(0), y, sens, mask)
+    assert jax.tree_util.tree_structure(v_fast["params"]) == jax.tree_util.tree_structure(v["params"])
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(v_fast["params"]))
+    out_e, seg_e = exact.apply(v, y, sens, mask)
+    out_f, seg_f = fast.apply(v, y, sens, mask)
+    pe, pf = np.asarray(out_e.prediction), np.asarray(out_f.prediction)
+    se, sf = np.asarray(seg_e), np.asarray(seg_f)
+    assert np.isfinite(pf).all() and np.isfinite(sf).all()
+    assert np.abs(pf - pe).max() + np.abs(sf - se).max() > 0  # engaged
+    rel_p = np.linalg.norm(pf - pe) / max(np.linalg.norm(pe), 1e-6)
+    rel_s = np.linalg.norm(sf - se) / max(np.linalg.norm(se), 1e-6)
+    assert rel_p < 0.1, rel_p
+    assert rel_s < 0.15, rel_s
