@@ -136,8 +136,8 @@ class ConvLSTMNormUnet(nn.Module):
             x, mean, std = self._norm(x)
         x, pads = self._pad(x)
         x = ConvLSTM(self.chans, kernel_size=3, num_layers=1, dtype=self.dtype)(x[:, None])[:, 0]
+        # Unet returns f32 on both dtype paths (nn/unet.py)
         x = Unet(self.out_chans, self.chans, self.num_pools, self.drop_prob, dtype=self.dtype)(x, train)
-        x = x.astype(jnp.float32)
         x = self._unpad(x, *pads)
         if self.normalize:
             x = self._unnorm(x, mean, std)

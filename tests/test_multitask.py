@@ -233,3 +233,10 @@ def test_multitask_bf16_opt_in(cfg):
     rel_s = np.linalg.norm(sf - se) / max(np.linalg.norm(se), 1e-6)
     assert rel_p < 0.1, rel_p
     assert rel_s < 0.15, rel_s
+    # gradients stay finite and nonzero through the bf16 stacks
+    def _loss(p):
+        out, seg = fast.apply({"params": p}, y, sens, mask, train=True)
+        return (out.prediction ** 2).mean() + (seg ** 2).mean()
+    g = jax.grad(_loss)(v["params"])
+    gn = float(sum(jnp.abs(t).sum() for t in jax.tree_util.tree_leaves(g)))
+    assert np.isfinite(gn) and gn > 0
