@@ -9,6 +9,10 @@ Usage:
   python tools/perf_lab.py train [--batch 24] [--iters 5] [--set key=json ...]
   python tools/perf_lab.py trace-train [--batch 24] [--out /tmp/trace]
   python tools/perf_lab.py trace-infer [--batch 96] [--out /tmp/trace_infer]
+  python tools/perf_lab.py zoo --cfg '{"model_name": "MTLRS", ...}' \
+      [--batch 8] [--iters 5]      # any recon/multitask model, k-space in
+  python tools/perf_lab.py seg --cfg '{"model_name": "SEGMENTATIONUNET"}' \
+      [--batch 64] [--train]       # segmentation trunks, image in
 
 --dc-dtype overrides infer_dc_dtype; left unset, the model default applies
 (= compute_dtype, i.e. bfloat16 for the flagship config) and the JSON line
@@ -119,6 +123,69 @@ def run_trace_train(args):
     print(json.dumps({"exp": "trace-train", "out": args.out}))
 
 
+def run_zoo(args):
+    """Inference throughput for any recon/multitask registry model on the
+    flagship bench data shapes (15 coils, 320x320). Multitask models return
+    (ModelOutput, seg) — both are reduced into the timed scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+
+    cfg = json.loads(args.cfg)
+    model = build_model(cfg)
+    y, sens, mask = (jnp.asarray(x) for x in bench._data(args.batch))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
+
+    @jax.jit
+    def forward(variables, y, sens, mask):
+        out = model.apply(variables, y, sens, mask)
+        if isinstance(out, tuple):  # multitask: (ModelOutput, seg)
+            return (out[0].prediction ** 2).sum() + (out[1] ** 2).sum()
+        return (out.prediction ** 2).sum()
+
+    dt = bench.time_scalar_fn(forward, (variables, y, sens, mask), warmup=2, iters=args.iters)
+    print(json.dumps({"exp": "zoo", "model": cfg.get("model_name"), "batch": args.batch,
+                      "slices_per_s": round(args.iters * args.batch / dt, 2)}))
+
+
+def run_seg(args):
+    """Segmentation-trunk throughput at 320x320 (2-channel input). --train
+    times fwd+bwd of an MSE surrogate instead of the forward."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+
+    cfg = {"segmentation_module_output_channels": 2, **json.loads(args.cfg)}
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((args.batch, 320, 320, 2)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    if args.train:
+        tgt = jnp.asarray((rng.random((args.batch, 320, 320, 2)) > 0.5).astype(np.float32))
+
+        @jax.jit
+        def fn(params, x, tgt):
+            def loss(p):
+                return ((model.apply({"params": p}, x, train=True) - tgt) ** 2).mean()
+            l, g = jax.value_and_grad(loss)(params)
+            return l + sum(jnp.sum(jnp.abs(v)) for v in jax.tree_util.tree_leaves(g)) * 0.0
+        fargs = (variables["params"], x, tgt)
+    else:
+        @jax.jit
+        def fn(variables, x):
+            return (model.apply(variables, x) ** 2).sum()
+        fargs = (variables, x)
+
+    dt = bench.time_scalar_fn(fn, fargs, warmup=2, iters=args.iters)
+    print(json.dumps({"exp": "seg-train" if args.train else "seg-infer",
+                      "model": cfg.get("model_name"), "batch": args.batch,
+                      "slices_per_s": round(args.iters * args.batch / dt, 2)}))
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -140,9 +207,19 @@ def main():
     pf.add_argument("--batch", type=int, default=96)
     pf.add_argument("--out", default="/tmp/mridc_trace_infer")
     pf.add_argument("--dc-dtype", default=None, choices=["float32", "bfloat16"])
+    pz = sub.add_parser("zoo")
+    pz.add_argument("--cfg", required=True, help="model config as JSON")
+    pz.add_argument("--batch", type=int, default=8)
+    pz.add_argument("--iters", type=int, default=5)
+    ps = sub.add_parser("seg")
+    ps.add_argument("--cfg", required=True, help="model config as JSON")
+    ps.add_argument("--batch", type=int, default=64)
+    ps.add_argument("--iters", type=int, default=5)
+    ps.add_argument("--train", action="store_true")
     args = p.parse_args()
     {"infer": run_infer, "quality": run_quality, "train": run_train,
-     "trace-train": run_trace_train, "trace-infer": run_trace_infer}[args.cmd](args)
+     "trace-train": run_trace_train, "trace-infer": run_trace_infer,
+     "zoo": run_zoo, "seg": run_seg}[args.cmd](args)
 
 
 if __name__ == "__main__":
