@@ -99,3 +99,30 @@ def test_run_quantitative_from_config(tmp_path, tmp_path_factory):
     }
     trainer, history = run_from_config(cfg)
     assert np.isfinite(history[-1]["train_loss"])
+
+
+def test_run_segmentation_bf16_from_config(tmp_path, seg_data):
+    """The compute_dtype knob flows through the FULL launch path (YAML config
+    -> schema -> trainer -> jitted train step): one bf16 training epoch on
+    the fixture converges to a finite loss and produces validation metrics."""
+    cfg = {
+        "mode": "train",
+        "model": {
+            "model_name": "SegmentationUNet",
+            "compute_dtype": "bfloat16",
+            "segmentation_module_output_channels": 2,
+            "segmentation_module_channels": 4,
+            "segmentation_module_pooling_layers": 2,
+            "magnitude_input": True,
+            "optim": {"name": "adam", "lr": 1e-3},
+            "train_ds": {"data_path": str(seg_data), "batch_size": 2, "fft_centered": True,
+                         "fft_normalization": "ortho", "coil_combination_method": "RSS"},
+            "validation_ds": {"data_path": str(seg_data), "batch_size": 2, "fft_centered": True,
+                              "fft_normalization": "ortho", "coil_combination_method": "RSS"},
+        },
+        "trainer": {"max_epochs": 1},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "seg_bf16"},
+    }
+    trainer, history = run_from_config(cfg)
+    assert np.isfinite(history[-1]["train_loss"])
+    assert "val_DICE" in history[-1]
