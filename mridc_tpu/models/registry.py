@@ -79,6 +79,34 @@ def _register_defaults():
             MODEL_REGISTRY.setdefault(n.upper(), cls.from_config)
 
 
+# TPU perf knobs with model-specific support. compute_dtype is NOT listed —
+# every learned model honors it. A knob key in the config for a model outside
+# its support set is a user error that previously trained/ran silently
+# without the knob; fail loudly instead (same convention as compute_dtype's
+# history, docs/performance.md knob table).
+_TPU_KNOB_SUPPORT = {
+    "scan_iterations": {"XPDNET", "KIKINET", "LPDNET", "LPD"},
+    "dc_mode": {"CIRIM", "RIM", "MTLRS"},
+    "remat_mode": {"CIRIM", "RIM"},
+    "lane_fold": {"CIRIM", "RIM", "MTLRS"},
+    "train_dc_dtype": {"CIRIM", "RIM", "MTLRS"},
+    "infer_dc_dtype": {"CIRIM", "RIM", "MTLRS"},
+    "train_eta_dtype": {"CIRIM", "RIM"},
+    "scan_unroll": {"CIRIM", "RIM"},
+    "train_pointwise_matmul": {"CIRIM", "RIM"},
+    "stack_intermediates": {"CIRIM", "RIM"},
+}
+
+
+def _check_knob_support(name: str, cfg: Dict[str, Any]) -> None:
+    for key, supported in _TPU_KNOB_SUPPORT.items():
+        if key in cfg and cfg[key] is not None and name not in supported:
+            raise ValueError(
+                f"{key!r} is not supported by model {name!r} (supported: "
+                f"{sorted(supported)}); remove it from the model config"
+            )
+
+
 _defaults_loaded = False
 
 
@@ -96,6 +124,7 @@ def build_model(cfg: Dict[str, Any]):
     name = str(cfg.get("model_name", "")).upper()
     if name not in MODEL_REGISTRY:
         raise ValueError(f"Unknown model_name {name!r}. Available: {sorted(MODEL_REGISTRY)}")
+    _check_knob_support(name, cfg)
     model = MODEL_REGISTRY[name](cfg)
     from mridc_tpu.models.sens_wrapper import maybe_wrap_sens_net
 

@@ -500,3 +500,23 @@ def test_xpdnet_scan_converter_handles_sens_net_wrapper():
     p_scan = np.asarray(scanned.apply({"params": rebuilt}, y, s, m).prediction)
     rel = np.linalg.norm(p_scan - p_unrolled) / max(np.linalg.norm(p_unrolled), 1e-12)
     assert rel < 1e-5, rel
+
+
+def test_tpu_knobs_rejected_on_unsupported_models():
+    """A TPU knob key on a model outside its support set previously ran
+    silently without the knob; the registry now rejects it loudly."""
+    y, s, m = _inputs()
+    del y, s, m
+    for cfg in (
+        {"model_name": "VN", "num_cascades": 1, "channels": 4, "pooling_layers": 2,
+         "scan_iterations": True, **COMMON},
+        {"model_name": "UNET", "channels": 4, "pooling_layers": 2,
+         "dc_mode": "psf1d", **COMMON},
+        {"model_name": "CASCADENET", "num_cascades": 1, "hidden_channels": 4,
+         "lane_fold": "always", **COMMON},
+    ):
+        with pytest.raises(ValueError, match="not supported by model"):
+            build_model(cfg)
+    # explicit None means "force default" and stays allowed everywhere
+    build_model({"model_name": "VN", "num_cascades": 1, "channels": 4,
+                 "pooling_layers": 2, "train_dc_dtype": None, **COMMON})
