@@ -111,11 +111,31 @@ def build_dataloader(ds_cfg: Dict, model_cfg: Optional[Dict] = None, shuffle: Op
         transform=tfm,
     )
     pad_shape = ds_cfg.get("pad_shape")
-    return BatchLoader(
+    loader = BatchLoader(
         dataset,
         batch_size=ds_cfg.get("batch_size", 1),
         shuffle=ds_cfg.get("shuffle", False) if shuffle is None else shuffle,
         seed=ds_cfg.get("seed", 0),
         pad_shape=tuple(pad_shape) if pad_shape else None,
         drop_last=ds_cfg.get("drop_last", False),
+        num_workers=int(ds_cfg.get("num_workers", 0) or 0),
     )
+    return maybe_prefetch(loader, ds_cfg)
+
+
+def maybe_prefetch(loader, ds_cfg: Dict):
+    """Wrap ``loader`` in a background Prefetcher when the config asks for it.
+
+    ``prefetch_batches`` is the explicit knob; reference configs that set
+    ``num_workers`` (torch DataLoader semantics, reconstruction/nn/
+    base.py:1083-1090) imply async loading, so they get the default depth too.
+    """
+    depth = ds_cfg.get("prefetch_batches")
+    if depth is None:
+        depth = 2 if int(ds_cfg.get("num_workers", 0) or 0) > 0 else 0
+    depth = int(depth)
+    if depth <= 0:
+        return loader
+    from mridc_tpu.data.prefetch import Prefetcher
+
+    return Prefetcher(loader, depth=depth)

@@ -290,6 +290,7 @@ class BatchLoader:
         select_acceleration: str = "random",  # or "first"
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -310,6 +311,10 @@ class BatchLoader:
             process_count = pc if process_count is None else process_count
         self.process_index = int(process_index)
         self.process_count = int(process_count)
+        # reference parity: DataLoader(num_workers=...) (reconstruction/nn/
+        # base.py:1083-1090). Threads map dataset[i] over the epoch order,
+        # yielding IN ORDER (see data/prefetch.py for the grain rationale).
+        self.num_workers = int(num_workers)
 
     def _local_count(self):
         n = len(self.dataset)
@@ -366,9 +371,15 @@ class BatchLoader:
             from mridc_tpu.parallel.multihost import shard_indices
 
             order = order[shard_indices(len(order), self.process_index, self.process_count)]
+        if self.num_workers > 0:
+            from mridc_tpu.data.prefetch import OrderedWorkerMap
+
+            samples = OrderedWorkerMap(lambda i: self.dataset[int(i)], order, self.num_workers)
+        else:
+            samples = (self.dataset[int(idx)] for idx in order)
         batch = []
-        for idx in order:
-            batch.append(self.dataset[int(idx)])
+        for sample in samples:
+            batch.append(sample)
             if len(batch) == self.batch_size:
                 yield self._collate(batch)
                 batch = []

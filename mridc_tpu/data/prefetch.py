@@ -1,0 +1,136 @@
+"""Background prefetching for the host-side batch loaders.
+
+Reference parity: the reference wraps every dataset in a torch ``DataLoader``
+with ``num_workers``/``pin_memory`` from config
+(mridc/collections/reconstruction/nn/base.py:1083-1090), overlapping h5 I/O +
+the numpy transform pipeline with the training step. TPU-first equivalent:
+
+  - ``Prefetcher`` — a daemon producer thread runs the wrapped loader's
+    ``__iter__`` and fills a bounded queue, so batch ``k+1``..``k+depth`` are
+    built while the device executes step ``k``. Batch ORDER is exactly the
+    wrapped loader's order (single producer, FIFO queue), so epoch
+    determinism is untouched.
+  - ``BatchLoader(num_workers=N)`` (see loaders.py) — threads map
+    ``dataset[i]`` over the epoch order with a bounded in-flight window,
+    yielding samples IN ORDER; h5py holds a global lock but the numpy
+    transform pipeline releases the GIL in its hot ops, so threads (not
+    processes) recover most of the win without pickling device-sized arrays.
+
+Threads (not subprocesses) are the right grain here: one sample is a
+~100 MB multicoil slice; torch's worker processes exist to dodge the GIL for
+Python-heavy transforms, but this pipeline is numpy/BLAS-bound.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+__all__ = ["Prefetcher", "OrderedWorkerMap"]
+
+_SENTINEL = object()
+
+
+class _Raise:
+    """Wraps a producer-side exception so the consumer re-raises it."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+class Prefetcher:
+    """Iterate ``loader`` on a background thread, ``depth`` batches ahead.
+
+    Transparent wrapper: ``len``, ``dataset``, ``batch_size`` etc. pass
+    through, so trainers that introspect the loader keep working. Each
+    ``__iter__`` spawns a fresh producer thread; abandoning the iterator
+    (break / GC) stops the producer promptly via a stop event.
+    """
+
+    def __init__(self, loader: Iterable, depth: int = 2):
+        if depth < 1:
+            raise ValueError(f"prefetch depth must be >= 1, got {depth}")
+        self.loader = loader
+        self.depth = int(depth)
+
+    def __getattr__(self, name):
+        return getattr(self.loader, name)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as exc:  # noqa: BLE001 — forwarded to consumer
+                try:
+                    q.put(_Raise(exc), timeout=5.0)
+                except queue.Full:
+                    pass
+                return
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
+        thread = threading.Thread(target=produce, name="mridc-prefetch", daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, _Raise):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
+
+
+class OrderedWorkerMap:
+    """Map ``fn`` over ``items`` with ``num_workers`` threads, yielding results
+    in input order with at most ``num_workers + extra`` tasks in flight.
+
+    The bounded window keeps memory at O(window × sample) instead of
+    materializing the whole epoch.
+    """
+
+    def __init__(self, fn, items, num_workers: int, extra: Optional[int] = None):
+        self.fn = fn
+        self.items = list(items)
+        self.num_workers = int(num_workers)
+        self.window = self.num_workers + (self.num_workers if extra is None else int(extra))
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers, thread_name_prefix="mridc-worker") as ex:
+            futures = []
+            it = iter(self.items)
+            exhausted = False
+            while True:
+                while not exhausted and len(futures) < self.window:
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    futures.append(ex.submit(self.fn, item))
+                if not futures:
+                    return
+                yield futures.pop(0).result()

@@ -93,12 +93,14 @@ class RSMRIDataTransforms(MRIDataTransforms):
 class SegBatchLoader:
     """Batches SegmentationDataTransforms dicts into stacked arrays."""
 
-    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False, seed: int = 0, drop_last: bool = False):
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False, seed: int = 0, drop_last: bool = False,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        self.num_workers = int(num_workers)
 
     def __len__(self):
         n = len(self.dataset)
@@ -108,9 +110,15 @@ class SegBatchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.num_workers > 0:
+            from mridc_tpu.data.prefetch import OrderedWorkerMap
+
+            samples = OrderedWorkerMap(lambda i: self.dataset[int(i)], order, self.num_workers)
+        else:
+            samples = (self.dataset[int(idx)] for idx in order)
         batch = []
-        for idx in order:
-            batch.append(self.dataset[int(idx)])
+        for sample in samples:
+            batch.append(sample)
             if len(batch) == self.batch_size:
                 yield self._collate(batch)
                 batch = []
@@ -163,8 +171,10 @@ class QBatchLoader:
     masks each echo's k-space, fits initial maps, stacks real views."""
 
     def __init__(self, dataset, tes, mask_func=None, batch_size: int = 1, shuffle: bool = False, seed: int = 0,
-                 fft_centered: bool = True, fft_normalization: str = "ortho"):
+                 fft_centered: bool = True, fft_normalization: str = "ortho", num_workers: int = 0):
         from mridc_tpu.data.qtransforms import fit_quantitative_maps
+
+        self.num_workers = int(num_workers)
 
         self.dataset = dataset
         self.tes = np.asarray(tes, np.float32)
@@ -265,9 +275,14 @@ class QBatchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.num_workers > 0:
+            from mridc_tpu.data.prefetch import OrderedWorkerMap
+
+            prepped_iter = OrderedWorkerMap(lambda i: self._prep(self.dataset[int(i)]), order, self.num_workers)
+        else:
+            prepped_iter = (self._prep(self.dataset[int(idx)]) for idx in order)
         batch = []
-        for idx in order:
-            prepped = self._prep(self.dataset[int(idx)])
+        for prepped in prepped_iter:
             for item in prepped if isinstance(prepped, list) else [prepped]:
                 batch.append(item)
                 if len(batch) == self.batch_size:

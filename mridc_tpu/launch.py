@@ -63,7 +63,17 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
             consecutive_slices=ds_cfg.get("consecutive_slices", 1),
             transform=tfm,
         )
-        return SegBatchLoader(ds, batch_size=ds_cfg.get("batch_size", 1), shuffle=shuffle)
+        from mridc_tpu.data.factory import maybe_prefetch
+
+        return maybe_prefetch(
+            SegBatchLoader(
+                ds,
+                batch_size=ds_cfg.get("batch_size", 1),
+                shuffle=shuffle,
+                num_workers=int(ds_cfg.get("num_workers", 0) or 0),
+            ),
+            ds_cfg,
+        )
     if task == "multitask":
         from mridc_tpu.data.factory import transform_kwargs
         from mridc_tpu.data.seg_pipeline import RSBatchLoader, RSMRIDataTransforms
@@ -82,7 +92,17 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
             consecutive_slices=ds_cfg.get("consecutive_slices", 1),
             transform=tfm,
         )
-        return RSBatchLoader(ds, batch_size=ds_cfg.get("batch_size", 1), shuffle=shuffle)
+        from mridc_tpu.data.factory import maybe_prefetch
+
+        return maybe_prefetch(
+            RSBatchLoader(
+                ds,
+                batch_size=ds_cfg.get("batch_size", 1),
+                shuffle=shuffle,
+                num_workers=int(ds_cfg.get("num_workers", 0) or 0),
+            ),
+            ds_cfg,
+        )
     if task == "quantitative":
         from mridc_tpu.data.seg_pipeline import QBatchLoader
         from mridc_tpu.data.subsample import create_masker
@@ -99,14 +119,20 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
             sample_rate=ds_cfg.get("sample_rate"),
             consecutive_slices=ds_cfg.get("consecutive_slices", 1),
         )
-        return QBatchLoader(
-            ds,
-            tes=model_cfg.get("TEs", [3.0, 11.5, 20.0, 28.5]),
-            mask_func=mask_func,
-            batch_size=ds_cfg.get("batch_size", 1),
-            shuffle=shuffle,
-            fft_centered=model_cfg.get("fft_centered", True),
-            fft_normalization=model_cfg.get("fft_normalization", "ortho"),
+        from mridc_tpu.data.factory import maybe_prefetch
+
+        return maybe_prefetch(
+            QBatchLoader(
+                ds,
+                tes=model_cfg.get("TEs", [3.0, 11.5, 20.0, 28.5]),
+                mask_func=mask_func,
+                batch_size=ds_cfg.get("batch_size", 1),
+                shuffle=shuffle,
+                fft_centered=model_cfg.get("fft_centered", True),
+                fft_normalization=model_cfg.get("fft_normalization", "ortho"),
+                num_workers=int(ds_cfg.get("num_workers", 0) or 0),
+            ),
+            ds_cfg,
         )
     return build_dataloader(ds_cfg, model_cfg, shuffle=shuffle)
 
