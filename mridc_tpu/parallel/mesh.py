@@ -51,10 +51,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+# Leaves whose dim0 is NOT a batch axis: per-echo/scalar metadata shared by
+# every sample. They are replicated by declaration, not by the
+# divisibility-warning fallback (e.g. "TEs" is [num_echoes] echo times —
+# reference quantitative/nn/base.py threads it alongside the batch).
+NON_BATCH_LEAVES = frozenset({"TEs", "acceleration_choices", "attrs"})
+
+
+def shard_batch(
+    batch: Dict,
+    mesh: Mesh,
+    axis: str = "data",
+    replicated_keys: frozenset = NON_BATCH_LEAVES,
+) -> Dict:
     """Device-put every array leaf with its batch axis sharded over ``axis``.
 
-    Non-array leaves (fnames, attrs) are passed through untouched for host use.
+    Leaves named in ``replicated_keys`` are replicated silently (their dim0 is
+    semantically not a batch axis). Non-array leaves (fnames, attrs) pass
+    through untouched for host use.
     """
     import logging
 
@@ -62,7 +76,9 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     out = {}
     for k, v in batch.items():
         is_array = isinstance(v, (np.ndarray, jax.Array))
-        if is_array and v.ndim >= 1 and v.shape[0] % mesh.shape[axis] == 0:
+        if is_array and k in replicated_keys:
+            out[k] = jax.device_put(v, replicated(mesh))
+        elif is_array and v.ndim >= 1 and v.shape[0] % mesh.shape[axis] == 0:
             out[k] = jax.device_put(v, sharding)
         elif is_array:
             if not _warned_replicated.get(k):

@@ -70,3 +70,28 @@ def test_reduce_mean_stats_sums_across_processes(monkeypatch):
 def test_reduce_mean_stats_single_process_identity():
     out = reduce_mean_stats({"PSNR": 30.0 * 4}, {"PSNR": 4.0})
     np.testing.assert_allclose(out["PSNR"], 30.0)
+
+
+def test_shard_batch_replicates_declared_non_batch_leaves(caplog):
+    """'TEs' ([num_echoes]) must be declared-replicated on the mesh — not fall
+    into the batch-divisibility warning path (VERDICT r3: MULTICHIP tail)."""
+    import logging
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from mridc_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(8)
+    batch = {
+        "kspace": np.zeros((8, 2, 16, 16, 2), np.float32),
+        "TEs": np.asarray([3.0, 11.5, 20.0, 28.5], np.float32),  # 4 % 8 != 0
+        "fname": ["a"] * 8,
+    }
+    with caplog.at_level(logging.WARNING, logger="mridc_tpu"):
+        out = shard_batch(batch, mesh)
+    assert not [r for r in caplog.records if "TEs" in r.getMessage()]
+    assert out["TEs"].sharding.spec == P()
+    assert out["kspace"].sharding.spec == P("data")
+    assert out["fname"] == batch["fname"]
+    np.testing.assert_array_equal(np.asarray(out["TEs"]), batch["TEs"])
