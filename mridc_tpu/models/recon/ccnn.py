@@ -19,6 +19,7 @@ class CascadeNet(BaseReconModel):
     hidden_channels: int = 64
     n_convs: int = 5
     batchnorm: bool = False
+    live_bn: bool = False
     no_dc: bool = False
     compute_dtype: str = None  # opt-in bf16 conv compute (DC/FFT stay f32)
 
@@ -29,6 +30,7 @@ class CascadeNet(BaseReconModel):
             hidden_channels=cfg.get("hidden_channels", 64),
             n_convs=cfg.get("n_convs", 5),
             batchnorm=cfg.get("batchnorm", False),
+            live_bn=bool(cfg.get("train_batch_stats", False)),
             no_dc=cfg.get("no_dc", False),
             compute_dtype=cfg.get("compute_dtype"),
             fft_centered=cfg.get("fft_centered", False),
@@ -51,7 +53,7 @@ class CascadeNet(BaseReconModel):
             )
             x = Conv2dCascade(
                 out_channels=2, hidden_channels=self.hidden_channels, n_convs=self.n_convs,
-                batchnorm=self.batchnorm, dtype=self.compute_dtype,
+                batchnorm=self.batchnorm, live_bn=self.live_bn, dtype=self.compute_dtype,
             )(image, train)
             model_term = sens_expand(
                 x, sens, self.fft_centered, self.fft_normalization, self.spatial_dims

@@ -30,6 +30,7 @@ def _make_kspace_model(cfg):
             hidden_channels=cfg.get("kspace_conv_hidden_channels", 16),
             n_convs=cfg.get("kspace_conv_n_convs", 4),
             batchnorm=cfg.get("kspace_conv_batchnorm", False),
+            live_bn=bool(cfg.get("train_batch_stats", False)),
             dtype=cfg.get("compute_dtype"),
         )
     if arch == "DIDN":
@@ -59,6 +60,7 @@ def _make_image_model(cfg, fft_centered, fft_normalization):
             first_conv_hidden_channels=cfg.get("image_mwcnn_hidden_channels", 16),
             num_scales=cfg.get("image_mwcnn_num_scales", 2),
             batchnorm=cfg.get("image_mwcnn_batchnorm", False),
+            live_bn=bool(cfg.get("train_batch_stats", False)),
             dtype=cfg.get("compute_dtype"),
         )
     if arch in ("UNET", "NORMUNET"):

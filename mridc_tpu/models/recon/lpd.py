@@ -109,6 +109,7 @@ class LPDNet(BaseReconModel):
                 hidden_channels=cfg.get("kspace_conv_hidden_channels", 16),
                 n_convs=cfg.get("kspace_conv_n_convs", 4),
                 batchnorm=cfg.get("kspace_conv_batchnorm", False),
+                live_bn=bool(cfg.get("train_batch_stats", False)),
                 dtype=cfg.get("compute_dtype"),
             )
         raise ValueError(f"LPDNet dual_model_architecture must be CONV, DIDN or UNET, got {self.dual_arch!r}")

@@ -62,6 +62,7 @@ class VSNet(BaseReconModel):
             hidden_channels=cfg.get("imspace_conv_hidden_channels", 16),
             n_convs=cfg.get("imspace_conv_n_convs", 4),
             batchnorm=cfg.get("imspace_conv_batchnorm", False),
+            live_bn=bool(cfg.get("train_batch_stats", False)),
             dtype=cfg.get("compute_dtype"),
         )
 

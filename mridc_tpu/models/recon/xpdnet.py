@@ -154,6 +154,7 @@ class XPDNet(BaseReconModel):
                 first_conv_hidden_channels=cfg.get("mwcnn_hidden_channels", 16),
                 num_scales=cfg.get("mwcnn_num_scales", 2),
                 batchnorm=cfg.get("mwcnn_batchnorm", False),
+                live_bn=bool(cfg.get("train_batch_stats", False)),
                 dtype=cfg.get("compute_dtype"),
             )
             head_dtype = cfg.get("compute_dtype")

@@ -95,6 +95,16 @@ _TPU_KNOB_SUPPORT = {
     "scan_unroll": {"CIRIM", "RIM"},
     "train_pointwise_matmul": {"CIRIM", "RIM"},
     "stack_intermediates": {"CIRIM", "RIM"},
+    # live BatchNorm running statistics (torch momentum semantics) — only
+    # meaningful for models whose reference graph carries BatchNorm2d
+    # (mwcnn.py:154, conv/conv2d.py:53, vnet_block.py:33,
+    # lambda_unet_block.py:70). CRNN shares its conv block across a weight-
+    # broadcast scan, where per-iteration stat updates would need a carried
+    # collection — unsupported, reject loudly.
+    "train_batch_stats": {
+        "CASCADENET", "CCNN", "KIKINET", "LPDNET", "LPD", "XPDNET", "VSNET",
+        "SEGMENTATIONVNET", "SEGMENTATIONLAMBDAUNET",
+    },
 }
 
 

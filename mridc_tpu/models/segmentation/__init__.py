@@ -59,6 +59,7 @@ class _SegBase(nn.Module):
     chans: int = 32
     pools: int = 4
     normalize_output: bool = False
+    live_bn: bool = False  # train_batch_stats: track running BatchNorm stats
     compute_dtype: str = None  # opt-in bf16 conv compute — every trunk honors
     # it (norm stats, softmaxes and logits stay f32; params stay f32)
 
@@ -124,6 +125,7 @@ class SegmentationLambdaUNet(_SegBase):
             receptive_kernel=cfg.get("segmentation_module_receptive_kernel", 3),
             temporal_kernel=cfg.get("segmentation_module_temporal_kernel", 1),
             num_slices=cfg.get("consecutive_slices", 1),
+            live_bn=bool(cfg.get("train_batch_stats", False)),
         )
 
     @nn.compact
@@ -137,6 +139,7 @@ class SegmentationLambdaUNet(_SegBase):
             receptive_kernel=self.receptive_kernel,
             temporal_kernel=self.temporal_kernel,
             num_slices=self.num_slices,
+            live_bn=self.live_bn,
             dtype=self.compute_dtype,
         )(image, train)
 
@@ -144,11 +147,12 @@ class SegmentationLambdaUNet(_SegBase):
 class SegmentationVNet(_SegBase):
     @classmethod
     def from_config(cls, cfg):
-        return cls(**_seg_cfg(cfg), compute_dtype=cfg.get("compute_dtype"))
+        return cls(**_seg_cfg(cfg), compute_dtype=cfg.get("compute_dtype"),
+                   live_bn=bool(cfg.get("train_batch_stats", False)))
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        return VNet(out_chans=self.classes, dtype=self.compute_dtype)(image, train)
+        return VNet(out_chans=self.classes, live_bn=self.live_bn, dtype=self.compute_dtype)(image, train)
 
 
 class SegmentationDYNUNet(_SegBase):

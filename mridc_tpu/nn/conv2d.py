@@ -22,6 +22,7 @@ class Conv2dCascade(nn.Module):
     hidden_channels: int = 64
     n_convs: int = 3
     batchnorm: bool = False
+    live_bn: bool = False  # track running BatchNorm stats (train_batch_stats)
     lane_fold: str = "auto"  # fold the 64-channel convs to full MXU lane
     # width on non-CPU backends (exact rewrite, nn/fold.py; params are laid
     # out identically either way). Disabled with batchnorm: folded per-channel
@@ -45,9 +46,12 @@ class Conv2dCascade(nn.Module):
             feats = self.hidden_channels if idx != self.n_convs - 1 else self.out_channels
             x = Conv(feats, (3, 3), padding="SAME", lane_fold=fold, fold_pad_mode="zero", dtype=self.dtype)(x)
             if self.batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, epsilon=1e-4)(x.astype(jnp.float32)).astype(
-                    x.dtype
-                )
+                # torch semantics (reference conv/conv2d.py:53: eps=1e-4,
+                # default momentum 0.1); frozen params by default, live
+                # batch_stats under train_batch_stats
+                from mridc_tpu.nn.layers import TorchBatchNorm
+
+                x = TorchBatchNorm(eps=1e-4, live=self.live_bn)(x.astype(jnp.float32), train).astype(x.dtype)
             if idx != self.n_convs - 1:
                 alpha = self.param(f"prelu_{idx}", nn.initializers.constant(0.25), (1,))
                 x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)

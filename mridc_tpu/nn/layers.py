@@ -112,33 +112,68 @@ class Conv(nn.Conv):
 
 
 class TorchBatchNorm(nn.Module):
-    """BatchNorm with torch semantics and frozen running statistics.
+    """BatchNorm with torch semantics (reference torch.nn.BatchNorm2d users:
+    mwcnn/mwcnn.py:154, conv/conv2d.py:53, vnet_base/vnet_block.py:33,
+    lambda_unet_base/lambda_unet_block.py:70).
 
-    Train mode normalizes with the current batch statistics (torch train
-    behavior); eval mode uses the stored ``running_mean``/``running_var``
-    (torch eval behavior), which live in the params collection so golden tests
-    can import them from reference checkpoints. The stored stats are
-    stop-gradiented and NOT updated during training — fine-tune/eval flows
-    should import stats or evaluate in train mode (documented deviation from
-    torch's momentum-tracked running stats; avoids threading a mutable
-    batch_stats collection through the jitted trainers).
+    Two modes:
+
+    ``live=False`` (default, import parity): running ``mean``/``var`` live in
+    the params collection so golden tests can import them from reference
+    checkpoints. Train mode normalizes with current batch statistics (torch
+    train behavior); eval uses the stored stats, which are stop-gradiented and
+    never updated — fine-tune/eval flows should import stats or opt into live
+    mode.
+
+    ``live=True`` (``train_batch_stats`` model knob): running stats live in
+    the mutable ``batch_stats`` collection (f32) and are updated during train
+    with torch momentum semantics — ``running = (1-m)*running + m*batch``,
+    with the UNBIASED batch variance feeding the running var while the biased
+    variance normalizes the batch (exact torch.nn.BatchNorm2d formula). Eval
+    normalizes with the tracked stats. The trainers thread ``batch_stats``
+    through the jitted steps when present (TrainState.batch_stats).
     """
 
     eps: float = 1e-5
+    momentum: float = 0.1
+    live: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        r_mean = jax.lax.stop_gradient(self.param("mean", nn.initializers.zeros, (c,)))
-        r_var = jax.lax.stop_gradient(self.param("var", nn.initializers.ones, (c,)))
+        if not self.live:
+            r_mean = jax.lax.stop_gradient(self.param("mean", nn.initializers.zeros, (c,)))
+            r_var = jax.lax.stop_gradient(self.param("var", nn.initializers.ones, (c,)))
+            if train:
+                axes = tuple(range(x.ndim - 1))
+                mean = x.mean(axes)
+                var = x.var(axes)
+            else:
+                mean, var = r_mean, r_var
+            y = (x - mean) / jnp.sqrt(var + self.eps)
+            return y * scale + bias
+
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
         if train:
             axes = tuple(range(x.ndim - 1))
             mean = x.mean(axes)
             var = x.var(axes)
+            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+                n = x.size / c
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * jax.lax.stop_gradient(
+                    mean.astype(jnp.float32)
+                )
+                ra_var.value = (1.0 - m) * ra_var.value + m * jax.lax.stop_gradient(
+                    unbiased.astype(jnp.float32)
+                )
         else:
-            mean, var = r_mean, r_var
+            mean = ra_mean.value.astype(x.dtype)
+            var = ra_var.value.astype(x.dtype)
         y = (x - mean) / jnp.sqrt(var + self.eps)
         return y * scale + bias
 

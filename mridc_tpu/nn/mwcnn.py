@@ -45,28 +45,36 @@ def iwt2(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _bn_f32(x, train):
-    """BatchNorm computed in f32 regardless of the compute dtype."""
-    out = nn.BatchNorm(use_running_average=not train, epsilon=1e-4, momentum=0.95)(x.astype(jnp.float32))
+def _bn_f32(x, train, live: bool = False):
+    """BatchNorm computed in f32 regardless of the compute dtype. Torch
+    semantics via TorchBatchNorm (reference mwcnn.py:154: eps=1e-4,
+    momentum=0.95 — torch momentum weights the NEW batch stat); live=True
+    tracks running stats in the batch_stats collection
+    (``train_batch_stats``), default keeps them frozen params."""
+    from mridc_tpu.nn.layers import TorchBatchNorm
+
+    out = TorchBatchNorm(eps=1e-4, momentum=0.95, live=live)(x.astype(jnp.float32), train)
     return out.astype(x.dtype)
 
 
 class _CB(nn.Module):
     features: int
     batchnorm: bool = False
+    live_bn: bool = False
     dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         if self.batchnorm:
-            x = _bn_f32(x, train)
+            x = _bn_f32(x, train, self.live_bn)
         return nn.relu(x)
 
 
 class _DilCB(nn.Module):
     dilations: Tuple[int, int]
     batchnorm: bool = False
+    live_bn: bool = False
     dtype: str = None
 
     @nn.compact
@@ -75,7 +83,7 @@ class _DilCB(nn.Module):
         for d in self.dilations:
             x = nn.Conv(c, (3, 3), kernel_dilation=(d, d), padding="SAME", dtype=self.dtype)(x)
             if self.batchnorm:
-                x = _bn_f32(x, train)
+                x = _bn_f32(x, train, self.live_bn)
             x = nn.relu(x)
         return x
 
@@ -85,6 +93,7 @@ class MWCNN(nn.Module):
     first_conv_hidden_channels: int = 16
     num_scales: int = 4
     batchnorm: bool = False
+    live_bn: bool = False
     dtype: str = None  # opt-in bf16 conv compute; params/BatchNorm stats stay
     # f32, the DWT/IWT ladders run in the compute dtype, output cast to f32
 
@@ -107,8 +116,8 @@ class MWCNN(nn.Module):
             dil = (2, 1) if idx != self.num_scales - 1 else (2, 3)
             feats = hc * 2**idx
             inp_x = x if idx == 0 else dwt2(x)
-            x = _CB(feats, self.batchnorm, self.dtype)(inp_x, train)
-            x = _DilCB(dil, self.batchnorm, self.dtype)(x, train)
+            x = _CB(feats, self.batchnorm, self.live_bn, self.dtype)(inp_x, train)
+            x = _DilCB(dil, self.batchnorm, self.live_bn, self.dtype)(x, train)
             if idx != self.num_scales - 1:
                 x = pad_even(x)
                 res_values.append(x)
@@ -116,9 +125,9 @@ class MWCNN(nn.Module):
             scale = self.num_scales - 1 - idx
             dil = (2, 1) if scale != self.num_scales - 1 else (3, 2)
             out_feats = self.input_channels if scale == 0 else hc * 2 ** (scale + 1)
-            x = _DilCB(dil, self.batchnorm, self.dtype)(x, train)
+            x = _DilCB(dil, self.batchnorm, self.live_bn, self.dtype)(x, train)
             if scale != 0:
-                x = _CB(out_feats, self.batchnorm, self.dtype)(x, train)
+                x = _CB(out_feats, self.batchnorm, self.live_bn, self.dtype)(x, train)
                 x = iwt2(x)
                 skip = res_values[scale - 1]
                 x = x[:, : skip.shape[1], : skip.shape[2]] + skip

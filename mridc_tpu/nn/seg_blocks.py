@@ -38,12 +38,13 @@ __all__ = [
 # --------------------------------------------------------------------------
 
 
-def _bn_f32(x, train):
+def _bn_f32(x, train, live: bool = False):
     """TorchBatchNorm computed in f32 regardless of the compute dtype
-    (running stats are params; bf16 batch stats would drift them)."""
+    (running stats are params — or batch_stats when live; bf16 batch stats
+    would drift them)."""
     from mridc_tpu.nn.layers import TorchBatchNorm
 
-    return TorchBatchNorm()(x.astype(jnp.float32), train).astype(x.dtype)
+    return TorchBatchNorm(live=live)(x.astype(jnp.float32), train).astype(x.dtype)
 
 
 class AttentionGate(nn.Module):
@@ -134,6 +135,7 @@ class LambdaLayer(nn.Module):
     temporal_kernel: int = 1
     heads: int = 4
     num_slices: int = 1
+    live_bn: bool = False  # track running BatchNorm stats (train_batch_stats)
     dtype: str = None  # opt-in bf16 compute (BatchNorms and the key softmax
     # run f32; params stay f32)
 
@@ -149,10 +151,10 @@ class LambdaLayer(nn.Module):
         n = hh * ww
 
         q = nn.Conv(kd * h, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        q = _bn_f32(q, train)
+        q = _bn_f32(q, train, self.live_bn)
         k = nn.Conv(kd * u, (1, 1), use_bias=False, dtype=self.dtype)(x)
         v = nn.Conv(vd * u, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        v = _bn_f32(v, train)
+        v = _bn_f32(v, train, self.live_bn)
 
         # NHWC channel c maps to torch (group, inner) = (c // inner, c % inner)?
         # torch rearrange "b (h k) hh ww" splits channel-major: group index h
@@ -203,6 +205,7 @@ class LambdaBlock(nn.Module):
     receptive_kernel: int = 3
     temporal_kernel: int = 1
     num_slices: int = 1
+    live_bn: bool = False
     dtype: str = None
 
     @nn.compact
@@ -217,6 +220,7 @@ class LambdaBlock(nn.Module):
                 temporal_kernel=self.temporal_kernel,
                 heads=heads,
                 num_slices=self.num_slices,
+                live_bn=self.live_bn,
                 dtype=self.dtype,
             )(x, train)
             x = InstanceNorm()(x)
@@ -239,6 +243,7 @@ class LambdaUnet(nn.Module):
     receptive_kernel: int = 3
     temporal_kernel: int = 1
     num_slices: int = 1
+    live_bn: bool = False
     dtype: str = None  # opt-in bf16 compute; output cast back to f32
 
     @nn.compact
@@ -254,6 +259,7 @@ class LambdaUnet(nn.Module):
             receptive_kernel=self.receptive_kernel,
             temporal_kernel=self.temporal_kernel,
             num_slices=self.num_slices,
+            live_bn=self.live_bn,
             dtype=self.dtype,
         )
         ch = self.chans
@@ -314,12 +320,13 @@ class _LUConv(nn.Module):
     channels: int
     act: str = "elu"
     use_bias: bool = False
+    live_bn: bool = False
     dtype: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.channels, (5, 5), padding="SAME", use_bias=self.use_bias, dtype=self.dtype)(x)
-        x = _bn_f32(x, train)
+        x = _bn_f32(x, train, self.live_bn)
         return _vnet_act(self.act)(self, x)
 
 
@@ -332,6 +339,7 @@ class _VNetDown(nn.Module):
     act: str = "elu"
     dropout_prob: float = 0.0
     use_bias: bool = False
+    live_bn: bool = False
     dtype: str = None
 
     @nn.compact
@@ -339,13 +347,13 @@ class _VNetDown(nn.Module):
         out_channels = 2 * self.in_channels
         down = nn.Conv(out_channels, (2, 2), strides=(2, 2), padding="VALID", use_bias=self.use_bias,
                        dtype=self.dtype)(x)
-        down = _bn_f32(down, train)
+        down = _bn_f32(down, train, self.live_bn)
         down = _vnet_act(self.act)(self, down)
         out = down
         if self.dropout_prob > 0:
             out = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2), deterministic=not train)(out)
         for _ in range(self.convs):
-            out = _LUConv(out_channels, self.act, self.use_bias, dtype=self.dtype)(out, train)
+            out = _LUConv(out_channels, self.act, self.use_bias, live_bn=self.live_bn, dtype=self.dtype)(out, train)
         return _vnet_act(self.act)(self, out + down)
 
 
@@ -358,6 +366,7 @@ class _VNetUp(nn.Module):
     convs: int
     act: str = "elu"
     dropout_prob: float = 0.0
+    live_bn: bool = False
     dtype: str = None
 
     @nn.compact
@@ -366,12 +375,12 @@ class _VNetUp(nn.Module):
             x = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2), deterministic=not train)(x)
         skip = nn.Dropout(0.5, broadcast_dims=(1, 2), deterministic=not train)(skip)
         out = nn.ConvTranspose(self.out_channels // 2, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
-        out = _bn_f32(out, train)
+        out = _bn_f32(out, train, self.live_bn)
         out = _vnet_act(self.act)(self, out)
         xcat = jnp.concatenate([out, skip.astype(out.dtype)], axis=-1)
         out = xcat
         for _ in range(self.convs):
-            out = _LUConv(self.out_channels, self.act, dtype=self.dtype)(out, train)
+            out = _LUConv(self.out_channels, self.act, live_bn=self.live_bn, dtype=self.dtype)(out, train)
         return _vnet_act(self.act)(self, out + xcat)
 
 
@@ -384,6 +393,7 @@ class VNet(nn.Module):
     act: str = "elu"
     drop_prob: float = 0.5
     use_bias: bool = False
+    live_bn: bool = False
     dtype: str = None  # opt-in bf16 conv compute (BatchNorms f32)
 
     @nn.compact
@@ -395,22 +405,23 @@ class VNet(nn.Module):
             x = x.astype(self.dtype)
         # InputTransition (reference vnet_block.py:70)
         out = nn.Conv(16, (5, 5), padding="SAME", use_bias=self.use_bias, dtype=self.dtype)(x)
-        out = _bn_f32(out, train)
+        out = _bn_f32(out, train, self.live_bn)
         out16 = _vnet_act(self.act)(self, out + jnp.tile(x, (1, 1, 1, 16 // in_chans)))
 
-        out32 = _VNetDown(16, 1, self.act, use_bias=self.use_bias, dtype=self.dtype)(out16, train)
-        out64 = _VNetDown(32, 2, self.act, use_bias=self.use_bias, dtype=self.dtype)(out32, train)
+        lb = self.live_bn
+        out32 = _VNetDown(16, 1, self.act, use_bias=self.use_bias, live_bn=lb, dtype=self.dtype)(out16, train)
+        out64 = _VNetDown(32, 2, self.act, use_bias=self.use_bias, live_bn=lb, dtype=self.dtype)(out32, train)
         out128 = _VNetDown(64, 3, self.act, dropout_prob=self.drop_prob, use_bias=self.use_bias,
-                           dtype=self.dtype)(out64, train)
+                           live_bn=lb, dtype=self.dtype)(out64, train)
         out256 = _VNetDown(128, 2, self.act, dropout_prob=self.drop_prob, use_bias=self.use_bias,
-                           dtype=self.dtype)(out128, train)
-        y = _VNetUp(256, 2, self.act, dropout_prob=self.drop_prob, dtype=self.dtype)(out256, out128, train)
-        y = _VNetUp(128, 2, self.act, dropout_prob=self.drop_prob, dtype=self.dtype)(y, out64, train)
-        y = _VNetUp(64, 1, self.act, dtype=self.dtype)(y, out32, train)
-        y = _VNetUp(32, 1, self.act, dtype=self.dtype)(y, out16, train)
+                           live_bn=lb, dtype=self.dtype)(out128, train)
+        y = _VNetUp(256, 2, self.act, dropout_prob=self.drop_prob, live_bn=lb, dtype=self.dtype)(out256, out128, train)
+        y = _VNetUp(128, 2, self.act, dropout_prob=self.drop_prob, live_bn=lb, dtype=self.dtype)(y, out64, train)
+        y = _VNetUp(64, 1, self.act, live_bn=lb, dtype=self.dtype)(y, out32, train)
+        y = _VNetUp(32, 1, self.act, live_bn=lb, dtype=self.dtype)(y, out16, train)
         # OutputTransition (reference vnet_block.py:216)
         y = nn.Conv(self.out_chans, (5, 5), padding="SAME", use_bias=self.use_bias, dtype=self.dtype)(y)
-        y = _bn_f32(y, train)
+        y = _bn_f32(y, train, self.live_bn)
         y = _vnet_act(self.act)(self, y)
         y = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(y)
         return y if self.dtype is None else y.astype(jnp.float32)

@@ -29,11 +29,15 @@ _CONFIG_NAME = "model_config.yaml"
 _WEIGHTS_NAME = "model_weights.msgpack"
 
 
-def save_archive(path, cfg: Dict, params) -> Path:
-    """Write a portable model archive (config + weights)."""
+def save_archive(path, cfg: Dict, params, batch_stats=None) -> Path:
+    """Write a portable model archive (config + weights). When the model
+    carries live BatchNorm running stats (``train_batch_stats``), they are
+    stored alongside params under a ``batch_stats`` sibling tree."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     params = jax.device_get(params)
+    if batch_stats is not None:
+        params = {"params": params, "batch_stats": jax.device_get(batch_stats)}
     weights = serialization.to_bytes(params)
     cfg_bytes = yaml.safe_dump(cfg, sort_keys=False).encode()
     with tarfile.open(path, "w:gz") as tar:
@@ -63,6 +67,9 @@ def restore_model(path, override_config: Optional[Dict] = None):
     model = build_model(cfg)
     # build a params template with matching treedef via shape-only init
     params = serialization.msgpack_restore(weights)
+    # archives from live-BN models store {"params", "batch_stats"}; plain
+    # archives store the bare param tree. Callers that need the stats can
+    # detect the wrapper via the two top-level keys.
     return model, params, cfg
 
 

@@ -180,13 +180,17 @@ class ExpManager:
                 # re-saves the best model as .mridc on train end,
                 # exp_manager.py:824-842)
                 params = trainer.state.params
+                batch_stats = trainer.state.batch_stats
                 try:
                     best = self.checkpointer.restore_best(trainer.state)
                     if best is not None:
                         params = best.params
+                        batch_stats = best.batch_stats
                 except Exception:
                     pass
-                save_archive(self.log_dir / f"{self.name}.mridc", self.model_config, params)
+                save_archive(
+                    self.log_dir / f"{self.name}.mridc", self.model_config, params, batch_stats=batch_stats
+                )
         if self.writer is not None:
             self.writer.flush()
         if self.wandb_run is not None:

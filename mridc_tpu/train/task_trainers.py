@@ -235,13 +235,19 @@ class SegmentationTrainer(Trainer):
         seg_cfg = self.seg_loss_cfg
 
         def train_step(state, image, target):
-            def loss_fn(params):
-                out = model.apply({"params": params}, image, train=True)
-                logits = out[0] if isinstance(out, tuple) else out
-                return segmentation_loss_fn(target, logits, **seg_cfg)
+            def loss_fn(params, bs):
+                from mridc_tpu.train.trainer import apply_with_stats, dropout_rngs
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            new_state = tail(state, grads)
+                out, bs = apply_with_stats(
+                    model, params, bs, image, train=True, rngs=dropout_rngs(state.step)
+                )
+                logits = out[0] if isinstance(out, tuple) else out
+                return segmentation_loss_fn(target, logits, **seg_cfg), bs
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats
+            )
+            new_state = tail(state, grads).replace(batch_stats=new_bs)
             return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
         return jax.jit(train_step, donate_argnums=(0,))
@@ -249,8 +255,10 @@ class SegmentationTrainer(Trainer):
     def _build_eval_step(self):
         model = self.model
 
-        def eval_step(params, image):
-            out = model.apply({"params": params}, image, train=False)
+        def eval_step(params, batch_stats, image):
+            from mridc_tpu.train.trainer import model_variables
+
+            out = model.apply(model_variables(params, batch_stats), image, train=False)
             return out[0] if isinstance(out, tuple) else out
 
         return jax.jit(eval_step)
@@ -263,7 +271,9 @@ class SegmentationTrainer(Trainer):
             self.setup_optimization()
         from mridc_tpu.train.trainer import TrainState
 
-        self.state = TrainState.create(params, self._tx, ema=self.use_ema)
+        self.state = TrainState.create(
+            params, self._tx, ema=self.use_ema, batch_stats=variables.get("batch_stats")
+        )
         return self.state
 
     def training_batch(self, batch):
@@ -278,7 +288,7 @@ class SegmentationTrainer(Trainer):
             self._eval_step = self._build_eval_step()
         b = self._device_batch(batch)
         params = self.state.ema_params if (use_ema and self.state.ema_params is not None) else self.state.params
-        return np.asarray(self._eval_step(params, jnp.asarray(b["image"])))
+        return np.asarray(self._eval_step(params, self.state.batch_stats, jnp.asarray(b["image"])))
 
     def validate(self, val_loader: Iterable, use_ema=None, limit=None) -> Dict[str, float]:
         from mridc_tpu.parallel.multihost import reduce_mean_stats
@@ -338,7 +348,12 @@ class MultitaskTrainer(Trainer):
 
         def train_step(state, y, sens, mask, init_pred, target, seg_target):
             def loss_fn(params):
-                out, seg_logits = model.apply({"params": params}, y, sens, mask, init_pred, train=True)
+                from mridc_tpu.train.trainer import dropout_rngs
+
+                out, seg_logits = model.apply(
+                    {"params": params}, y, sens, mask, init_pred, train=True,
+                    rngs=dropout_rngs(state.step),
+                )
                 # reference rs/nn/base.py:371: recon loss x reconstruction_loss_regularization_factor
                 recon = process_reconstruction_loss(out, target, loss_type, reg)
                 seg = segmentation_loss_fn(seg_target, seg_logits, **seg_cfg)
@@ -448,7 +463,12 @@ class QuantitativeTrainer(Trainer):
 
         def train_step(state, y, sens, mask, maps_init, tes, maps_target, mask_brain):
             def loss_fn(params):
-                out = model.apply({"params": params}, y, sens, mask, maps_init, tes, train=True)
+                from mridc_tpu.train.trainer import dropout_rngs
+
+                out = model.apply(
+                    {"params": params}, y, sens, mask, maps_init, tes, train=True,
+                    rngs=dropout_rngs(state.step),
+                )
                 total, _ = quantitative_loss_fn(maps_target, unnorm(out), mask_brain, factors, loss_type)
                 return total
 

@@ -89,9 +89,12 @@ class TrainState:
     params: Any
     opt_state: Any
     ema_params: Optional[Any] = None
+    # mutable model state (live BatchNorm running stats under the
+    # train_batch_stats knob); None for the stateless majority of the zoo
+    batch_stats: Optional[Any] = None
 
     @classmethod
-    def create(cls, params, tx, ema: bool = False):
+    def create(cls, params, tx, ema: bool = False, batch_stats=None):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -99,7 +102,39 @@ class TrainState:
             # real copies, not aliases: params/ema_params must be distinct buffers
             # or donation in the jitted train step donates the same buffer twice
             ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
+            batch_stats=batch_stats,
         )
+
+
+def model_variables(params, batch_stats):
+    """The variables dict for ``model.apply`` — batch_stats only when the
+    model actually declares the collection (live BatchNorm)."""
+    if batch_stats is None:
+        return {"params": params}
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def apply_with_stats(model, params, batch_stats, *args, **kwargs):
+    """``model.apply`` that threads mutable batch_stats when present.
+
+    Returns ``(out, new_batch_stats)``; for stateless models new_batch_stats
+    is None. The ``None``-vs-tree distinction is static at trace time, so the
+    jitted steps compile exactly as before for the stateless zoo.
+    """
+    if batch_stats is None:
+        return model.apply({"params": params}, *args, **kwargs), None
+    out, mut = model.apply(
+        {"params": params, "batch_stats": batch_stats}, *args, mutable=["batch_stats"], **kwargs
+    )
+    return out, mut["batch_stats"]
+
+
+def dropout_rngs(step, salt: int = 0):
+    """Per-step dropout rng dict for train-mode applies — deterministic in
+    the global step (reference trains with live torch dropout; flax Dropout
+    needs an explicit 'dropout' rng). Unused rng collections are ignored by
+    dropout-free models, so every train step can pass this unconditionally."""
+    return {"dropout": jax.random.fold_in(jax.random.PRNGKey(0x5eed), 2 * step + salt)}
 
 
 class Trainer:
@@ -189,7 +224,9 @@ class Trainer:
         params = variables["params"] if "params" in variables else FrozenDict()
         if self._tx is None:
             self.setup_optimization()
-        self.state = TrainState.create(params, self._tx, ema=self.use_ema)
+        self.state = TrainState.create(
+            params, self._tx, ema=self.use_ema, batch_stats=variables.get("batch_stats")
+        )
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info(f"Initialized model with {n_params:,} parameters on mesh {dict(self.mesh.shape)}")
         return self.state
@@ -274,8 +311,11 @@ class Trainer:
             # predictions). Without n2r, the plain supervised loss runs.
             kspace_sup = self.kspace_reconstruction_loss or (self.ssdu and n2r_y is not None)
 
-            def loss_fn(params):
-                out: ModelOutput = model.apply({"params": params}, y, sens, mask, init_pred, train=True)
+            def loss_fn(params, bs):
+                out, bs = apply_with_stats(
+                    model, params, bs, y, sens, mask, init_pred, train=True,
+                    rngs=dropout_rngs(state.step),
+                )
                 loss_sup = process_reconstruction_loss(
                     out,
                     target,
@@ -288,8 +328,11 @@ class Trainer:
                     fft_normalization=fft_normalization,
                 )
                 if n2r_y is None:
-                    return loss_sup
-                out_n = model.apply({"params": params}, n2r_y, sens, n2r_mask, init_pred, train=True)
+                    return loss_sup, bs
+                out_n, bs = apply_with_stats(
+                    model, params, bs, n2r_y, sens, n2r_mask, init_pred, train=True,
+                    rngs=dropout_rngs(state.step, salt=1),
+                )
                 loss_cons = n2r_weight * process_reconstruction_loss(
                     ModelOutput(prediction=out_n.prediction),
                     out.prediction,
@@ -302,12 +345,14 @@ class Trainer:
                     fft_normalization=fft_normalization,
                 )
                 if self.ssdu:
-                    return loss_sup  # pseudo-supervised branch always wins
+                    return loss_sup, bs  # pseudo-supervised branch always wins
                 sup = n2r_supervised if n2r_supervised is not None else jnp.asarray(False)
-                return jnp.where(sup, loss_sup, loss_cons)
+                return jnp.where(sup, loss_sup, loss_cons), bs
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            new_state = tail(state, grads)
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats
+            )
+            new_state = tail(state, grads).replace(batch_stats=new_bs)
             gnorm = optax.global_norm(grads)
             return new_state, {"loss": loss, "grad_norm": gnorm}
 
@@ -316,8 +361,8 @@ class Trainer:
     def _build_eval_step(self) -> Callable:
         model = self.model
 
-        def eval_step(params, y, sens, mask, init_pred):
-            out: ModelOutput = model.apply({"params": params}, y, sens, mask, init_pred, train=False)
+        def eval_step(params, batch_stats, y, sens, mask, init_pred):
+            out = model.apply(model_variables(params, batch_stats), y, sens, mask, init_pred, train=False)
             return out.prediction
 
         return jax.jit(eval_step)
@@ -361,7 +406,7 @@ class Trainer:
         b = self._device_batch(batch)
         y, sens, mask, init_pred = self._model_inputs(b)
         params = self.state.ema_params if (use_ema and self.state.ema_params is not None) else self.state.params
-        pred = self._eval_step(params, y, sens, mask, init_pred)
+        pred = self._eval_step(params, self.state.batch_stats, y, sens, mask, init_pred)
         return np.asarray(pred)
 
     def fit(
