@@ -259,6 +259,11 @@ class QBatchLoader:
         ).astype(np.float32)
         rv = lambda x: np.stack([x.real, x.imag], -1).astype(np.float32)  # noqa: E731
         brain = np.asarray(mask_brain, np.float32) if np.size(mask_brain) > 1 else np.ones((h, w), np.float32)
+        # per-echo fully-sampled coil-combined target images [E, H, W] — the
+        # recon target when the model folds in a reconstruction module
+        # (reference quantitative training_step 'target', models/base.py:436)
+        imgs_full = _np_ifft2(kspace, self.fft_centered, self.fft_normalization)
+        target_full = (imgs_full * np.conj(sens)[None]).sum(1)
         return {
             "kspace": rv(masked),
             "sensitivity_maps": rv(sens),
@@ -266,6 +271,7 @@ class QBatchLoader:
             "maps_init": maps_init.astype(np.float32),
             "maps_target": maps_target,
             "mask_brain": brain,
+            "target": rv(target_full),
             "TEs": self.tes,
             "fname": fname,
             "slice_idx": sidx,
@@ -294,7 +300,7 @@ class QBatchLoader:
     @staticmethod
     def _collate(samples):
         out = {k: np.stack([s[k] for s in samples], 0) for k in
-               ("kspace", "sensitivity_maps", "mask", "maps_init", "maps_target", "mask_brain")}
+               ("kspace", "sensitivity_maps", "mask", "maps_init", "maps_target", "mask_brain", "target")}
         out["TEs"] = samples[0]["TEs"]
         out["fname"] = [s["fname"] for s in samples]
         out["slice_idx"] = np.asarray([s["slice_idx"] for s in samples], np.int32)

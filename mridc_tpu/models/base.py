@@ -27,10 +27,14 @@ __all__ = ["ModelOutput", "BaseReconModel", "expand_mask", "check_dc_mode"]
 class ModelOutput:
     """prediction: final image [B, H, W, 2] real view.
     intermediates: optional stacked per-step predictions [..., B, H, W, 2] used
-    by logspace-weighted losses (CIRIM/CRNN accumulate_predictions semantics)."""
+    by logspace-weighted losses (CIRIM/CRNN accumulate_predictions semantics).
+    recon_intermediates: optional per-echo reconstruction stack
+    [E, C, T, B, H, W, 2] from a quantitative model's folded reconstruction
+    module (reference qcirim.py:401-458 lossrecon accumulate path)."""
 
     prediction: jnp.ndarray
     intermediates: Optional[jnp.ndarray] = None
+    recon_intermediates: Optional[jnp.ndarray] = None
 
 
 def check_dc_mode(mode: str) -> str:

@@ -237,6 +237,7 @@ class qCIRIM(BaseReconModel):
     @nn.compact
     def __call__(self, y, sens, sampling_mask, maps_init, tes, train: bool = False) -> ModelOutput:
         gamma = jnp.asarray(self.gamma, jnp.float32)
+        recon_intermediates = None
 
         if self.use_reconstruction_module:
             # reference qcirim.py:176-210: per-echo CIRIM with the golden-tested
@@ -245,8 +246,10 @@ class qCIRIM(BaseReconModel):
             # re-initialize the maps from the reconstructed echoes.
             mask4 = sampling_mask if sampling_mask.ndim == 4 else sampling_mask[:, 0, 0, :, :, 0][:, None]
             echo_preds = []
+            recon_inter = []  # per echo: [C, T, B, H, W, 2] time-step stacks
             for e in range(y.shape[1]):
                 eta = None
+                casc_etas = []
                 for c in range(self.recon_num_cascades):
                     block = RIMBlock(
                         recurrent_layer=self.recon_recurrent_layer,
@@ -260,14 +263,18 @@ class qCIRIM(BaseReconModel):
                         compute_dtype=self.compute_dtype,
                         pointwise_matmul=train,
                     )
-                    _, eta_final = block(y[:, e], sens, mask4, eta=eta)
+                    etas, eta_final = block(y[:, e], sens, mask4, eta=eta)
+                    casc_etas.append(etas)
                     eta = (
                         jax.lax.stop_gradient(eta_final)
                         if self.recon_keep_prediction
                         else None
                     )
                 echo_preds.append(eta_final)
+                if casc_etas[0] is not None:
+                    recon_inter.append(jnp.stack(casc_etas, 0))
             pred = jnp.stack(echo_preds, axis=1)  # [B, E, H, W, 2]
+            recon_intermediates = jnp.stack(recon_inter, 0) if recon_inter else None
             y = fft2_rv(
                 cmul(pred[:, :, None], sens[:, None]),
                 self.fft_centered,
@@ -302,4 +309,10 @@ class qCIRIM(BaseReconModel):
         intermediates = jnp.stack(all_casc, 0)  # [C, T, B, H, W, 4]
         # unnormalize the final maps
         final = intermediates[-1, -1] * gamma[None, None, None, :]
-        return ModelOutput(prediction=final, intermediates=intermediates)
+        return ModelOutput(
+            prediction=final,
+            intermediates=intermediates,
+            recon_intermediates=(
+                recon_intermediates if self.use_reconstruction_module else None
+            ),
+        )

@@ -201,6 +201,48 @@ def quantitative_loss_fn(
     return total, per_map
 
 
+def quantitative_recon_loss_fn(target, recon_intermediates, loss_type: str = "l1"):
+    """Reference qCIRIM per-echo reconstruction loss, accumulate path
+    (``process_reconstruction_loss`` quantitative/models/qcirim.py:401-458,
+    added to the quantitative loss at models/base.py:436-437):
+
+    target (rv [B, E, H, W, 2]) is elementwise-abs'd and normalized by its
+    global abs-max; each echo slice is re-normalized by its own abs-max; each
+    time-step prediction is abs'd/normalized by its own abs-max; per
+    (echo e, cascade c): ``sum_t l1(x_e, y_ect) * sum(logspace(-1,0,T)) / T``
+    (the reference multiplies each scalar step loss by the whole logspace
+    vector and sums — equivalent to this closed form); per echo ``sum_c / C``;
+    total ``sum_e / E``.
+
+    recon_intermediates: [E, C, T, B, H, W, 2]. Supports l1/mse (the
+    reference's ssim branch feeds a [B, H, W, 2] real view into an
+    NCHW-expecting SSIMLoss — shape-invalid upstream, pinned in PARITY.md).
+    """
+    import numpy as _np
+
+    lt = str(loss_type).lower()
+    if "ssim" in lt:
+        raise ValueError(
+            "quantitative reconstruction loss supports l1/mse only (the "
+            "reference ssim branch is shape-invalid; see PARITY.md)"
+        )
+    e_dim, n_casc, t_steps = recon_intermediates.shape[:3]
+    tgt = jnp.abs(target) / jnp.maximum(jnp.abs(target).max(), 1e-12)
+    x = jnp.moveaxis(tgt, 1, 0)  # [E, B, H, W, 2]
+    x = x / jnp.maximum(jnp.abs(x).max(axis=(1, 2, 3, 4), keepdims=True), 1e-12)
+    y = jnp.abs(recon_intermediates)
+    y = y / jnp.maximum(y.max(axis=(3, 4, 5, 6), keepdims=True), 1e-12)
+    diff = x[:, None, None] - y  # [E, C, T, B, H, W, 2]
+    if "mse" in lt or lt == "l2":
+        per_ect = (diff**2).mean(axis=(3, 4, 5, 6))
+    else:
+        per_ect = jnp.abs(diff).mean(axis=(3, 4, 5, 6))
+    w_sum = float(_np.sum(_np.logspace(-1, 0, t_steps)))
+    per_ec = per_ect.sum(axis=2) * (w_sum / t_steps)  # [E, C]
+    per_e = per_ec.sum(axis=1) / n_casc
+    return per_e.sum() / e_dim
+
+
 def _seg_pred_classes(logits: np.ndarray, thresholds=None) -> np.ndarray:
     """Validation binarization. With ``segmentation_classes_thresholds``
     configured, each class channel is thresholded independently (multi-hot —
@@ -461,7 +503,7 @@ class QuantitativeTrainer(Trainer):
         factors = self.loss_regularization_factors
         unnorm = self._unnormalized_preds
 
-        def train_step(state, y, sens, mask, maps_init, tes, maps_target, mask_brain):
+        def train_step(state, y, sens, mask, maps_init, tes, maps_target, mask_brain, target_recon):
             def loss_fn(params):
                 from mridc_tpu.train.trainer import dropout_rngs
 
@@ -470,11 +512,20 @@ class QuantitativeTrainer(Trainer):
                     rngs=dropout_rngs(state.step),
                 )
                 total, _ = quantitative_loss_fn(maps_target, unnorm(out), mask_brain, factors, loss_type)
-                return total
+                # reference models/base.py:436-437: with use_reconstruction_
+                # module the per-echo recon loss ADDS to the quantitative loss
+                lossrecon = jnp.zeros(())
+                if target_recon is not None and out.recon_intermediates is not None:
+                    lossrecon = quantitative_recon_loss_fn(
+                        target_recon, out.recon_intermediates, loss_type
+                    )
+                return total + lossrecon, lossrecon
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (loss, lossrecon), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             new_state = tail(state, grads)
-            return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+            return new_state, {
+                "loss": loss, "recon_loss": lossrecon, "grad_norm": optax.global_norm(grads)
+            }
 
         return jax.jit(train_step, donate_argnums=(0,))
 
@@ -500,6 +551,11 @@ class QuantitativeTrainer(Trainer):
             self._train_step = self._build_train_step()
         b = self._device_batch(batch)
         mask_brain = jnp.asarray(b["mask_brain"]) if "mask_brain" in b else None
+        # per-echo recon target only matters when the model folds in a recon
+        # module (reference use_reconstruction_module)
+        target_recon = None
+        if getattr(self.model, "use_reconstruction_module", False) and "target" in b:
+            target_recon = jnp.asarray(b["target"])
         self.state, metrics = self._train_step(
             self.state,
             jnp.asarray(b["kspace"]),
@@ -509,6 +565,7 @@ class QuantitativeTrainer(Trainer):
             jnp.asarray(b["TEs"]),
             jnp.asarray(b["maps_target"]),
             mask_brain,
+            target_recon,
         )
         return metrics
 

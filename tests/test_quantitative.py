@@ -374,3 +374,111 @@ def test_quantitative_bf16_opt_in(cfg):
     assert np.abs(p_fast - p_exact).max() > 0  # bf16 actually engaged
     rel = np.linalg.norm(p_fast - p_exact) / max(np.linalg.norm(p_exact), 1e-6)
     assert rel < tol, rel
+
+
+def test_quantitative_recon_loss_matches_reference_formula():
+    """Golden vs the reference's own lossrecon accumulate expression
+    (qcirim.py:442-458 executed verbatim in torch)."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax.numpy as jnp
+
+    from mridc_tpu.train.task_trainers import quantitative_recon_loss_fn
+
+    rng = np.random.default_rng(5)
+    B, E, C, T, H, W = 2, 3, 2, 4, 8, 8
+    target = rng.standard_normal((B, E, H, W, 2)).astype(np.float32) * 3
+    ri = rng.standard_normal((E, C, T, B, H, W, 2)).astype(np.float32)
+
+    for loss_type, tfn in (("l1", F.l1_loss), ("mse", F.mse_loss)):
+        # --- reference expression ---
+        t_target = torch.from_numpy(target)
+        t_target = torch.abs(t_target / torch.max(torch.abs(t_target)))
+
+        def loss_fn(x, y):
+            x = torch.abs(x / torch.max(torch.abs(x)))
+            y = torch.abs(y / torch.max(torch.abs(y)))
+            return tfn(x, y)
+
+        echoes_loss = []
+        for e in range(E):
+            cascades_loss = []
+            for c in range(C):
+                tsl = [loss_fn(t_target[:, e], torch.from_numpy(ri[e, c, t])).mean() for t in range(T)]
+                _loss = [x * torch.logspace(-1, 0, steps=T) for x in tsl]
+                cascades_loss.append(sum(sum(_loss) / T))
+            echoes_loss.append(sum(cascades_loss) / C)
+        ref = float(sum(echoes_loss) / E)
+
+        ours = float(quantitative_recon_loss_fn(jnp.asarray(target), jnp.asarray(ri), loss_type))
+        np.testing.assert_allclose(ours, ref, rtol=2e-5)
+
+
+def test_qcirim_recon_intermediates_and_trainer_lossrecon():
+    """With use_reconstruction_module the model exposes the per-echo stack and
+    the QuantitativeTrainer adds a nonzero recon loss (reference
+    models/base.py:436-437)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+    from mridc_tpu.train.task_trainers import QuantitativeTrainer
+
+    rng = np.random.default_rng(7)
+    B, E, C, H, W = 2, 2, 2, 16, 16
+
+    def rv(s):
+        return np.stack([rng.standard_normal(s), rng.standard_normal(s)], -1).astype(np.float32)
+
+    cfg = {
+        "model_name": "QCIRIM",
+        "use_reconstruction_module": True,
+        "reconstruction_module_num_cascades": 2,
+        "reconstruction_module_time_steps": 2,
+        "reconstruction_module_conv_filters": [4, 4, 2],
+        "reconstruction_module_recurrent_filters": [4, 4, 0],
+        "quantitative_module_num_cascades": 1,
+        "quantitative_module_time_steps": 2,
+        "quantitative_module_conv_filters": [4, 4, 4],
+        "quantitative_module_recurrent_filters": [4, 4, 0],
+        "fft_centered": False,
+        "fft_normalization": "backward",
+    }
+    model = build_model(cfg)
+    y = jnp.asarray(rv((B, E, C, H, W)))
+    sens = rv((B, C, H, W))
+    sens /= np.sqrt((sens**2).sum(axis=(1, -1), keepdims=True))
+    mask = np.zeros((B, 1, H, W), np.float32)
+    mask[..., ::2] = 1
+    maps0 = rng.random((B, H, W, 4)).astype(np.float32)
+    tes = np.asarray([3.0, 11.5], np.float32)
+
+    v = model.init(jax.random.PRNGKey(0), y, jnp.asarray(sens), jnp.asarray(mask), jnp.asarray(maps0), jnp.asarray(tes))
+    out = model.apply(v, y, jnp.asarray(sens), jnp.asarray(mask), jnp.asarray(maps0), jnp.asarray(tes))
+    assert out.recon_intermediates is not None
+    assert out.recon_intermediates.shape == (E, 2, 2, B, H, W, 2)
+
+    trainer = QuantitativeTrainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, loss_type="l1")
+    batch = {
+        "kspace": np.asarray(y),
+        "sensitivity_maps": sens,
+        "mask": mask,
+        "maps_init": maps0,
+        "maps_target": rng.random((B, H, W, 4)).astype(np.float32),
+        "mask_brain": np.ones((B, H, W), np.float32),
+        "TEs": tes,
+        "target": rv((B, E, H, W)),
+    }
+    trainer.init_state(jax.random.PRNGKey(0), batch)
+    metrics = trainer.training_batch(batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["recon_loss"]) > 0
+
+    # without a recon module the recon loss term stays zero
+    cfg2 = dict(cfg, use_reconstruction_module=False)
+    model2 = build_model(cfg2)
+    trainer2 = QuantitativeTrainer(model2, optim_cfg={"name": "adam", "lr": 1e-3}, loss_type="l1")
+    trainer2.init_state(jax.random.PRNGKey(0), batch)
+    m2 = trainer2.training_batch(batch)
+    assert float(m2["recon_loss"]) == 0.0
