@@ -27,7 +27,7 @@ SEGMENTATION_MODELS = {
     "SEGMENTATIONATTENTIONUNET", "SEGMENTATIONLAMBDAUNET", "SEGMENTATIONVNET",
     "SEGMENTATIONDYNUNET", "SEGMENTATIONUNETR",
 }
-MULTITASK_MODELS = {"MTLRS", "IDSLR", "IDSLRUNET", "SEGNET", "RECSEGNET", "RECSEGUNET", "SERANET"}
+MULTITASK_MODELS = {"MTLRS", "JRSCIRIM", "IDSLR", "IDSLRUNET", "SEGNET", "RECSEGNET", "RECSEGUNET", "SERANET"}
 
 
 def model_task(model_name: str) -> str:

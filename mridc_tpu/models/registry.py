@@ -65,7 +65,14 @@ def _register_defaults():
     from mridc_tpu.models import multitask as mt
 
     entries += [
-        (("MTLRS",), mt.MTLRS),
+        # JRSCIRIM (reference segmentation/models/jrscirim.py:20, dispatched by
+        # launch.py:78) is the v1-named twin of MTLRS: jrscirim_block.py is
+        # line-identical to mtlrs_base/mtlrs_block.py modulo the
+        # keep_eta->keep_prediction / accumulate_estimates->
+        # accumulate_predictions renames, and the top-level model shares the
+        # cascade/task-adaption wiring (proven by
+        # tests/test_multitask.py::test_jrscirim_is_mtlrs_upstream).
+        (("MTLRS", "JRSCIRIM"), mt.MTLRS),
         (("IDSLR",), mt.IDSLR),
         (("IDSLRUNET",), mt.IDSLRUNet),
         (("SEGNET",), mt.SegNet),
@@ -86,11 +93,11 @@ def _register_defaults():
 # history, docs/performance.md knob table).
 _TPU_KNOB_SUPPORT = {
     "scan_iterations": {"XPDNET", "KIKINET", "LPDNET", "LPD"},
-    "dc_mode": {"CIRIM", "RIM", "MTLRS"},
+    "dc_mode": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
     "remat_mode": {"CIRIM", "RIM"},
-    "lane_fold": {"CIRIM", "RIM", "MTLRS"},
-    "train_dc_dtype": {"CIRIM", "RIM", "MTLRS"},
-    "infer_dc_dtype": {"CIRIM", "RIM", "MTLRS"},
+    "lane_fold": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
+    "train_dc_dtype": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
+    "infer_dc_dtype": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
     "train_eta_dtype": {"CIRIM", "RIM"},
     "scan_unroll": {"CIRIM", "RIM"},
     "train_pointwise_matmul": {"CIRIM", "RIM"},

@@ -240,3 +240,98 @@ def test_multitask_bf16_opt_in(cfg):
     g = jax.grad(_loss)(v["params"])
     gn = float(sum(jnp.abs(t).sum() for t in jax.tree_util.tree_leaves(g)))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_jrscirim_is_mtlrs_upstream():
+    """Upstream proof for the JRSCIRIM -> MTLRS registry alias
+    (reference launch.py:78 dispatches JRSCIRIM): the reference's
+    jrscirim_base/jrscirim_block.py is CODE-identical to
+    mtlrs_base/mtlrs_block.py after normalizing identifier renames
+    (keep_eta->keep_prediction, accumulate_estimates->accumulate_predictions,
+    eta->prediction locals, JRSCIRIM->MTLRS), the v1 utils.coil_combination
+    vs v2 utils.coil_combination_method name, f-string vs .format, type
+    annotations, and the __init__ fft defaults (True/ortho vs False/backward
+    — every config sets these explicitly). The top-level models share the
+    cascade/task-adaption wiring (jrscirim.py:145-181 == mtlrs.py:141-177).
+    Any future graph divergence fails here and invalidates the alias."""
+    import re
+
+    renames = (
+        (r"JRSCIRIM", "MTLRS"),
+        (r"keep_eta", "keep_prediction"),
+        (r"accumulate_estimates", "accumulate_predictions"),
+        (r"cascades_etas", "cascades_predictions"),
+        (r"time_steps_etas", "time_steps_predictions"),
+        (r"cascade_eta", "cascade_prediction"),
+        (r"time_step_eta", "time_step_prediction"),
+        (r"\bpred\b", "prediction"),
+        (r"utils\.coil_combination\(", "utils.coil_combination_method("),
+        (r"rnn_utils\.", "utils."),
+        (r"#.*", ""),
+        # cosmetic upstream deltas, each verified by hand:
+        (r'"The input channels must be either 1 or 2. Found: \{\}"\.format\(self\.input_channels\)',
+         'f"The input channels must be either 1 or 2. Found: {self.input_channels}"'),
+        (r"fft_centered: bool = True", "fft_centered: bool = False"),
+        (r'fft_normalization: str = "ortho"', 'fft_normalization: str = "backward"'),
+        (r"-> Tuple\[List\[Any\], Any, Optional\[Any\]\]",
+         "-> Tuple[Union[List, torch.Tensor], torch.Tensor]"),
+        (r"def process_intermediate_prediction\(self, prediction, sensitivity_maps, target, "
+         r"do_coil_combination=False\):",
+         "def process_intermediate_prediction( self, prediction: Union[list, torch.Tensor], "
+         "sensitivity_maps: torch.Tensor, target: torch.Tensor, do_coil_combination: bool = False, "
+         ") -> torch.Tensor:"),
+    )
+
+    def norm(path):
+        src = open(path).read()
+        src = re.sub(r'"""[\s\S]*?"""', '""', src)
+        src = src.replace("process_intermediate_pred", "process_intermediate_prediction")
+        for old, new in renames:
+            src = re.sub(old, new, src)
+        lines = []
+        for line in src.splitlines():
+            line = re.sub(r"\s+", " ", line).strip()
+            if line and not line.startswith(("import ", "from ", "__all__")):
+                lines.append(line)
+        flat = re.sub(r"\s+", "", " ".join(lines))
+        flat = flat.replace('""', "").replace(",)", ")")  # docstring remnants, trailing commas
+        return flat
+
+    a = norm("/root/reference/mridc/collections/segmentation/models/jrscirim_base/jrscirim_block.py")
+    b = norm("/root/reference/mridc/collections/multitask/rs/nn/mtlrs_base/mtlrs_block.py")
+    assert a == b, "reference JRSCIRIMBlock diverged from MTLRSBlock — alias no longer valid"
+
+
+def test_jrscirim_dispatches_to_mtlrs():
+    from mridc_tpu.launch import model_task
+    from mridc_tpu.models import build_model
+    from mridc_tpu.models.multitask.models import MTLRS
+
+    cfg = {
+        "model_name": "JRSCIRIM",
+        "joint_reconstruction_segmentation_module_cascades": 1,
+        "reconstruction_module_num_cascades": 1,
+        "reconstruction_module_time_steps": 2,
+        "reconstruction_module_conv_filters": [4, 4, 2],
+        "reconstruction_module_recurrent_filters": [4, 4, 0],
+        "segmentation_module": "unet",
+        "segmentation_module_output_channels": 2,
+        "segmentation_module_channels": 4,
+        "segmentation_module_pooling_layers": 2,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    assert isinstance(model, MTLRS)
+    assert model_task("JRSCIRIM") == "multitask"
+
+    rng = np.random.default_rng(0)
+    b, c, h, w = 1, 2, 16, 16
+    y = jnp.asarray(rng.standard_normal((b, c, h, w, 2)).astype(np.float32))
+    sens = rng.standard_normal((b, c, h, w, 2)).astype(np.float32)
+    sens /= np.sqrt((sens**2).sum(axis=(1, -1), keepdims=True))
+    mask = np.ones((b, 1, h, w, 1), np.float32)
+    v = model.init(jax.random.PRNGKey(0), y, jnp.asarray(sens), jnp.asarray(mask), None)
+    out, seg = model.apply(v, y, jnp.asarray(sens), jnp.asarray(mask), None)
+    assert seg.shape == (b, h, w, 2)
+    assert np.isfinite(np.asarray(out.prediction)).all()
