@@ -268,6 +268,180 @@ def bench_jax_train() -> tuple:
     return sps, tflops
 
 
+VN_CASCADES, VN_CHANS, VN_POOLS = 8, 18, 4  # reference base_vn_train.yaml:7-9
+
+
+def e2evn_flops_per_slice() -> float:
+    """Analytic FLOPs for one slice of the E2EVN/VarNet forward (8 cascades,
+    NormUnet 18ch/4pools — reference defaults). DC FFTs are credited as the
+    DFT-matmul path that actually executes on this backend (ops/fft.py MXU-DFT:
+    6*H*W*(H+W) per coil per direction)."""
+    hw = H * W
+
+    def cb(hw_i, cin, cout):  # ConvBlock: 3x3 (cin->cout) + 3x3 (cout->cout)
+        return 2 * hw_i * 9 * (cin * cout + cout * cout)
+
+    def tcb(hw_out, cin, cout):  # 2x2-stride-2 transpose conv: 1 tap/output
+        return 2 * hw_out * cin * cout
+
+    c = VN_CHANS
+    unet = cb(hw, 2, c) + cb(hw // 4, c, 2 * c) + cb(hw // 16, 2 * c, 4 * c) + cb(hw // 64, 4 * c, 8 * c)
+    unet += cb(hw // 256, 8 * c, 16 * c)  # bottleneck
+    unet += tcb(hw // 64, 16 * c, 8 * c) + cb(hw // 64, 16 * c, 8 * c)
+    unet += tcb(hw // 16, 8 * c, 4 * c) + cb(hw // 16, 8 * c, 4 * c)
+    unet += tcb(hw // 4, 4 * c, 2 * c) + cb(hw // 4, 4 * c, 2 * c)
+    unet += tcb(hw, 2 * c, c) + cb(hw, 2 * c, c) + 2 * hw * c * 2  # + final 1x1
+    dc = 2 * COILS * 6 * hw * (H + W)  # fft2 + ifft2 as DFT matmuls
+    cmuls = (6 + 8) * COILS * hw  # sens_expand + sens_reduce complex muls
+    return float(VN_CASCADES * (unet + dc + cmuls))
+
+
+def make_e2evn_forward(batch, overrides=None):
+    """Jitted E2EVN/VarNet inference forward (scalar readback form), reference
+    default arch + the measured bf16 win (+47% on v5e, docs/performance.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+
+    cfg = {
+        "model_name": "VN",
+        "num_cascades": VN_CASCADES,
+        "channels": VN_CHANS,
+        "pooling_layers": VN_POOLS,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+        "compute_dtype": "bfloat16",
+    }
+    cfg.update(overrides or {})
+    model = build_model(cfg)
+    y, sens, mask = (jnp.asarray(x) for x in _data(batch))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
+
+    @jax.jit
+    def forward(variables, y, sens, mask):
+        pred = model.apply(variables, y, sens, mask).prediction
+        return (pred**2).sum()
+
+    return forward, (variables, y, sens, mask)
+
+
+def bench_e2evn() -> tuple:
+    """E2EVN slices/s + model TFLOP/s (BASELINE driver metric names
+    'CIRIM/E2EVN' — this covers the second half)."""
+    batch = int(os.environ.get("BENCH_VN_BATCH", 32))  # 73.9 slices/s at b32 (r3)
+    forward, fargs = make_e2evn_forward(batch)
+    dt = time_scalar_fn(forward, fargs, WARMUP, ITERS)
+    sps = (ITERS * batch) / dt
+    return sps, e2evn_flops_per_slice() * sps / 1e12
+
+
+def e2evn_quality() -> float:
+    """SSIM of the bf16 E2EVN against the f32 build with the SAME weights
+    (random init — the training-A/B caveat in docs/performance.md applies;
+    this reports the weight-independent bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.metrics.reconstruction import ssim
+    from mridc_tpu.models import build_model
+
+    base = {
+        "model_name": "VN", "num_cascades": VN_CASCADES, "channels": VN_CHANS,
+        "pooling_layers": VN_POOLS, "fft_centered": True, "fft_normalization": "ortho",
+    }
+    fast_m = build_model({**base, "compute_dtype": "bfloat16"})
+    exact_m = build_model(base)
+    y, sens, mask = (jnp.asarray(x) for x in _data(2))
+    variables = jax.jit(exact_m.init)(jax.random.PRNGKey(0), y, sens, mask)
+    p_fast = np.asarray(jax.jit(lambda v, y, s, m: fast_m.apply(v, y, s, m).prediction)(variables, y, sens, mask))
+    p_ref = np.asarray(jax.jit(lambda v, y, s, m: exact_m.apply(v, y, s, m).prediction)(variables, y, sens, mask))
+
+    def mag(x):
+        m = np.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+        return m / (m.max() or 1.0)
+
+    return float(ssim(mag(p_ref), mag(p_fast)))
+
+
+def bench_train_e2e() -> tuple:
+    """Data-INCLUDED flagship training throughput: real h5 reads + the full
+    numpy transform pipeline (num_workers threads + background prefetch)
+    feeding the same jitted train step as bench_jax_train. Returns
+    (slices/s, n_slices) — compare against the device-only number to see the
+    input-pipeline overhead (VERDICT r3 #3)."""
+    import tempfile
+    from pathlib import Path
+
+    import h5py
+    import jax.numpy as jnp
+
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 24))
+    n_files, slices_per = 2, 2 * batch  # 2 epochs x 4 batches of real IO
+    rng = np.random.default_rng(3)
+    tmp = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+    for n in range(n_files):
+        with h5py.File(tmp / f"vol{n}.h5", "w") as f:
+            ks = rng.standard_normal((slices_per, COILS, H, W)) + 1j * rng.standard_normal(
+                (slices_per, COILS, H, W)
+            )
+            f["kspace"] = ks.astype(np.complex64)
+            sens = rng.standard_normal((slices_per, COILS, H, W)) + 1j * rng.standard_normal(
+                (slices_per, COILS, H, W)
+            )
+            sens /= np.sqrt((np.abs(sens) ** 2).sum(1, keepdims=True))
+            f["sensitivity_map"] = sens.astype(np.complex64)
+
+    from mridc_tpu.data.factory import build_dataloader
+
+    loader = build_dataloader(
+        {
+            "data_path": str(tmp),
+            "batch_size": batch,
+            "shuffle": True,
+            "drop_last": True,
+            "num_workers": int(os.environ.get("BENCH_E2E_WORKERS", 8)),
+            "prefetch_batches": 2,
+            "pad_shape": (COILS, H, W),
+            "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+            "fft_centered": True,
+            "fft_normalization": "ortho",
+        }
+    )
+    train_step, params, opt_state, _ = make_flagship_train_step(batch)
+
+    def feed(b):
+        y = jnp.asarray(b["masked_kspace"])
+        sens = jnp.asarray(b["sensitivity_maps"])
+        m = np.asarray(b["mask"], np.float32)
+        if m.shape[-1] == 1:
+            m = m[..., 0]
+        while m.ndim > 4:
+            m = m[:, 0]
+        if m.ndim == 3:
+            m = m[:, None]
+        m = np.ascontiguousarray(np.broadcast_to(m, (m.shape[0], 1, H, W)))
+        return y, sens, jnp.asarray(m), jnp.asarray(b["target"])
+
+    # warm epoch: compiles nothing new (same shapes as bench_jax_train) but
+    # brings the page cache to steady state — realistic epoch-2+ throughput
+    for b in loader:
+        params, opt_state, loss = train_step(params, opt_state, *feed(b))
+    float(loss)
+    n = 0
+    t0 = time.perf_counter()
+    for _ in range(2):
+        for b in loader:
+            params, opt_state, loss = train_step(params, opt_state, *feed(b))
+            n += batch
+    float(loss)
+    dt = time.perf_counter() - t0
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n / dt, n
+
+
 def bench_torch_cpu(max_seconds: float = 90.0) -> float:
     """Reference-equivalent CIRIM forward in torch (CPU, float32)."""
     import torch
@@ -345,6 +519,18 @@ def main():
     except Exception:
         train_sps = train_tflops = None
     try:
+        vn_sps, vn_tflops = bench_e2evn()
+    except Exception:
+        vn_sps = vn_tflops = None
+    try:
+        vn_ssim = e2evn_quality()
+    except Exception:
+        vn_ssim = None
+    try:
+        e2e_sps, _ = bench_train_e2e()
+    except Exception:
+        e2e_sps = None
+    try:
         cpu_sps = bench_torch_cpu()
     except Exception:
         cpu_sps = None
@@ -364,6 +550,13 @@ def main():
                 # fast path (bf16 + psf1d + lane folding) vs f32 full-DC path,
                 # same weights — certifies speed is not bought with accuracy
                 "quality_ssim_vs_f32": round(quality_ssim, 6) if quality_ssim is not None else None,
+                # E2EVN (second half of the BASELINE driver metric "CIRIM/E2EVN")
+                "e2evn_slices_per_s": round(vn_sps, 3) if vn_sps else None,
+                "e2evn_mfu": round(vn_tflops / peak_tflops, 3) if vn_tflops else None,
+                "e2evn_ssim_vs_f32": round(vn_ssim, 6) if vn_ssim is not None else None,
+                # data-INCLUDED training throughput (h5 + transforms + prefetch)
+                "train_e2e_slices_per_s": round(e2e_sps, 3) if e2e_sps else None,
+                "train_e2e_vs_device": round(e2e_sps / train_sps, 3) if (e2e_sps and train_sps) else None,
             }
         )
     )
