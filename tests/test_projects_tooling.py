@@ -140,3 +140,37 @@ def test_ahead_reformat(tmp_path):
     with h5py.File(written[0], "r") as f:
         keys = set(f.keys())
         assert "R2star_map_target" in keys and "kspace" in keys and "sensitivity_map" in keys
+
+
+def test_edit_trainedmodel_files(tmp_path):
+    """Key-rename utility across run artifacts incl. .mridc archives
+    (reference projects/unselfsupervised/edit_trainedmodel_files.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "edit_tm", "projects/unselfsupervised/edit_trainedmodel_files.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    run = tmp_path / "run1"
+    run.mkdir()
+    (run / "mridc_log_globalrank-0_localrank-0.txt").write_text("train eval_loss_fn=l1\n")
+    (run / "config.yaml").write_text("model:\n  eval_loss_fn: l1\n  lr: 0.001\n")
+    from mridc_tpu.train.checkpoints import load_archive, save_archive
+
+    save_archive(tmp_path / "m.mridc", {"eval_loss_fn": "l1", "model_name": "ZF"}, {"w": np.zeros(2, np.float32)})
+
+    n = mod.edit_run_dir(run, "eval_loss_fn", "val_loss_fn", verbose=False)
+    assert n == 3
+    assert "val_loss_fn" in (run / "config.yaml").read_text()
+    assert "eval_loss_fn" not in (run / "mridc_log_globalrank-0_localrank-0.txt").read_text()
+    cfg, weights = load_archive(tmp_path / "m.mridc")
+    assert cfg == {"val_loss_fn": "l1", "model_name": "ZF"}
+    from flax import serialization
+
+    tree = serialization.msgpack_restore(weights)
+    np.testing.assert_array_equal(tree["w"], np.zeros(2, np.float32))
+
+    # idempotent: nothing left to change
+    assert mod.edit_run_dir(run, "eval_loss_fn", "val_loss_fn", verbose=False) == 0
