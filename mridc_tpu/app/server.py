@@ -42,7 +42,11 @@ _PAGE = """<!doctype html>
  h1{font-size:1.3rem} .row{margin:.4rem 0}
  label{display:inline-block;min-width:260px;font-family:monospace;font-size:.85rem}
  input,select{font-family:monospace;font-size:.85rem;min-width:280px}
- #fields{columns:2;column-gap:2rem;margin-top:1rem}
+ #fields{margin-top:1rem}
+ fieldset{margin:.6rem 0;border:1px solid #ccc;columns:2;column-gap:2rem}
+ legend{font-weight:600}
+ details{break-inside:avoid;margin:.3rem 0}
+ summary{cursor:pointer;font-size:.85rem;color:#555}
  .field{break-inside:avoid;margin:.15rem 0}
  button{margin:.5rem .5rem .5rem 0;padding:.4rem 1rem}
  pre{background:#f4f4f4;padding:.6rem;overflow:auto}
@@ -65,12 +69,31 @@ let defaults={};
 async function j(u,opt){const r=await fetch(u,opt);const d=await r.json();if(!r.ok)throw d;return d}
 async function loadTasks(){const t=await j('/api/tasks');$('task').innerHTML=t.map(x=>`<option>${x}</option>`).join('');await loadModels()}
 async function loadModels(){const m=await j('/api/models?task='+$('task').value);$('model').innerHTML=m.map(x=>`<option value="${x.name}">${x.display}</option>`).join('');await loadFields()}
+const esc=s=>String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;').replace(/"/g,'&quot;');
+function widget(f){
+ const k=esc(f.key), v=esc(f.text??'');
+ if(f.type==='bool'){
+  const sel=['true','false'].map(x=>`<option ${String(f.text)===x?'selected':''}>${x}</option>`).join('');
+  return `<select data-key="${k}" data-opt="${f.optional?1:''}"><option value="" ${f.text===''?'selected':''}>unset</option>${sel}</select>`}
+ if(f.type==='choice'){
+  const opts=(f.choices||[]).map(c=>`<option ${String(f.text)===String(c)?'selected':''}>${esc(c)}</option>`).join('');
+  const unset=f.choices&&f.choices.includes(f.text)?'':'selected';
+  return `<select data-key="${k}" data-opt="${f.optional?1:''}"><option value="" ${unset}>unset</option>${opts}</select>`}
+ const t=f.type==='number'?' inputmode="decimal"':'';
+ return `<input data-key="${k}" data-opt="${f.optional?1:''}" value="${v}"${t}>`}
 async function loadFields(){
- const d=await j(`/api/config?task=${$('task').value}&model=${$('model').value}&mode=${$('mode').value}`);
+ const d=await j(`/api/form?task=${$('task').value}&model=${$('model').value}&mode=${$('mode').value}`);
  defaults={};
- $('fields').innerHTML=d.fields.map(([k,v])=>{defaults[k]=v;
-  return `<div class="field"><label title="${k}">${k}</label><input data-key="${k}" value="${String(v).replace(/"/g,'&quot;')}"></div>`}).join('')}
-function overrides(){const o={};document.querySelectorAll('#fields input').forEach(i=>{if(i.value!==String(defaults[i.dataset.key]))o[i.dataset.key]=i.value});return o}
+ $('fields').innerHTML=d.groups.map(g=>{
+  const base=g.fields.filter(f=>!f.optional), extra=g.fields.filter(f=>f.optional);
+  g.fields.forEach(f=>{defaults[f.key]=String(f.text??'')});
+  const row=f=>`<div class="field"><label title="${esc(f.key)} (${f.type})">${esc(f.key)}</label>${widget(f)}</div>`;
+  const extras=extra.length?`<details><summary>${extra.length} more ${g.title.toLowerCase()} options</summary>${extra.map(row).join('')}</details>`:'';
+  return `<fieldset><legend>${esc(g.title)}</legend>${base.map(row).join('')}${extras}</fieldset>`}).join('')}
+function overrides(){const o={};document.querySelectorAll('#fields input,#fields select').forEach(i=>{
+ const cur=i.value, base=defaults[i.dataset.key];
+ if(i.dataset.opt){ if(cur!=='') o[i.dataset.key]=cur }
+ else if(cur!==base) o[i.dataset.key]=cur});return o}
 async function post(url){
  $('out').innerHTML='...';
  try{const d=await j(url,{method:'POST',headers:{'content-type':'application/json'},
@@ -143,6 +166,14 @@ class _Handler(BaseHTTPRequestHandler):
                 cfg = core.load_defaults(q["task"], q["model"], q.get("mode", "train"))
                 fields = [[k, _field_text(v)] for k, v in core.flatten_config(cfg)]
                 return self._send(200, {"fields": fields})
+            if url.path == "/api/form":
+                from mridc_tpu.app.forms import form_spec
+
+                spec = form_spec(q["task"], q["model"], q.get("mode", "train"))
+                for group in spec["groups"]:
+                    for f in group["fields"]:
+                        f["text"] = _field_text(f["default"])
+                return self._send(200, spec)
             if url.path == "/api/log":
                 tail = int(q.get("tail", 4000))
                 path = str(Path(q["path"]).resolve())

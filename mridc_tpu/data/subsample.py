@@ -353,6 +353,17 @@ class Poisson2DMaskFunc(MaskFunc):
         return mask
 
 
+MASKER_REGISTRY = {
+    "random1d": RandomMaskFunc,
+    "equispaced1d": Equispaced1DMaskFunc,
+    "equispaced2d": Equispaced2DMaskFunc,
+    "gaussian1d": Gaussian1DMaskFunc,
+    "gaussian2d": Gaussian2DMaskFunc,
+    "poisson2d": Poisson2DMaskFunc,
+}
+MASKER_NAMES = tuple(MASKER_REGISTRY)
+
+
 def create_masker(
     mask_type_str: str,
     center_fractions: Union[Sequence[float], float],
@@ -363,14 +374,6 @@ def create_masker(
         center_fractions = [center_fractions]
     if isinstance(accelerations, (int, float)):
         accelerations = [accelerations]
-    registry = {
-        "random1d": RandomMaskFunc,
-        "equispaced1d": Equispaced1DMaskFunc,
-        "equispaced2d": Equispaced2DMaskFunc,
-        "gaussian1d": Gaussian1DMaskFunc,
-        "gaussian2d": Gaussian2DMaskFunc,
-        "poisson2d": Poisson2DMaskFunc,
-    }
-    if mask_type_str not in registry:
+    if mask_type_str not in MASKER_REGISTRY:
         raise NotImplementedError(f"{mask_type_str} not supported")
-    return registry[mask_type_str](center_fractions, accelerations)
+    return MASKER_REGISTRY[mask_type_str](center_fractions, accelerations)

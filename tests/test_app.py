@@ -123,3 +123,63 @@ def test_http_export_rejects_typo(app_url, tmp_path):
     )
     assert status == 400
     assert "max_epochs" in d["error"]
+
+
+def test_form_spec_groups_types_choices():
+    """Schema-driven per-model forms (reference app/run.py:24-304 form depth):
+    grouped sections, typed widgets, registry-backed choice lists, and the
+    full optional schema surface beyond the YAML defaults."""
+    from mridc_tpu.app.forms import form_spec
+
+    spec = form_spec("reconstruction", "cirim", "train")
+    groups = {g["prefix"]: g for g in spec["groups"]}
+    assert "model" in groups and "trainer" in groups and "model.optim" in groups
+
+    fields = {f["key"]: f for g in spec["groups"] for f in g["fields"]}
+    # choice fields come from the live registries
+    assert fields["model.optim.name"]["type"] == "choice"
+    assert "adam" in fields["model.optim.name"]["choices"]
+    assert fields["model.model_name"]["type"] == "choice"
+    assert "CIRIM" in fields["model.model_name"]["choices"]
+    sched = fields.get("model.optim.sched.name")
+    if sched is not None:
+        assert "cosineannealing" in [c.lower() for c in sched["choices"]]
+    # mask type choices from the masker registry
+    mask_keys = [k for k in fields if k.endswith("mask_args.type")]
+    assert mask_keys and "poisson2d" in fields[mask_keys[0]]["choices"]
+    # schema keys absent from the YAML appear as optional extras
+    optional = [k for k, f in fields.items() if f["optional"]]
+    assert any(k.startswith("trainer.") for k in optional)
+    # typed from schema: a boolean trainer key renders as bool
+    bools = [f for f in fields.values() if f["type"] == "bool"]
+    assert bools
+
+
+def test_http_form_endpoint(app_url):
+    import json
+    from urllib.request import urlopen
+
+    with urlopen(f"{app_url}/api/form?task=reconstruction&model=cirim&mode=train") as r:
+        spec = json.loads(r.read())
+    assert spec["groups"]
+    f0 = spec["groups"][0]["fields"][0]
+    assert "text" in f0 and "type" in f0
+
+
+def test_http_export_with_form_override(app_url, tmp_path):
+    import json
+    from urllib.request import urlopen, Request
+
+    body = json.dumps({
+        "task": "reconstruction", "model": "cirim", "mode": "train",
+        "export_dir": str(tmp_path),
+        "overrides": {"trainer.max_epochs": "3", "model.optim.name": "adamw"},
+    }).encode()
+    req = Request(f"{app_url}/api/export", data=body, headers={"content-type": "application/json"})
+    with urlopen(req) as r:
+        resp = json.loads(r.read())
+    import yaml
+
+    cfg = yaml.safe_load(open(resp["path"]))
+    assert cfg["trainer"]["max_epochs"] == 3
+    assert cfg["model"]["optim"]["name"] == "adamw"
