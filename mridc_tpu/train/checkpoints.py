@@ -125,8 +125,15 @@ class OrbaxCheckpointer:
 
         state = jax.device_get(state)
         path = self.directory / "last"
-        if path.exists():
+        # multi-process: only process 0 clears the shared path, and everyone
+        # synchronizes before the collective save — an unconditional rmtree on
+        # every process could delete files the primary is already writing
+        if jax.process_index() == 0 and path.exists():
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("mridc_save_last_rm")
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, state)
         ckptr.wait_until_finished()

@@ -51,8 +51,11 @@ DYN = json.dumps({"model_name": "SEGMENTATIONDYNUNET", "segmentation_module_chan
                   "segmentation_module_strides": [1, 2, 2, 2]})
 DYN_BF16 = json.dumps({**json.loads(DYN), "compute_dtype": "bfloat16"})
 
-# 1. the driver bench (validates the make_flagship_forward refactor on-chip)
+# 1. the driver bench (validates the make_flagship_forward refactor on-chip;
+#    round 4 adds e2evn_* and train_e2e_* keys to the same JSON line)
 sh("bench", [PY, "bench.py"])
+# 1b. per-kernel floor for the train-MFU question (VERDICT r4 #2)
+sh("kernel-floor", [PY, "tools/kernel_floor.py"], timeout=3600)
 # 2. quantitative flagship f32 vs bf16 (new knob)
 sh("qcirim-f32", [PY, "tools/perf_lab.py", "zoo", "--cfg", QC, "--batch", "4"])
 sh("qcirim-bf16", [PY, "tools/perf_lab.py", "zoo", "--cfg", QC_BF16, "--batch", "4"])
