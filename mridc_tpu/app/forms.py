@@ -101,15 +101,16 @@ def _choices_for(dotkey: str) -> Optional[List[str]]:
         return sorted(MASKER_NAMES)
     if dotkey == "mode":
         return ["train", "test"]
-    # TPU perf knobs (docs/performance.md knob table)
+    # TPU perf knobs — lists mirror the validators exactly
+    # (models/recon/cirim.py:85 remat_mode, data/transforms.py normalization)
     knob_choices = {
         "compute_dtype": ["", "bfloat16"],
         "dc_mode": ["full", "psf1d"],
         "lane_fold": ["auto", "always", "never"],
-        "remat_mode": ["none", "step", "cascade", "both"],
+        "remat_mode": ["step+cascade", "cascade", "step", "none"],
         "coil_combination_method": ["SENSE", "RSS"],
         "fft_normalization": ["backward", "ortho", "forward"],
-        "normalization_type": ["max", "minmax", "mean_std"],
+        "normalization_type": ["max", "mean", "minmax"],
     }
     if leaf in knob_choices:
         return knob_choices[leaf]

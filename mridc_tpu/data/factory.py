@@ -123,6 +123,14 @@ def build_dataloader(ds_cfg: Dict, model_cfg: Optional[Dict] = None, shuffle: Op
     return maybe_prefetch(loader, ds_cfg)
 
 
+def async_loader(make, ds_cfg: Dict):
+    """Single home for the async-loading policy: construct the loader with the
+    ds_cfg worker-thread count and wrap it in the background prefetcher when
+    configured (used by every task's loader builder in launch.py)."""
+    loader = make(num_workers=int(ds_cfg.get("num_workers", 0) or 0))
+    return maybe_prefetch(loader, ds_cfg)
+
+
 def maybe_prefetch(loader, ds_cfg: Dict):
     """Wrap ``loader`` in a background Prefetcher when the config asks for it.
 

@@ -328,8 +328,17 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _select(self, masked_kspace, mask, acc, prediction):
+    def _sample_rng(self, idx: int) -> np.random.RandomState:
+        """Per-(seed, epoch, sample) RNG for the acceleration draw. Seeding by
+        sample index instead of drawing from a shared stream makes the choice
+        independent of consumption order — background prefetch running ahead
+        of an early-broken epoch (limit_*_batches) can no longer desync later
+        epochs from the synchronous path."""
+        return np.random.RandomState(np.asarray([self.seed, max(self._epoch - 1, 0), int(idx)], np.uint32))
+
+    def _select(self, masked_kspace, mask, acc, prediction, rng=None):
         """Pick one acceleration choice from the per-sample lists."""
+        rng = self.rng if rng is None else rng
         n2r_pair = None
         if (
             isinstance(masked_kspace, list)
@@ -344,7 +353,7 @@ class BatchLoader:
 
         if isinstance(masked_kspace, list):
             if len(masked_kspace) > 1 and self.select_acceleration == "random":
-                r = int(self.rng.randint(len(masked_kspace)))
+                r = int(rng.randint(len(masked_kspace)))
             else:
                 r = 0
             masked_kspace = masked_kspace[r]
@@ -374,24 +383,28 @@ class BatchLoader:
         if self.num_workers > 0:
             from mridc_tpu.data.prefetch import OrderedWorkerMap
 
-            samples = OrderedWorkerMap(lambda i: self.dataset[int(i)], order, self.num_workers)
+            samples = OrderedWorkerMap(lambda i: (int(i), self.dataset[int(i)]), order, self.num_workers)
         else:
-            samples = (self.dataset[int(idx)] for idx in order)
-        batch = []
-        for sample in samples:
+            samples = ((int(idx), self.dataset[int(idx)]) for idx in order)
+        batch, indices = [], []
+        for idx, sample in samples:
             batch.append(sample)
+            indices.append(idx)
             if len(batch) == self.batch_size:
-                yield self._collate(batch)
-                batch = []
+                yield self._collate(batch, indices)
+                batch, indices = [], []
         if batch and not self.drop_last:
-            yield self._collate(batch)
+            yield self._collate(batch, indices)
 
-    def _collate(self, samples):
+    def _collate(self, samples, indices=None):
         ks, mks, sens, msks, preds, tgts, fnames, sidx, accs, attrs = [], [], [], [], [], [], [], [], [], []
         n2r_ks, n2r_ms = [], []
-        for s in samples:
+        for j, s in enumerate(samples):
             kspace, masked_kspace, sensitivity_map, mask, prediction, target, fname, slice_idx, acc, attr = s
-            masked_kspace, mask, acc, prediction, r, n2r_pair = self._select(masked_kspace, mask, acc, prediction)
+            rng = self._sample_rng(indices[j]) if indices is not None else None
+            masked_kspace, mask, acc, prediction, r, n2r_pair = self._select(
+                masked_kspace, mask, acc, prediction, rng
+            )
             if n2r_pair is not None:
                 n2r_masked, n2r_mask = n2r_pair
                 n2r_ks.append(n2r_masked[r] if isinstance(n2r_masked, list) else n2r_masked)

@@ -64,29 +64,28 @@ class Prefetcher:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
 
+        def put_until_stopped(item) -> bool:
+            """Block until the item is enqueued or the consumer abandoned the
+            iterator. Terminal items (exception/sentinel) MUST use this too: a
+            bounded-timeout put could drop them while the consumer is merely
+            slow (a >5s device step), leaving it blocked on q.get() forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for batch in self.loader:
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_until_stopped(batch):
                         return
             except BaseException as exc:  # noqa: BLE001 — forwarded to consumer
-                try:
-                    q.put(_Raise(exc), timeout=5.0)
-                except queue.Full:
-                    pass
+                put_until_stopped(_Raise(exc))
                 return
-            while not stop.is_set():
-                try:
-                    q.put(_SENTINEL, timeout=0.1)
-                    return
-                except queue.Full:
-                    continue
+            put_until_stopped(_SENTINEL)
 
         thread = threading.Thread(target=produce, name="mridc-prefetch", daemon=True)
         thread.start()

@@ -151,7 +151,7 @@ class RSBatchLoader(BatchLoader):
     """Recon BatchLoader that additionally stacks segmentation labels
     (padded to the batch's target spatial shape, like every other leaf)."""
 
-    def _collate(self, samples):
+    def _collate(self, samples, indices=None):
         from mridc_tpu.data.loaders import _pad_to
 
         segs = [np.asarray(s[-1]) for s in samples]
@@ -160,7 +160,7 @@ class RSBatchLoader(BatchLoader):
                 "segmentation labels missing for at least one sample — provide "
                 "segmentations_path or files with a 'segmentation' dataset"
             )
-        base = super()._collate([s[:-1] for s in samples])
+        base = super()._collate([s[:-1] for s in samples], indices)
         h, w = base["target"].shape[-3:-1]
         base["segmentation"] = np.stack([_pad_to(g, (h, w, 0)) for g in segs], 0)
         return base
@@ -171,10 +171,15 @@ class QBatchLoader:
     masks each echo's k-space, fits initial maps, stacks real views."""
 
     def __init__(self, dataset, tes, mask_func=None, batch_size: int = 1, shuffle: bool = False, seed: int = 0,
-                 fft_centered: bool = True, fft_normalization: str = "ortho", num_workers: int = 0):
+                 fft_centered: bool = True, fft_normalization: str = "ortho", num_workers: int = 0,
+                 compute_target: bool = False):
         from mridc_tpu.data.qtransforms import fit_quantitative_maps
 
         self.num_workers = int(num_workers)
+        # per-echo fully-sampled recon target: only consumed by models with a
+        # folded reconstruction module (lossrecon) — a full [E, C] IFFT + coil
+        # combine per sample otherwise wasted on the host hot path
+        self.compute_target = bool(compute_target)
 
         self.dataset = dataset
         self.tes = np.asarray(tes, np.float32)
@@ -259,23 +264,24 @@ class QBatchLoader:
         ).astype(np.float32)
         rv = lambda x: np.stack([x.real, x.imag], -1).astype(np.float32)  # noqa: E731
         brain = np.asarray(mask_brain, np.float32) if np.size(mask_brain) > 1 else np.ones((h, w), np.float32)
-        # per-echo fully-sampled coil-combined target images [E, H, W] — the
-        # recon target when the model folds in a reconstruction module
-        # (reference quantitative training_step 'target', models/base.py:436)
-        imgs_full = _np_ifft2(kspace, self.fft_centered, self.fft_normalization)
-        target_full = (imgs_full * np.conj(sens)[None]).sum(1)
-        return {
+        out = {
             "kspace": rv(masked),
             "sensitivity_maps": rv(sens),
             "mask": m2d,
             "maps_init": maps_init.astype(np.float32),
             "maps_target": maps_target,
             "mask_brain": brain,
-            "target": rv(target_full),
             "TEs": self.tes,
             "fname": fname,
             "slice_idx": sidx,
         }
+        if self.compute_target:
+            # per-echo fully-sampled coil-combined target images [E, H, W] —
+            # the recon target for models with a folded reconstruction module
+            # (reference quantitative training_step 'target', models/base.py:436)
+            imgs_full = _np_ifft2(kspace, self.fft_centered, self.fft_normalization)
+            out["target"] = rv((imgs_full * np.conj(sens)[None]).sum(1))
+        return out
 
     def __iter__(self):
         order = np.arange(len(self.dataset))
@@ -299,8 +305,10 @@ class QBatchLoader:
 
     @staticmethod
     def _collate(samples):
-        out = {k: np.stack([s[k] for s in samples], 0) for k in
-               ("kspace", "sensitivity_maps", "mask", "maps_init", "maps_target", "mask_brain", "target")}
+        keys = ["kspace", "sensitivity_maps", "mask", "maps_init", "maps_target", "mask_brain"]
+        if "target" in samples[0]:
+            keys.append("target")
+        out = {k: np.stack([s[k] for s in samples], 0) for k in keys}
         out["TEs"] = samples[0]["TEs"]
         out["fname"] = [s["fname"] for s in samples]
         out["slice_idx"] = np.asarray([s["slice_idx"] for s in samples], np.int32)

@@ -21,6 +21,7 @@ drops the trailing singleton complex axis.
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -38,18 +39,28 @@ __all__ = [
 ]
 
 
+# mask generation is RNG-stateful (get_state/seed/draw/set_state on a shared
+# RandomState) and runs on loader worker threads (data/prefetch.py): the
+# whole critical section must be atomic or interleaved seeds corrupt masks.
+# One global lock: mask drawing is microseconds against the h5+transform
+# pipeline it overlaps, so serializing it costs nothing.
+_TEMP_SEED_LOCK = threading.RLock()
+
+
 @contextlib.contextmanager
 def temp_seed(rng: np.random.RandomState, seed: Optional[Union[int, Tuple[int, ...]]]):
-    """Temporarily seed ``rng``; restores state on exit (reference :13-40)."""
-    if seed is None:
-        yield
-    else:
-        state = rng.get_state()
-        rng.seed(seed)
-        try:
+    """Temporarily seed ``rng``; restores state on exit (reference :13-40).
+    Thread-safe: the seed/draw/restore sequence holds a global lock."""
+    with _TEMP_SEED_LOCK:
+        if seed is None:
             yield
-        finally:
-            rng.set_state(state)
+        else:
+            state = rng.get_state()
+            rng.seed(seed)
+            try:
+                yield
+            finally:
+                rng.set_state(state)
 
 
 class MaskFunc:

@@ -63,15 +63,10 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
             consecutive_slices=ds_cfg.get("consecutive_slices", 1),
             transform=tfm,
         )
-        from mridc_tpu.data.factory import maybe_prefetch
+        from mridc_tpu.data.factory import async_loader
 
-        return maybe_prefetch(
-            SegBatchLoader(
-                ds,
-                batch_size=ds_cfg.get("batch_size", 1),
-                shuffle=shuffle,
-                num_workers=int(ds_cfg.get("num_workers", 0) or 0),
-            ),
+        return async_loader(
+            lambda **kw: SegBatchLoader(ds, batch_size=ds_cfg.get("batch_size", 1), shuffle=shuffle, **kw),
             ds_cfg,
         )
     if task == "multitask":
@@ -92,15 +87,10 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
             consecutive_slices=ds_cfg.get("consecutive_slices", 1),
             transform=tfm,
         )
-        from mridc_tpu.data.factory import maybe_prefetch
+        from mridc_tpu.data.factory import async_loader
 
-        return maybe_prefetch(
-            RSBatchLoader(
-                ds,
-                batch_size=ds_cfg.get("batch_size", 1),
-                shuffle=shuffle,
-                num_workers=int(ds_cfg.get("num_workers", 0) or 0),
-            ),
+        return async_loader(
+            lambda **kw: RSBatchLoader(ds, batch_size=ds_cfg.get("batch_size", 1), shuffle=shuffle, **kw),
             ds_cfg,
         )
     if task == "quantitative":
@@ -119,10 +109,10 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
             sample_rate=ds_cfg.get("sample_rate"),
             consecutive_slices=ds_cfg.get("consecutive_slices", 1),
         )
-        from mridc_tpu.data.factory import maybe_prefetch
+        from mridc_tpu.data.factory import async_loader
 
-        return maybe_prefetch(
-            QBatchLoader(
+        return async_loader(
+            lambda **kw: QBatchLoader(
                 ds,
                 tes=model_cfg.get("TEs", [3.0, 11.5, 20.0, 28.5]),
                 mask_func=mask_func,
@@ -130,7 +120,8 @@ def _build_task_loader(task, ds_cfg, model_cfg, shuffle):
                 shuffle=shuffle,
                 fft_centered=model_cfg.get("fft_centered", True),
                 fft_normalization=model_cfg.get("fft_normalization", "ortho"),
-                num_workers=int(ds_cfg.get("num_workers", 0) or 0),
+                compute_target=bool(model_cfg.get("use_reconstruction_module", False)),
+                **kw,
             ),
             ds_cfg,
         )
@@ -155,7 +146,7 @@ def maybe_init_distributed(trainer_cfg: dict):
 
 
 _PSF1D_MASK_TYPES = {"random1d", "equispaced1d", "gaussian1d"}
-_PSF1D_MODELS = {"CIRIM", "RIM", "MTLRS"}
+_PSF1D_MODELS = {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"}
 
 
 def _auto_dc_mode(model_cfg: dict) -> dict:
@@ -261,13 +252,16 @@ def run_from_config(cfg: dict):
     # loads `checkpoint:` into the model before fit/test). Accepts a .mridc
     # archive path, URL, or registered pretrained name.
     pretrained_params = None
+    pretrained_batch_stats = None
     if cfg.get("pretrained"):
         ckpt = cfg.get("checkpoint")
         if ckpt in (None, "", "None", "null"):
             raise ValueError("pretrained: true requires checkpoint: <path | url | registered name>")
-        from mridc_tpu.models.pretrained import from_pretrained
+        from mridc_tpu.models.pretrained import from_pretrained_variables
 
-        _, pretrained_params, _ = from_pretrained(str(ckpt))
+        _, pretrained_vars, _ = from_pretrained_variables(str(ckpt))
+        pretrained_params = pretrained_vars["params"]
+        pretrained_batch_stats = pretrained_vars.get("batch_stats")
         logger.info(f"Loaded pretrained weights from {ckpt}")
 
     def _install_pretrained(loader):
@@ -289,6 +283,12 @@ def run_from_config(cfg: dict):
                 jax.tree_util.tree_map(jnp.array, pretrained_params)
                 if trainer.use_ema
                 else trainer.state.ema_params
+            ),
+            # live-BN archives restore their running statistics too
+            batch_stats=(
+                pretrained_batch_stats
+                if pretrained_batch_stats is not None
+                else trainer.state.batch_stats
             ),
         )
 

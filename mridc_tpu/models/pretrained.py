@@ -69,13 +69,7 @@ def get_available_model_names() -> List[str]:
     return [m.pretrained_model_name for m in list_available_models()]
 
 
-def from_pretrained(
-    model_name_or_path: str,
-    refresh_cache: bool = False,
-    override_config: Optional[Dict] = None,
-):
-    """Build a (model, params, cfg) triple from a registered pretrained name,
-    a URL, or a local ``.mridc`` archive path."""
+def _resolve_location(model_name_or_path: str, refresh_cache: bool = False) -> Path:
     location = model_name_or_path
     if model_name_or_path in _PRETRAINED:
         location = _PRETRAINED[model_name_or_path].location
@@ -88,5 +82,31 @@ def from_pretrained(
             f"{model_name_or_path!r} is neither a registered pretrained model "
             f"({get_available_model_names() or 'none registered'}), a URL, nor an existing archive path"
         )
+    return path
+
+
+def from_pretrained(
+    model_name_or_path: str,
+    refresh_cache: bool = False,
+    override_config: Optional[Dict] = None,
+):
+    """Build a (model, params, cfg) triple from a registered pretrained name,
+    a URL, or a local ``.mridc`` archive path."""
+    path = _resolve_location(model_name_or_path, refresh_cache)
     logger.info(f"Restoring pretrained model from {path}")
     return restore_model(path, override_config=override_config)
+
+
+def from_pretrained_variables(
+    model_name_or_path: str,
+    refresh_cache: bool = False,
+    override_config: Optional[Dict] = None,
+):
+    """Like :func:`from_pretrained` but returns ``(model, variables, cfg)``
+    with the full variables dict — live-BN archives (train_batch_stats) carry
+    a ``batch_stats`` collection alongside params."""
+    from mridc_tpu.train.checkpoints import restore_model_variables
+
+    path = _resolve_location(model_name_or_path, refresh_cache)
+    logger.info(f"Restoring pretrained model from {path}")
+    return restore_model_variables(path, override_config=override_config)

@@ -23,7 +23,7 @@ import numpy as np
 import yaml
 from flax import serialization
 
-__all__ = ["save_archive", "load_archive", "restore_model", "OrbaxCheckpointer"]
+__all__ = ["save_archive", "load_archive", "restore_model", "restore_model_variables", "OrbaxCheckpointer"]
 
 _CONFIG_NAME = "model_config.yaml"
 _WEIGHTS_NAME = "model_weights.msgpack"
@@ -56,21 +56,29 @@ def load_archive(path) -> Tuple[Dict, bytes]:
     return cfg, weights
 
 
-def restore_model(path, override_config: Optional[Dict] = None):
-    """Rebuild (model, params, cfg) from an archive — the ``restore_from``
-    path (reference save_restore_connector.py:173)."""
+def restore_model_variables(path, override_config: Optional[Dict] = None):
+    """Rebuild ``(model, variables, cfg)`` from an archive, where variables is
+    ``{"params": ...}`` plus ``"batch_stats"`` for live-BN archives
+    (train_batch_stats models save both collections)."""
     from mridc_tpu.models import build_model
 
     cfg, weights = load_archive(path)
     if override_config:
         cfg = {**cfg, **override_config}
     model = build_model(cfg)
-    # build a params template with matching treedef via shape-only init
-    params = serialization.msgpack_restore(weights)
-    # archives from live-BN models store {"params", "batch_stats"}; plain
-    # archives store the bare param tree. Callers that need the stats can
-    # detect the wrapper via the two top-level keys.
-    return model, params, cfg
+    tree = serialization.msgpack_restore(weights)
+    if not (isinstance(tree, dict) and set(tree) == {"params", "batch_stats"}):
+        tree = {"params": tree}
+    return model, tree, cfg
+
+
+def restore_model(path, override_config: Optional[Dict] = None):
+    """Rebuild (model, params, cfg) from an archive — the ``restore_from``
+    path (reference save_restore_connector.py:173). Live-BN archives are
+    unwrapped to the bare param tree; use :func:`restore_model_variables`
+    when the running statistics are needed too."""
+    model, variables, cfg = restore_model_variables(path, override_config)
+    return model, variables["params"], cfg
 
 
 class OrbaxCheckpointer:

@@ -486,6 +486,7 @@ class QuantitativeTrainer(Trainer):
     def __init__(self, *args, loss_regularization_factors=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.loss_regularization_factors = parse_loss_regularization_factors(loss_regularization_factors)
+        self._val_recon_step = None
 
     def _unnormalized_preds(self, out):
         """[C, T, B, H, W, 4] unnormalized prediction stack: model
@@ -590,9 +591,45 @@ class QuantitativeTrainer(Trainer):
             )
         )
 
+    def _val_recon_loss(self, batch, params) -> Optional[float]:
+        """lossrecon term for validation — the reference adds it to val_loss
+        too (quantitative/models/base.py:568-618)."""
+        if not getattr(self.model, "use_reconstruction_module", False) or "target" not in batch:
+            return None
+        if "ssim" in str(self.val_loss_type).lower():
+            # the reference's ssim lossrecon branch is shape-invalid upstream
+            # (PARITY.md) — quantitative_recon_loss_fn rejects it; skip the
+            # term rather than fail validation
+            return None
+        if self._val_recon_step is None:
+            model = self.model
+            loss_type = self.val_loss_type
+
+            def recon_loss(params, y, sens, mask, maps_init, tes, target):
+                out = model.apply({"params": params}, y, sens, mask, maps_init, tes, train=False)
+                if out.recon_intermediates is None:
+                    return jnp.zeros(())
+                return quantitative_recon_loss_fn(target, out.recon_intermediates, loss_type)
+
+            self._val_recon_step = jax.jit(recon_loss)
+        b = self._device_batch(batch)
+        return float(
+            self._val_recon_step(
+                params,
+                jnp.asarray(b["kspace"]),
+                jnp.asarray(b["sensitivity_maps"]),
+                jnp.asarray(b["mask"]),
+                jnp.asarray(b["maps_init"]),
+                jnp.asarray(b["TEs"]),
+                jnp.asarray(b["target"]),
+            )
+        )
+
     def validate(self, val_loader: Iterable, use_ema=None, limit=None) -> Dict[str, float]:
         """Per-map normalized L1 + NMSE over R2*/S0/B0/phi (reference
-        quantitative base logs per-map losses, quantitative/nn/base.py)."""
+        quantitative base logs per-map losses, quantitative/nn/base.py); with
+        a folded reconstruction module, val_loss additionally carries the
+        reference's lossrecon term (models/base.py:617-618)."""
         from mridc_tpu.parallel.multihost import reduce_mean_stats
 
         use_ema = self.use_ema if use_ema is None else use_ema
@@ -612,7 +649,13 @@ class QuantitativeTrainer(Trainer):
                 self.loss_regularization_factors,
                 self.val_loss_type,
             )
-            sums["loss"] += float(total)
+            params = (
+                self.state.ema_params
+                if (use_ema and self.state.ema_params is not None)
+                else self.state.params
+            )
+            lossrecon = self._val_recon_loss(batch, params)
+            sums["loss"] += float(total) + (lossrecon or 0.0)
             counts["loss"] += 1.0
             for i, n in enumerate(names):
                 t, p = target[..., i], pred[..., i]

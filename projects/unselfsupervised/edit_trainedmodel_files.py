@@ -34,25 +34,33 @@ def replace_in_text_file(path: pathlib.Path, old: str, new: str) -> bool:
 
 
 def replace_in_archive(path: pathlib.Path, old: str, new: str) -> bool:
-    """Rewrite config entries inside a .mridc tar.gz archive in place."""
+    """Rewrite config entries inside a .mridc tar.gz archive in place.
+    Non-regular members (directories, links) pass through untouched, member
+    metadata is preserved, and a failed rewrite leaves no temp file behind."""
     changed = False
-    members = {}
+    members = []  # (TarInfo, bytes | None)
     with tarfile.open(path, "r:gz") as tar:
         for m in tar.getmembers():
-            data = tar.extractfile(m).read()
-            if m.name.endswith((".yaml", ".yml", ".json")) and old.encode() in data:
+            handle = tar.extractfile(m) if m.isfile() else None
+            data = handle.read() if handle is not None else None
+            if data is not None and m.name.endswith((".yaml", ".yml", ".json")) and old.encode() in data:
                 data = data.replace(old.encode(), new.encode())
+                m.size = len(data)
                 changed = True
-            members[m.name] = data
+            members.append((m, data))
     if not changed:
         return False
-    with tempfile.NamedTemporaryFile(dir=path.parent, delete=False) as tmp:
+    tmp = tempfile.NamedTemporaryFile(dir=path.parent, delete=False)
+    try:
         with tarfile.open(fileobj=tmp, mode="w:gz") as tar:
-            for name, data in members.items():
-                info = tarfile.TarInfo(name)
-                info.size = len(data)
-                tar.addfile(info, io.BytesIO(data))
-    pathlib.Path(tmp.name).replace(path)
+            for info, data in members:
+                tar.addfile(info, io.BytesIO(data) if data is not None else None)
+        tmp.close()
+        pathlib.Path(tmp.name).replace(path)
+    except BaseException:
+        tmp.close()
+        pathlib.Path(tmp.name).unlink(missing_ok=True)
+        raise
     return True
 
 
