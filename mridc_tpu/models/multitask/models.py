@@ -60,16 +60,16 @@ def _group_norm_nograd(x: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     return jax.lax.stop_gradient(apply_group_norm(x.astype(jnp.float32), groups))
 
 
-def _make_seg_module(kind: str, classes: int, chans: int, pools: int):
+def _make_seg_module(kind: str, classes: int, chans: int, pools: int, live_bn: bool = False):
     kind = str(kind).lower()
     if kind == "unet":
         return Unet(out_chans=classes, chans=chans, num_pool_layers=pools)
     if kind == "attentionunet":
         return AttentionUnet(out_chans=classes, chans=chans, num_pool_layers=pools)
     if kind == "lambdaunet":
-        return LambdaUnet(out_chans=classes, chans=chans, num_pool_layers=pools)
+        return LambdaUnet(out_chans=classes, chans=chans, num_pool_layers=pools, live_bn=live_bn)
     if kind == "vnet":
-        return VNet(out_chans=classes)
+        return VNet(out_chans=classes, live_bn=live_bn)
     raise ValueError(f"Unknown segmentation module {kind!r}")
 
 
@@ -81,6 +81,7 @@ class MTLRS(BaseReconModel):
     recon_conv_filters: Sequence[int] = (64, 64, 2)
     recon_recurrent_filters: Sequence[int] = (64, 64, 0)
     seg_module: str = "attentionunet"
+    live_bn: bool = False  # train_batch_stats for BN-bearing seg modules (vnet/lambdaunet)
     seg_classes: int = 2
     seg_channels: int = 32
     seg_pools: int = 2
@@ -117,6 +118,7 @@ class MTLRS(BaseReconModel):
             recon_conv_filters=tuple(cfg.get("reconstruction_module_conv_filters", (64, 64, 2))),
             recon_recurrent_filters=tuple(cfg.get("reconstruction_module_recurrent_filters", (64, 64, 0))),
             seg_module=cfg.get("segmentation_module", "attentionunet"),
+            live_bn=bool(cfg.get("train_batch_stats", False)),
             seg_classes=cfg.get("segmentation_module_output_channels", 2),
             seg_channels=cfg.get("segmentation_module_channels", 32),
             seg_pools=cfg.get("segmentation_module_pooling_layers", 2),
@@ -187,7 +189,8 @@ class MTLRS(BaseReconModel):
             else:
                 seg_in = eta
             seg_in = _group_norm_nograd(seg_in)
-            seg = _make_seg_module(self.seg_module, self.seg_classes, self.seg_channels, self.seg_pools)(
+            seg = _make_seg_module(self.seg_module, self.seg_classes, self.seg_channels, self.seg_pools,
+                                   live_bn=self.live_bn)(
                 seg_in, train
             )
             seg = jnp.abs(seg)

@@ -111,6 +111,8 @@ _TPU_KNOB_SUPPORT = {
     "train_batch_stats": {
         "CASCADENET", "CCNN", "KIKINET", "LPDNET", "LPD", "XPDNET", "VSNET",
         "SEGMENTATIONVNET", "SEGMENTATIONLAMBDAUNET",
+        # MTLRS with a BN-bearing segmentation_module (vnet/lambdaunet)
+        "MTLRS", "JRSCIRIM",
     },
 }
 

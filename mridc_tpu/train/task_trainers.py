@@ -389,20 +389,22 @@ class MultitaskTrainer(Trainer):
         seg_cfg = self.seg_loss_cfg
 
         def train_step(state, y, sens, mask, init_pred, target, seg_target):
-            def loss_fn(params):
-                from mridc_tpu.train.trainer import dropout_rngs
+            def loss_fn(params, bs):
+                from mridc_tpu.train.trainer import apply_with_stats, dropout_rngs
 
-                out, seg_logits = model.apply(
-                    {"params": params}, y, sens, mask, init_pred, train=True,
+                (out, seg_logits), bs = apply_with_stats(
+                    model, params, bs, y, sens, mask, init_pred, train=True,
                     rngs=dropout_rngs(state.step),
                 )
                 # reference rs/nn/base.py:371: recon loss x reconstruction_loss_regularization_factor
                 recon = process_reconstruction_loss(out, target, loss_type, reg)
                 seg = segmentation_loss_fn(seg_target, seg_logits, **seg_cfg)
-                return rec_w * recon + seg_w * seg, (recon, seg)
+                return rec_w * recon + seg_w * seg, (recon, seg, bs)
 
-            (loss, (recon_l, seg_l)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            new_state = tail(state, grads)
+            (loss, (recon_l, seg_l, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats
+            )
+            new_state = tail(state, grads).replace(batch_stats=new_bs)
             return new_state, {"loss": loss, "recon_loss": recon_l, "seg_loss": seg_l,
                                "grad_norm": optax.global_norm(grads)}
 
@@ -421,8 +423,10 @@ class MultitaskTrainer(Trainer):
     def _build_eval_step(self):
         model = self.model
 
-        def eval_step(params, y, sens, mask, init_pred):
-            out, seg = model.apply({"params": params}, y, sens, mask, init_pred, train=False)
+        def eval_step(params, batch_stats, y, sens, mask, init_pred):
+            from mridc_tpu.train.trainer import model_variables
+
+            out, seg = model.apply(model_variables(params, batch_stats), y, sens, mask, init_pred, train=False)
             return out.prediction, seg
 
         return jax.jit(eval_step)
@@ -433,7 +437,7 @@ class MultitaskTrainer(Trainer):
         b = self._device_batch(batch)
         y, sens, mask, init_pred = self._model_inputs(b)
         params = self.state.ema_params if (use_ema and self.state.ema_params is not None) else self.state.params
-        pred, seg = self._eval_step(params, y, sens, mask, init_pred)
+        pred, seg = self._eval_step(params, self.state.batch_stats, y, sens, mask, init_pred)
         return np.asarray(pred), np.asarray(seg)
 
     def validate(self, val_loader: Iterable, use_ema=None, limit=None) -> Dict[str, float]:

@@ -211,3 +211,50 @@ def test_quantitative_val_loss_includes_lossrecon():
     no_target = {k: v for k, v in batch.items() if k != "target"}
     without = trainer.validate([no_target])["val_loss"]
     assert with_recon > without  # lossrecon term present and positive
+
+
+def test_mtlrs_live_bn_seg_module():
+    """MTLRS with a BN-bearing seg module (vnet) honors train_batch_stats
+    through the MultitaskTrainer: stats are captured, tracked, and consumed
+    at eval."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.train.task_trainers import MultitaskTrainer
+
+    rng = np.random.default_rng(0)
+    b, c, h, w = 2, 2, 16, 16
+    cfg = {
+        "model_name": "MTLRS",
+        "joint_reconstruction_segmentation_module_cascades": 1,
+        "reconstruction_module_num_cascades": 1,
+        "reconstruction_module_time_steps": 2,
+        "reconstruction_module_conv_filters": [4, 4, 2],
+        "reconstruction_module_recurrent_filters": [4, 4, 0],
+        "segmentation_module": "vnet",
+        "segmentation_module_output_channels": 2,
+        "segmentation_module_input_channels": 2,
+        "train_batch_stats": True,
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    model = build_model(cfg)
+    trainer = MultitaskTrainer(model, optim_cfg={"name": "adam", "lr": 1e-3})
+    sens = rng.standard_normal((b, c, h, w, 2)).astype(np.float32)
+    sens /= np.sqrt((sens**2).sum(axis=(1, -1), keepdims=True))
+    batch = {
+        "masked_kspace": rng.standard_normal((b, c, h, w, 2)).astype(np.float32),
+        "sensitivity_maps": sens,
+        "mask": np.ones((b, 1, h, w, 1), np.float32),
+        "target": rng.standard_normal((b, h, w, 2)).astype(np.float32),
+        "segmentation": np.eye(2, dtype=np.float32)[rng.integers(0, 2, (b, h, w))],
+    }
+    trainer.init_state(jax.random.PRNGKey(0), trainer._device_batch(batch))
+    assert trainer.state.batch_stats is not None
+    init_bs = jax.tree_util.tree_map(np.asarray, trainer.state.batch_stats)
+    for _ in range(2):
+        m = trainer.training_batch(batch)
+        assert np.isfinite(float(m["loss"]))
+    moved = jax.tree_util.tree_map(lambda a, b2: float(np.abs(a - b2).max()),
+                                   init_bs, jax.tree_util.tree_map(np.asarray, trainer.state.batch_stats))
+    assert max(jax.tree_util.tree_leaves(moved)) > 1e-4
+    pred, seg = trainer.predict_batch(batch)
+    assert np.isfinite(pred).all() and np.isfinite(seg).all()
