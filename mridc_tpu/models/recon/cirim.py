@@ -74,6 +74,12 @@ class CIRIM(BaseReconModel):
     # active cascade's backward stores its step activations — one fewer
     # forward execution, more HBM), "step", "none". Measured on v5e in
     # docs/performance.md.
+    remat_save_dc: bool = False  # with cascade remat: save the named per-step
+    # 'dc_grad' activations across the CASCADE remat too, so the cascade
+    # backward's forward recompute skips the DC matmul chain entirely (DC runs
+    # fwd x1 instead of x2 per train step) at the cost of storing
+    # cascades x T x [B, H, W, 4] likelihood gradients. Opt-in pending a
+    # measured win (docs/performance.md).
 
     @classmethod
     def from_config(cls, cfg):
@@ -106,6 +112,7 @@ class CIRIM(BaseReconModel):
             stack_intermediates=cfg.get("stack_intermediates", True),
             dc_mode=check_dc_mode(str(cfg.get("dc_mode", "full")).lower()),
             remat_mode=remat_mode,
+            remat_save_dc=bool(cfg.get("remat_save_dc", False)),
             train_dc_dtype=(
                 cfg["train_dc_dtype"] if "train_dc_dtype" in cfg else cfg.get("compute_dtype")
             ),
@@ -189,9 +196,15 @@ class CIRIM(BaseReconModel):
         # remat each cascade as well (remat_mode): the time-step scan's
         # carries (large hidden states) are then only stored for the
         # cascade being re-executed in backward, not all cascades at once.
-        cascade_cls = (
-            nn.remat(_Cascade, prevent_cse=False) if "cascade" in self.remat_mode else _Cascade
-        )
+        if "cascade" in self.remat_mode:
+            cascade_policy = (
+                jax.checkpoint_policies.save_only_these_names("dc_grad")
+                if self.remat_save_dc
+                else None
+            )
+            cascade_cls = nn.remat(_Cascade, prevent_cse=False, policy=cascade_policy)
+        else:
+            cascade_cls = _Cascade
         scan = nn.scan(
             cascade_cls,
             variable_axes={"params": 0},

@@ -95,6 +95,7 @@ _TPU_KNOB_SUPPORT = {
     "scan_iterations": {"XPDNET", "KIKINET", "LPDNET", "LPD"},
     "dc_mode": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
     "remat_mode": {"CIRIM", "RIM"},
+    "remat_save_dc": {"CIRIM", "RIM"},
     "lane_fold": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
     "train_dc_dtype": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
     "infer_dc_dtype": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},

@@ -520,3 +520,40 @@ def test_tpu_knobs_rejected_on_unsupported_models():
     # explicit None means "force default" and stays allowed everywhere
     build_model({"model_name": "VN", "num_cascades": 1, "channels": 4,
                  "pooling_layers": 2, "train_dc_dtype": None, **COMMON})
+
+
+def test_remat_save_dc_grads_exact():
+    """`remat_save_dc` saves the named 'dc_grad' activations across the
+    cascade-level remat too (DC chain runs fwd x1 instead of x2 per train
+    step) — a pure execution-schedule change: loss and parameter gradients
+    must match the default policy exactly."""
+    rng = np.random.default_rng(7)
+    b, c, h, w = 2, 3, 16, 20
+    y = _rv((rng.standard_normal((b, c, h, w)) + 1j * rng.standard_normal((b, c, h, w))).astype(np.complex64))
+    s = _rv((rng.standard_normal((b, c, h, w)) + 1j * rng.standard_normal((b, c, h, w))).astype(np.complex64))
+    mask = np.zeros((b, 1, h, w), np.float32)
+    mask[..., ::2] = 1
+    mask[..., w // 2 - 2 : w // 2 + 2] = 1
+    cfg = {
+        "model_name": "CIRIM",
+        "num_cascades": 2,
+        "time_steps": 3,
+        "conv_filters": [8, 8, 2],
+        "recurrent_filters": [8, 8, 0],
+        "dc_mode": "psf1d",
+        "remat_mode": "step+cascade",
+        **COMMON,
+    }
+    m0 = build_model({**cfg, "remat_save_dc": False})
+    m1 = build_model({**cfg, "remat_save_dc": True})
+    v = m0.init(jax.random.PRNGKey(0), y, s, mask)
+
+    def loss(model, p):
+        out = model.apply({"params": p}, y, s, mask, train=True)
+        return (out.intermediates.astype(jnp.float32) ** 2).mean()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    assert np.allclose(float(l0), float(l1), rtol=0, atol=0)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=0, atol=1e-6 * max(1.0, float(np.abs(a).max())))
