@@ -200,10 +200,18 @@ def bench_quality() -> float:
     return quality_vs_exact()["ssim_vs_f32"]
 
 
+_TRAIN_STEP_CACHE: dict = {}
+
+
 def make_flagship_train_step(batch, overrides=None):
     """Build the jitted flagship training step (forward + backward + adam).
     Returns (train_step, params, opt_state, data) — shared with
-    tools/perf_lab.py so its numbers match the driver bench."""
+    tools/perf_lab.py so its numbers match the driver bench. Cached per
+    (batch, overrides): bench_train_e2e reuses bench_jax_train's compiled
+    step instead of paying a second multi-minute axon compile."""
+    key = (batch, tuple(sorted((overrides or {}).items())))
+    if key in _TRAIN_STEP_CACHE:
+        return _TRAIN_STEP_CACHE[key]
     import jax
     import jax.numpy as jnp
     import optax
@@ -237,7 +245,9 @@ def make_flagship_train_step(batch, overrides=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return train_step, params, opt_state, (y, sens, mask, target)
+    out = (train_step, params, opt_state, (y, sens, mask, target))
+    _TRAIN_STEP_CACHE[key] = out
+    return out
 
 
 def bench_jax_train() -> tuple:
@@ -509,31 +519,47 @@ def bench_torch_cpu(max_seconds: float = 90.0) -> float:
 def main():
     # v5e bf16 peak: 197 TFLOP/s (override for other chips)
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+    # Wall-clock budget: the core metrics (CIRIM infer + train + the torch
+    # baseline) always run; the remaining sections are skipped (null) once the
+    # budget is spent, so a slow/contended axon session still EMITS the JSON
+    # line instead of being killed by the driver's timeout with no output.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1800.0))
+    t_start = time.perf_counter()
+
+    def have_time():
+        return (time.perf_counter() - t_start) < budget_s
+
     jax_sps, infer_tflops = bench_jax()
-    try:
-        quality_ssim = bench_quality()
-    except Exception:
-        quality_ssim = None
     try:
         train_sps, train_tflops = bench_jax_train()
     except Exception:
         train_sps = train_tflops = None
     try:
-        vn_sps, vn_tflops = bench_e2evn()
-    except Exception:
-        vn_sps = vn_tflops = None
-    try:
-        vn_ssim = e2evn_quality()
-    except Exception:
-        vn_ssim = None
-    try:
-        e2e_sps, _ = bench_train_e2e()
-    except Exception:
-        e2e_sps = None
-    try:
         cpu_sps = bench_torch_cpu()
     except Exception:
         cpu_sps = None
+    # optional sections, budget-gated in priority order
+    quality_ssim = vn_sps = vn_tflops = vn_ssim = e2e_sps = None
+    try:
+        if have_time():
+            quality_ssim = bench_quality()
+    except Exception:
+        pass
+    try:
+        if have_time():
+            vn_sps, vn_tflops = bench_e2evn()
+    except Exception:
+        pass
+    try:
+        if have_time():
+            e2e_sps, _ = bench_train_e2e()
+    except Exception:
+        pass
+    try:
+        if have_time():
+            vn_ssim = e2evn_quality()
+    except Exception:
+        pass
     vs = (jax_sps / cpu_sps) if cpu_sps else None
     print(
         json.dumps(

@@ -134,17 +134,38 @@ def run_zoo(args):
 
     cfg = json.loads(args.cfg)
     model = build_model(cfg)
-    y, sens, mask = (jnp.asarray(x) for x in bench._data(args.batch))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
+    name = str(cfg.get("model_name", "")).upper()
+    if name in ("QCIRIM", "QRIM", "QVN", "QVARNET"):
+        # quantitative signature: (y[B,E,C,H,W,2], sens, mask, maps_init, tes)
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        e = int(cfg.get("num_echoes", 4))
+        b, c, h, w = args.batch, bench.COILS, bench.H, bench.W
+        y = jnp.asarray(rng.standard_normal((b, e, c, h, w, 2)).astype(np.float32))
+        sens_np = rng.standard_normal((b, c, h, w, 2)).astype(np.float32)
+        sens_np /= np.sqrt((sens_np**2).sum(-1, keepdims=True).sum(1, keepdims=True))
+        sens = jnp.asarray(sens_np)
+        mask_np = np.zeros((b, 1, h, w), np.float32)
+        mask_np[..., ::4] = 1.0
+        mask_np[..., w // 2 - 16 : w // 2 + 16] = 1.0
+        mask = jnp.asarray(mask_np)
+        maps_init = jnp.asarray(np.abs(rng.standard_normal((b, h, w, 4))).astype(np.float32))
+        tes = jnp.asarray([3.0, 11.5, 20.0, 28.5][:e], jnp.float32)
+        fargs = (y, sens, mask, maps_init, tes)
+    else:
+        y, sens, mask = (jnp.asarray(x) for x in bench._data(args.batch))
+        fargs = (y, sens, mask)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *fargs)
 
     @jax.jit
-    def forward(variables, y, sens, mask):
-        out = model.apply(variables, y, sens, mask)
+    def forward(variables, *fargs):
+        out = model.apply(variables, *fargs)
         if isinstance(out, tuple):  # multitask: (ModelOutput, seg)
             return (out[0].prediction ** 2).sum() + (out[1] ** 2).sum()
         return (out.prediction ** 2).sum()
 
-    dt = bench.time_scalar_fn(forward, (variables, y, sens, mask), warmup=2, iters=args.iters)
+    dt = bench.time_scalar_fn(forward, (variables, *fargs), warmup=2, iters=args.iters)
     print(json.dumps({"exp": "zoo", "model": cfg.get("model_name"), "batch": args.batch,
                       "slices_per_s": round(args.iters * args.batch / dt, 2)}))
 
@@ -170,7 +191,12 @@ def run_seg(args):
         @jax.jit
         def fn(params, x, tgt):
             def loss(p):
-                return ((model.apply({"params": p}, x, train=True) - tgt) ** 2).mean()
+                # dropout-bearing trunks (VNet) need a PRNG in train mode;
+                # a fixed key keeps the timing deterministic
+                out = model.apply(
+                    {"params": p}, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)}
+                )
+                return ((out - tgt) ** 2).mean()
             l, g = jax.value_and_grad(loss)(params)
             return l + sum(jnp.sum(jnp.abs(v)) for v in jax.tree_util.tree_leaves(g)) * 0.0
         fargs = (variables["params"], x, tgt)
