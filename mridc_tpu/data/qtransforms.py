@@ -163,7 +163,7 @@ class qMRIDataTransforms(MRIDataTransforms):
             if self.coil_combination_method == "SENSE" and sens_e.size > 1:
                 combined = (echo_imgs * np.conj(sens_e)).sum(axis=1)
             else:
-                combined = np.sqrt((np.abs(echo_imgs) ** 2).sum(axis=1)).astype(np.complex64)
+                combined = np.sqrt((np.abs(echo_imgs) ** 2).sum(axis=1)).astype(np.complex64, copy=False)
             attrs["quantitative_maps_init"] = fit_quantitative_maps(combined, self.TEs)
             attrs["TEs"] = list(self.TEs)
 

@@ -243,8 +243,8 @@ class QBatchLoader:
         else:
             # no sensitivity maps in the file: RSS-combine and synthesize
             # uniform maps for the trainer's rv inputs
-            combined = np.sqrt((np.abs(imgs) ** 2).sum(1)).astype(np.complex64)
-            sens = (np.ones((c, h, w)) / np.sqrt(c)).astype(np.complex64)
+            combined = np.sqrt((np.abs(imgs) ** 2).sum(1)).astype(np.complex64, copy=False)
+            sens = (np.ones((c, h, w)) / np.sqrt(c)).astype(np.complex64, copy=False)
         fitted = self._fit(combined, self.tes)
         maps_init = np.stack(
             [fitted["R2star_map"], fitted["S0_map"], fitted["B0_map"], fitted["phi_map"]], -1

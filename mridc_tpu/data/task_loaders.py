@@ -43,9 +43,9 @@ class SegmentationMRIDataset(MRIDataset):
         with h5py.File(fname, "r") as hf:
             if self.complex_data:
                 key = "kspace" if "kspace" in hf else "ksp"
-                kspace = self.get_consecutive_slices(hf, key, dataslice).astype(np.complex64)
+                kspace = self.get_consecutive_slices(hf, key, dataslice).astype(np.complex64, copy=False)
                 sensitivity_map = (
-                    self.get_consecutive_slices(hf, "sensitivity_map", dataslice).astype(np.complex64)
+                    self.get_consecutive_slices(hf, "sensitivity_map", dataslice).astype(np.complex64, copy=False)
                     if "sensitivity_map" in hf
                     else np.array([])
                 )
@@ -81,9 +81,9 @@ class RSMRIDataset(MRIDataset):
         fname, dataslice, metadata = self.examples[i]
         with h5py.File(fname, "r") as hf:
             key = "kspace" if "kspace" in hf else "ksp"
-            kspace = self.get_consecutive_slices(hf, key, dataslice).astype(np.complex64)
+            kspace = self.get_consecutive_slices(hf, key, dataslice).astype(np.complex64, copy=False)
             sensitivity_map = (
-                self.get_consecutive_slices(hf, "sensitivity_map", dataslice).astype(np.complex64)
+                self.get_consecutive_slices(hf, "sensitivity_map", dataslice).astype(np.complex64, copy=False)
                 if "sensitivity_map" in hf
                 else np.array([])
             )
@@ -127,9 +127,9 @@ class qMRIDataset(MRIDataset):
     def __getitem__(self, i: int):
         fname, dataslice, metadata = self.examples[i]
         with h5py.File(fname, "r") as hf:
-            kspace = self.get_consecutive_slices(hf, "kspace", dataslice).astype(np.complex64)
+            kspace = self.get_consecutive_slices(hf, "kspace", dataslice).astype(np.complex64, copy=False)
             sensitivity_map = (
-                self.get_consecutive_slices(hf, "sensitivity_map", dataslice).astype(np.complex64)
+                self.get_consecutive_slices(hf, "sensitivity_map", dataslice).astype(np.complex64, copy=False)
                 if "sensitivity_map" in hf
                 else np.array([])
             )
