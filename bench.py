@@ -404,6 +404,12 @@ def bench_train_e2e() -> tuple:
 
     from mridc_tpu.data.factory import build_dataloader
 
+    # transfer_dtype=bfloat16 + device_prefetch: the heavy real-view leaves
+    # cross the host->device link in bf16 (half the bytes; exact for the
+    # bf16-compute flagship, which casts them to bf16 on device anyway) on a
+    # background thread, overlapping the transfer with the train step. On
+    # axon the link is a ~43 MB/s tunnel, so the transfer — not the host
+    # pipeline — bounds this number; see docs/performance.md.
     loader = build_dataloader(
         {
             "data_path": str(tmp),
@@ -412,6 +418,8 @@ def bench_train_e2e() -> tuple:
             "drop_last": True,
             "num_workers": int(os.environ.get("BENCH_E2E_WORKERS", 8)),
             "prefetch_batches": 2,
+            "transfer_dtype": os.environ.get("BENCH_E2E_TRANSFER_DTYPE", "bfloat16"),
+            "device_prefetch": True,
             "pad_shape": (COILS, H, W),
             "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
             "fft_centered": True,

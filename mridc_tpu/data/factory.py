@@ -119,6 +119,7 @@ def build_dataloader(ds_cfg: Dict, model_cfg: Optional[Dict] = None, shuffle: Op
         pad_shape=tuple(pad_shape) if pad_shape else None,
         drop_last=ds_cfg.get("drop_last", False),
         num_workers=int(ds_cfg.get("num_workers", 0) or 0),
+        transfer_dtype=ds_cfg.get("transfer_dtype"),
     )
     return maybe_prefetch(loader, ds_cfg)
 
@@ -132,18 +133,26 @@ def async_loader(make, ds_cfg: Dict):
 
 
 def maybe_prefetch(loader, ds_cfg: Dict):
-    """Wrap ``loader`` in a background Prefetcher when the config asks for it.
+    """Wrap ``loader`` in the async stages the config asks for.
 
-    ``prefetch_batches`` is the explicit knob; reference configs that set
-    ``num_workers`` (torch DataLoader semantics, reconstruction/nn/
-    base.py:1083-1090) imply async loading, so they get the default depth too.
+    ``prefetch_batches`` (host-side batch building ahead of the step) is the
+    explicit knob; reference configs that set ``num_workers`` (torch
+    DataLoader semantics, reconstruction/nn/base.py:1083-1090) imply async
+    loading, so they get the default depth too. ``device_prefetch: true``
+    additionally ships the heavy array leaves to the device ahead of the
+    step (flax prefetch_to_device analogue — overlaps the host->device
+    transfer with device compute).
     """
     depth = ds_cfg.get("prefetch_batches")
     if depth is None:
         depth = 2 if int(ds_cfg.get("num_workers", 0) or 0) > 0 else 0
     depth = int(depth)
-    if depth <= 0:
-        return loader
-    from mridc_tpu.data.prefetch import Prefetcher
+    if depth > 0:
+        from mridc_tpu.data.prefetch import Prefetcher
 
-    return Prefetcher(loader, depth=depth)
+        loader = Prefetcher(loader, depth=depth)
+    if ds_cfg.get("device_prefetch", False):
+        from mridc_tpu.data.prefetch import DevicePrefetcher
+
+        loader = DevicePrefetcher(loader, depth=max(depth, 1) if depth else 2)
+    return loader

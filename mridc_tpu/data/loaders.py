@@ -295,6 +295,7 @@ class BatchLoader:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         num_workers: int = 0,
+        transfer_dtype=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -319,6 +320,21 @@ class BatchLoader:
         # base.py:1083-1090). Threads map dataset[i] over the epoch order,
         # yielding IN ORDER (see data/prefetch.py for the grain rationale).
         self.num_workers = int(num_workers)
+        # transfer_dtype: cast the heavy real-view leaves (masked_kspace /
+        # sensitivity_maps / kspace / n2r_masked_kspace) to this dtype at
+        # collate time, HALVING host->device bytes for bfloat16. Exact-math
+        # companion to compute_dtype=bfloat16 models: they cast these inputs
+        # to bf16 on device anyway, so casting before the wire moves the same
+        # bits for half the transfer. mask/target/metadata stay f32 (the loss
+        # is computed in f32). Off (None) by default.
+        self.transfer_dtype = None
+        if transfer_dtype is not None and str(transfer_dtype).lower() not in ("none", "float32", "f32"):
+            import ml_dtypes  # jax dependency, always present
+
+            name = str(transfer_dtype).lower()
+            if name not in ("bfloat16", "bf16"):
+                raise ValueError(f"unsupported transfer_dtype {transfer_dtype!r} (use bfloat16 or None)")
+            self.transfer_dtype = np.dtype(ml_dtypes.bfloat16)
 
     def _local_count(self):
         n = len(self.dataset)
@@ -483,4 +499,8 @@ class BatchLoader:
         if n2r_ks:
             out_batch["n2r_masked_kspace"] = stack_c(n2r_ks)
             out_batch["n2r_mask"] = np.stack([pad_mask(m) for m in n2r_ms], 0)
+        if self.transfer_dtype is not None:
+            for k in ("kspace", "masked_kspace", "sensitivity_maps", "n2r_masked_kspace"):
+                if k in out_batch:
+                    out_batch[k] = out_batch[k].astype(self.transfer_dtype)
         return out_batch

@@ -189,3 +189,81 @@ def test_factory_wires_num_workers_and_prefetch(dataset_dir):
 def test_maybe_prefetch_disabled_by_default():
     sentinel = object()
     assert maybe_prefetch(sentinel, {}) is sentinel
+
+
+def test_transfer_dtype_bf16_collate(dataset_dir):
+    import ml_dtypes
+
+    plain = list(_make_loader(dataset_dir))
+    bf16 = list(_make_loader(dataset_dir, transfer_dtype="bfloat16"))
+    assert len(plain) == len(bf16)
+    for a, b in zip(plain, bf16):
+        assert _batch_key(a) == _batch_key(b)
+        for k in ("kspace", "masked_kspace", "sensitivity_maps"):
+            assert b[k].dtype == np.dtype(ml_dtypes.bfloat16)
+            # values are exactly the f32 leaves rounded to bf16
+            np.testing.assert_array_equal(
+                b[k].astype(np.float32), a[k].astype(ml_dtypes.bfloat16).astype(np.float32)
+            )
+        # loss-side leaves stay f32
+        assert b["target"].dtype == np.float32
+        assert b["mask"].dtype == np.float32
+
+
+def test_transfer_dtype_rejects_unknown(dataset_dir):
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        _make_loader(dataset_dir, transfer_dtype="float16")
+
+
+def test_device_prefetcher_puts_heavy_leaves(dataset_dir):
+    import jax
+
+    from mridc_tpu.data.prefetch import DevicePrefetcher
+
+    plain = list(_make_loader(dataset_dir))
+    dev = list(DevicePrefetcher(Prefetcher(_make_loader(dataset_dir), depth=2), depth=2))
+    assert len(plain) == len(dev)
+    for a, b in zip(plain, dev):
+        assert _batch_key(a) == _batch_key(b)
+        for k in ("kspace", "masked_kspace", "sensitivity_maps", "target"):
+            assert isinstance(b[k], jax.Array), k
+            np.testing.assert_array_equal(np.asarray(b[k]), a[k])
+        # mask stays host-side for numpy reshaping in trainers
+        assert isinstance(b["mask"], np.ndarray)
+        # non-array leaves pass through untouched
+        assert b["fname"] == a["fname"]
+
+
+def test_device_prefetcher_factory_knob(dataset_dir):
+    from mridc_tpu.data.prefetch import DevicePrefetcher
+
+    ds_cfg = {
+        "data_path": str(dataset_dir),
+        "batch_size": 2,
+        "shuffle": True,
+        "seed": 7,
+        "num_workers": 2,
+        "device_prefetch": True,
+        "mask_args": {"type": "random1d", "accelerations": [4], "center_fractions": [0.08]},
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    loader = build_dataloader(dict(ds_cfg))
+    assert isinstance(loader, DevicePrefetcher)
+    assert isinstance(loader.loader, Prefetcher)
+    # attribute passthrough reaches the innermost BatchLoader
+    assert loader.batch_size == 2
+
+
+def test_device_prefetcher_propagates_exception():
+    from mridc_tpu.data.prefetch import DevicePrefetcher
+
+    class Boom:
+        def __iter__(self):
+            yield {"target": np.zeros((2, 4, 4, 2), np.float32)}
+            raise ValueError("bad batch")
+
+    it = iter(DevicePrefetcher(Boom(), depth=2))
+    next(it)
+    with pytest.raises(ValueError, match="bad batch"):
+        next(it)
