@@ -1,0 +1,339 @@
+"""Dataset caching: host-side transformed-sample cache + device-resident
+(HBM) dataset cache with on-device batch gather.
+
+Why this exists (TPU-first): the reference hides its input pipeline behind
+torch DataLoader workers (mridc/collections/reconstruction/nn/base.py:1083-1090)
+and re-runs the full numpy transform every epoch. On TPU hosts the economics
+are different — the host is often a thin VM (1 vCPU here) and the
+host->device link, not the transform, bounds data-included throughput. Two
+layers attack both sides:
+
+  - ``CachedDataset`` — caches the TRANSFORMED 10-tuple per sample index
+    (in host RAM, or pickled per-sample files on disk), so h5 reads + the
+    numpy transform pipeline run exactly once. Valid only when the transform
+    is per-sample deterministic (``use_seed`` fname-seeded masks, no
+    unseeded SSDU/N2R randomness) — see ``transform_is_epoch_deterministic``.
+  - ``DeviceDatasetCache`` — keeps the stacked batch leaves RESIDENT IN HBM
+    across epochs and forms later epochs' batches by an on-device gather
+    (``resident[idx]``) from the epoch's shuffled index order. After the
+    first (populating) epoch, per-step host work and host->device traffic
+    drop to a handful of int32 indices. This is the MLPerf-style
+    device-resident dataset pattern, sized for datasets that fit in HBM
+    (a guard refuses beyond ``max_bytes`` and falls back transparently).
+
+Both layers are epoch-transparent: batch composition, shuffling order,
+values, and metadata are identical to the uncached loader (asserted by
+tests/test_dataset_cache.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import threading
+from pathlib import Path
+from typing import Dict, Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("mridc_tpu")
+
+__all__ = [
+    "CachedDataset",
+    "DeviceDatasetCache",
+    "transform_is_epoch_deterministic",
+    "loader_is_epoch_static",
+    "to_device_f32",
+]
+
+# batch leaves eligible for device residency (everything else is per-sample
+# host metadata: fname/slice_idx/acceleration/attrs/sample_indices)
+CACHEABLE_KEYS = (
+    "kspace",
+    "masked_kspace",
+    "sensitivity_maps",
+    "mask",
+    "target",
+    "initial_prediction",
+    "n2r_masked_kspace",
+    "n2r_mask",
+)
+
+
+def transform_is_epoch_deterministic(tfm) -> bool:
+    """True when ``tfm(sample)`` returns identical values every epoch.
+
+    The mask draw is fname-seeded under ``use_seed`` (reference
+    common/parts/transforms.py use_seed -> temp_seed), so it is the SSDU /
+    N2R unseeded RNGs and seedless masking that break epoch determinism."""
+    if tfm is None:
+        return True
+    if not getattr(tfm, "use_seed", False):
+        return False
+    if getattr(tfm, "n2r", False):
+        return False
+    if getattr(tfm, "ssdu", False):
+        sm = getattr(tfm, "ssdu_masking", None)
+        if sm is None or not getattr(sm, "export_and_reuse_masks", False):
+            return False
+    return True
+
+
+def loader_is_epoch_static(loader) -> bool:
+    """True when every batch leaf for a given sample index is identical
+    across epochs: deterministic transform AND an epoch-independent
+    acceleration selection (a single mask choice, or select 'first')."""
+    ds = getattr(loader, "dataset", None)
+    tfm = getattr(ds, "transform", None)
+    if not transform_is_epoch_deterministic(tfm):
+        return False
+    if getattr(loader, "select_acceleration", "random") != "first":
+        mf = getattr(getattr(tfm, "masking", None), "mask_func", None) if tfm is not None else None
+        if isinstance(mf, (list, tuple)) and len(mf) > 1:
+            return False
+        # externally-provided multi-mask lists (cc359 mask_root) also draw
+        # a per-epoch choice in the collate
+        if getattr(ds, "mask_root", None) is not None and str(
+            getattr(ds, "dataset_format", "") or ""
+        ).lower() == "cc359":
+            return False
+    return True
+
+
+class CachedDataset:
+    """Cache ``dataset[i]`` results so the h5 read + transform pipeline run
+    once per sample. ``mode='memory'`` keeps tuples in host RAM;
+    ``mode='disk'`` pickles one file per sample under ``cache_dir`` (survives
+    process restarts, pays one deserialize per access)."""
+
+    def __init__(self, dataset, mode: str = "memory", cache_dir=None):
+        mode = str(mode).lower()
+        if mode not in ("memory", "disk"):
+            raise ValueError(f"cache mode must be 'memory' or 'disk', got {mode!r}")
+        self.dataset = dataset
+        self.mode = mode
+        self._mem: Dict[int, tuple] = {}
+        self._lock = threading.Lock()
+        self.cache_dir: Optional[Path] = None
+        if mode == "disk":
+            self.cache_dir = Path(cache_dir or os.environ.get("MRIDC_DATASET_CACHE", "/tmp/mridc_cache"))
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def _path(self, i: int) -> Path:
+        assert self.cache_dir is not None
+        return self.cache_dir / f"sample_{int(i):07d}.pkl"
+
+    def __getitem__(self, i: int):
+        i = int(i)
+        if self.mode == "memory":
+            hit = self._mem.get(i)
+            if hit is not None:
+                return hit
+            sample = self.dataset[i]
+            with self._lock:
+                # set-once: concurrent worker threads may race the same index;
+                # keeping the first stored tuple makes repeat reads identical
+                return self._mem.setdefault(i, sample)
+        path = self._path(i)
+        if path.exists():
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        sample = self.dataset[i]
+        tmp = path.with_suffix(".tmp%d" % threading.get_ident())
+        with open(tmp, "wb") as f:
+            pickle.dump(sample, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)  # atomic: concurrent writers converge
+        return sample
+
+
+def to_device_f32(x):
+    """Transfer a numpy array to device in ITS OWN dtype (bf16 arrays cross
+    the wire at half width) and upcast to float32 on device, so consumers
+    compiled for f32 avals never recompile on transfer_dtype changes."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(x)
+    if a.dtype == jnp.float32:
+        return a
+    if a.dtype in (jnp.bfloat16, jnp.float16):
+        return jax.jit(lambda v: v.astype(jnp.float32))(a)
+    return a
+
+
+class DeviceDatasetCache:
+    """Keep batch leaves resident in HBM; gather later epochs on device.
+
+    Wraps a BatchLoader (possibly behind Prefetcher/DevicePrefetcher — their
+    ``__getattr__`` forwards the BatchLoader surface this needs:
+    ``epoch_order() / batch_size / drop_last / dataset / _collate``).
+
+    Epoch 1 iterates the wrapped loader normally, scatters each batch's
+    leaves into resident device arrays keyed by ``sample_indices``, and
+    yields the batch (heavy float leaves normalized to f32 device arrays).
+    Later epochs take the index order from ``epoch_order()``, chunk it, and
+    yield gathered batches — zero host pipeline work, ~zero wire bytes.
+
+    Leaves are stored in the dtype they arrive in (so
+    ``transfer_dtype=bfloat16`` halves HBM residency too) and gathered back
+    as float32, keeping jitted-step avals independent of the storage layout.
+
+    ``exclude`` drops leaves the consumer never puts on device (the recon
+    trainer does not use ``kspace``). ``max_bytes`` bounds HBM residency;
+    datasets over budget disable the cache and pass through transparently.
+    """
+
+    def __init__(
+        self,
+        loader: Iterable,
+        exclude: Sequence[str] = (),
+        max_bytes: Optional[float] = None,
+    ):
+        self.loader = loader
+        self.exclude = tuple(exclude)
+        self.max_bytes = float(
+            max_bytes if max_bytes is not None else os.environ.get("MRIDC_DEVICE_CACHE_BYTES", 8e9)
+        )
+        n = len(loader.dataset)
+        self._n = n
+        self._have = np.zeros(n, dtype=bool)
+        self._meta: list = [None] * n
+        self._resident: Dict[str, object] = {}
+        self._disabled = False
+        self._scatter = None
+        self._gather = None
+
+    def __getattr__(self, name):
+        return getattr(self.loader, name)
+
+    def __len__(self):
+        return len(self.loader)
+
+    # ------------------------------------------------------------- internals
+
+    def _jits(self):
+        if self._scatter is None:
+            import jax
+            import jax.numpy as jnp
+
+            self._scatter = jax.jit(
+                lambda r, i, v: r.at[i].set(v.astype(r.dtype)), donate_argnums=(0,)
+            )
+
+            def gather(r, i):
+                out = r[i]
+                if out.dtype in (jnp.bfloat16, jnp.float16):
+                    out = out.astype(jnp.float32)
+                return out
+
+            self._gather = jax.jit(gather)
+        return self._scatter, self._gather
+
+    def _alloc(self, batch: Dict) -> None:
+        """Allocate residents from the first batch's shapes; disable over budget."""
+        import jax.numpy as jnp
+
+        per_sample = 0
+        shapes = {}
+        for k in CACHEABLE_KEYS:
+            if k in self.exclude or k not in batch or batch[k] is None:
+                continue
+            a = batch[k]
+            shapes[k] = (tuple(a.shape[1:]), np.dtype(str(a.dtype)))
+            per_sample += int(np.prod(a.shape[1:])) * a.dtype.itemsize
+        total = per_sample * self._n
+        if total > self.max_bytes:
+            logger.warning(
+                "device dataset cache disabled: %d samples x %.1f MB = %.2f GB exceeds "
+                "max_bytes=%.2f GB (set MRIDC_DEVICE_CACHE_BYTES or device_cache_bytes to raise)",
+                self._n, per_sample / 1e6, total / 1e9, self.max_bytes / 1e9,
+            )
+            self._disabled = True
+            return
+        for k, (shape, dtype) in shapes.items():
+            self._resident[k] = jnp.zeros((self._n,) + shape, dtype=dtype)
+        logger.info(
+            "device dataset cache: %d samples resident in HBM (%.2f GB across %s)",
+            self._n, total / 1e9, sorted(self._resident),
+        )
+
+    def _absorb(self, batch: Dict) -> Dict:
+        """Scatter a host/prefetched batch into residents; return the batch
+        with heavy float leaves normalized to f32 device arrays."""
+        if self._disabled or "sample_indices" not in batch:
+            return batch
+        import jax.numpy as jnp
+
+        if not self._resident:
+            self._alloc(batch)
+            if self._disabled:
+                return batch
+        scatter, _ = self._jits()
+        idx = jnp.asarray(np.asarray(batch["sample_indices"], np.int32))
+        out = dict(batch)
+        for k in self._resident:
+            v = jnp.asarray(batch[k])
+            self._resident[k] = scatter(self._resident[k], idx, v)
+            if v.dtype in (jnp.bfloat16, jnp.float16):
+                v = to_device_f32(batch[k])
+            out[k] = v
+        ids = np.asarray(batch["sample_indices"])
+        for j, i in enumerate(ids):
+            self._meta[int(i)] = (
+                batch["fname"][j],
+                int(batch["slice_idx"][j]),
+                float(batch["acceleration"][j]),
+                batch["attrs"][j] if batch.get("attrs") else {},
+            )
+        self._have[ids] = True
+        return out
+
+    def _fetch_missing(self, ids: np.ndarray) -> None:
+        """Synchronously load + collate samples the populating epoch never
+        produced (drop_last can leave a remainder) and absorb them."""
+        missing = [int(i) for i in ids if not self._have[int(i)]]
+        if not missing:
+            return
+        ds = self.loader.dataset
+        samples = [ds[i] for i in missing]
+        mini = self.loader._collate(samples, missing)
+        self._absorb(mini)
+
+    def _gathered(self, ids: np.ndarray) -> Dict:
+        import jax.numpy as jnp
+
+        self._fetch_missing(ids)
+        _, gather = self._jits()
+        idx = jnp.asarray(np.asarray(ids, np.int32))
+        out: Dict = {k: gather(r, idx) for k, r in self._resident.items()}
+        metas = [self._meta[int(i)] for i in ids]
+        out["fname"] = [m[0] for m in metas]
+        out["slice_idx"] = np.asarray([m[1] for m in metas], np.int32)
+        out["acceleration"] = np.asarray([m[2] for m in metas], np.float32)
+        out["attrs"] = [m[3] for m in metas]
+        out["sample_indices"] = np.asarray(ids, np.int32)
+        return out
+
+    # ------------------------------------------------------------------ iter
+
+    def __iter__(self):
+        if self._disabled or not self._have.all() or not self._resident:
+            # populating epoch: run the wrapped pipeline, absorb as we go
+            for batch in self.loader:
+                yield self._absorb(batch)
+            return
+        order = self.loader.epoch_order()
+        bs = int(self.loader.batch_size)
+        n_full = len(order) // bs
+        for b in range(n_full):
+            yield self._gathered(order[b * bs : (b + 1) * bs])
+        rem = order[n_full * bs :]
+        if len(rem) and not self.loader.drop_last:
+            yield self._gathered(rem)

@@ -95,6 +95,47 @@ def build_transforms(ds_cfg: Dict, model_cfg: Optional[Dict] = None) -> MRIDataT
     return MRIDataTransforms(**transform_kwargs(ds_cfg, model_cfg))
 
 
+def maybe_cache_dataset(dataset, ds_cfg: Dict):
+    """Wrap ``dataset`` in a host-side transformed-sample cache when the
+    config asks for one (``cache_dataset: memory|disk``) and the transform is
+    per-sample deterministic (otherwise warn and skip — caching would freeze
+    per-epoch randomness)."""
+    mode = str(ds_cfg.get("cache_dataset", "none") or "none").lower()
+    if mode in ("none", "false", "0"):
+        return dataset
+    from mridc_tpu.data.cache import CachedDataset, transform_is_epoch_deterministic
+
+    if not transform_is_epoch_deterministic(getattr(dataset, "transform", None)):
+        import logging
+
+        logging.getLogger("mridc_tpu").warning(
+            "cache_dataset=%s ignored: the transform is not epoch-deterministic "
+            "(use_seed off, or unseeded SSDU/N2R randomness)", mode
+        )
+        return dataset
+    return CachedDataset(dataset, mode=mode, cache_dir=ds_cfg.get("cache_dir"))
+
+
+def maybe_device_cache(loader, ds_cfg: Dict, exclude=()):
+    """Wrap ``loader`` in the HBM-resident dataset cache when configured
+    (``device_cache_dataset: true``) and batches are epoch-static."""
+    if not ds_cfg.get("device_cache_dataset", False):
+        return loader
+    from mridc_tpu.data.cache import DeviceDatasetCache, loader_is_epoch_static
+
+    if not loader_is_epoch_static(loader):
+        import logging
+
+        logging.getLogger("mridc_tpu").warning(
+            "device_cache_dataset ignored: batches are not epoch-static "
+            "(non-deterministic transform or per-epoch acceleration selection)"
+        )
+        return loader
+    return DeviceDatasetCache(
+        loader, exclude=exclude, max_bytes=ds_cfg.get("device_cache_bytes")
+    )
+
+
 def build_dataloader(ds_cfg: Dict, model_cfg: Optional[Dict] = None, shuffle: Optional[bool] = None) -> BatchLoader:
     tfm = build_transforms(ds_cfg, model_cfg)
     dataset = ReconstructionMRIDataset(
@@ -110,6 +151,7 @@ def build_dataloader(ds_cfg: Dict, model_cfg: Optional[Dict] = None, shuffle: Op
         n2r_supervised_rate=ds_cfg.get("n2r_supervised_rate", 0.0) if ds_cfg.get("n2r", False) else 0.0,
         transform=tfm,
     )
+    dataset = maybe_cache_dataset(dataset, ds_cfg)
     pad_shape = ds_cfg.get("pad_shape")
     loader = BatchLoader(
         dataset,
@@ -121,7 +163,12 @@ def build_dataloader(ds_cfg: Dict, model_cfg: Optional[Dict] = None, shuffle: Op
         num_workers=int(ds_cfg.get("num_workers", 0) or 0),
         transfer_dtype=ds_cfg.get("transfer_dtype"),
     )
-    return maybe_prefetch(loader, ds_cfg)
+    # the recon Trainer never consumes batch['kspace'] on device (trainer.py
+    # uses masked_kspace/sens/mask/target/init_pred only) — shipping it
+    # through device_prefetch (or keeping it HBM-resident) would double
+    # transferred/resident bytes for nothing (round-4 advisor finding)
+    loader = maybe_prefetch(loader, ds_cfg, device_keys=RECON_DEVICE_PREFETCH_KEYS)
+    return maybe_device_cache(loader, ds_cfg, exclude=("kspace",))
 
 
 def async_loader(make, ds_cfg: Dict):
@@ -132,7 +179,19 @@ def async_loader(make, ds_cfg: Dict):
     return maybe_prefetch(loader, ds_cfg)
 
 
-def maybe_prefetch(loader, ds_cfg: Dict):
+# device-prefetch key set for the reconstruction task: everything the recon
+# Trainer actually puts on device ('kspace' deliberately excluded, see
+# build_dataloader)
+RECON_DEVICE_PREFETCH_KEYS = (
+    "masked_kspace",
+    "sensitivity_maps",
+    "target",
+    "initial_prediction",
+    "n2r_masked_kspace",
+)
+
+
+def maybe_prefetch(loader, ds_cfg: Dict, device_keys=None):
     """Wrap ``loader`` in the async stages the config asks for.
 
     ``prefetch_batches`` (host-side batch building ahead of the step) is the
@@ -141,7 +200,9 @@ def maybe_prefetch(loader, ds_cfg: Dict):
     loading, so they get the default depth too. ``device_prefetch: true``
     additionally ships the heavy array leaves to the device ahead of the
     step (flax prefetch_to_device analogue — overlaps the host->device
-    transfer with device compute).
+    transfer with device compute). ``device_prefetch_keys`` in the ds config
+    overrides which leaves are shipped (per-task trainers consume different
+    subsets; shipping unused leaves wastes transfer-bound links).
     """
     depth = ds_cfg.get("prefetch_batches")
     if depth is None:
@@ -152,7 +213,10 @@ def maybe_prefetch(loader, ds_cfg: Dict):
 
         loader = Prefetcher(loader, depth=depth)
     if ds_cfg.get("device_prefetch", False):
-        from mridc_tpu.data.prefetch import DevicePrefetcher
+        from mridc_tpu.data.prefetch import DEVICE_PREFETCH_KEYS, DevicePrefetcher
 
-        loader = DevicePrefetcher(loader, depth=max(depth, 1) if depth else 2)
+        keys = ds_cfg.get("device_prefetch_keys", device_keys)
+        if keys is None:
+            keys = DEVICE_PREFETCH_KEYS
+        loader = DevicePrefetcher(loader, depth=max(depth, 1) if depth else 2, keys=tuple(keys))
     return loader

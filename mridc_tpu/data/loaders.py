@@ -386,7 +386,11 @@ class BatchLoader:
             prediction = prediction[min(r, len(prediction) - 1)]
         return masked_kspace, mask, acc, prediction, r, n2r_pair
 
-    def __iter__(self):
+    def epoch_order(self) -> np.ndarray:
+        """This epoch's sample-index order (shuffle + multi-host shard), and
+        advance the epoch counter. One epoch's order per call — __iter__ calls
+        it once per iteration; DeviceDatasetCache calls it instead of
+        iterating when every sample is already device-resident."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
             # identical (seed, epoch) across processes -> identical permutation
@@ -400,6 +404,10 @@ class BatchLoader:
             from mridc_tpu.parallel.multihost import shard_indices
 
             order = order[shard_indices(len(order), self.process_index, self.process_count)]
+        return order
+
+    def __iter__(self):
+        order = self.epoch_order()
         if self.num_workers > 0:
             from mridc_tpu.data.prefetch import OrderedWorkerMap
 
@@ -492,6 +500,10 @@ class BatchLoader:
             "acceleration": np.asarray(accs, np.float32),
             "attrs": attrs,
         }
+        if indices is not None:
+            # dataset indices of this batch's samples — lets cache layers
+            # (data/cache.py) key device-resident storage by sample
+            out_batch["sample_indices"] = np.asarray(indices, np.int32)
         if all(np.asarray(p).size for p in preds):
             out_batch["initial_prediction"] = np.stack(
                 [rv(_pad_to(np.asarray(p), spatial)) for p in preds], 0

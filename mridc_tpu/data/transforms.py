@@ -822,6 +822,13 @@ class MRIDataTransforms:
         self.kspace_crop = kspace_crop
         self.crop_before_masking = crop_before_masking
         self.shift_mask = shift_mask
+        # per-THREAD ZF-image cache: one MRIDataTransforms instance is shared
+        # by OrderedWorkerMap worker threads (loaders.py num_workers>0); an
+        # instance-level list would race resets/appends across threads and
+        # silently miss under exactly the threaded config the bench uses
+        import threading
+
+        self._tls = threading.local()
 
         common = dict(
             fft_centered=fft_centered, fft_normalization=fft_normalization, spatial_dims=spatial_dims
@@ -912,7 +919,7 @@ class MRIDataTransforms:
         is FFT-bound; this halves the per-slice host FFT count). Identity
         matching is self-invalidating — every transform stage replaces arrays
         rather than mutating them, so a stale entry simply never matches."""
-        for ref, img in getattr(self, "_zf_cache", ()):
+        for ref, img in getattr(self._tls, "zf_cache", ()):
             if kspace is ref:
                 return img
         img = _np_ifft2(kspace, self.fft_centered, self.fft_normalization, self.spatial_dims)
@@ -921,9 +928,9 @@ class MRIDataTransforms:
     def _normalize_kspace(self, data):
         """Backward-normalize k-space, caching the ZF coil image it computes."""
         out, vars_, img = self.normalization.backward_with_image(data)
-        cache = getattr(self, "_zf_cache", None)
+        cache = getattr(self._tls, "zf_cache", None)
         if cache is None:
-            cache = self._zf_cache = []
+            cache = self._tls.zf_cache = []
         if isinstance(out, list):
             for o, im in zip(out, img):
                 if im is not None:
@@ -977,7 +984,7 @@ class MRIDataTransforms:
         slice_idx: int,
     ):
         attrs = dict(attrs or {})
-        self._zf_cache = []
+        self._tls.zf_cache = []
         kspace, masked_kspace, mask, kvars, acc = self._process_kspace(kspace, mask, attrs, fname)
         sensitivity_map, svars = self._process_sens(sensitivity_map, kspace)
 

@@ -93,7 +93,8 @@ def _register_defaults():
 # history, docs/performance.md knob table).
 _TPU_KNOB_SUPPORT = {
     "scan_iterations": {"XPDNET", "KIKINET", "LPDNET", "LPD"},
-    "dc_mode": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
+    "dc_mode": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM", "VN", "E2EVN", "VARNET"},
+    "dc_dtype": {"VN", "E2EVN", "VARNET"},
     "remat_mode": {"CIRIM", "RIM"},
     "remat_save_dc": {"CIRIM", "RIM"},
     "lane_fold": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},

@@ -284,8 +284,8 @@ def test_mask_generators_match_reference(ref):
     gaussian2d is bit-identical when the global np.random state is aligned
     (the reference draws gaussian/poisson samples from the GLOBAL RNG,
     subsample.py Gaussian*.gaussian_coordinates — ours uses the seeded
-    instance RNG with the same call sequence); poisson2d matches in
-    sampling density."""
+    instance RNG with the same call sequence). Poisson2D bit-parity is
+    covered in test_gaussian2d_poisson2d_bitwise below vs the v2 module."""
     sub = reference_loader.load("mridc.collections.reconstruction.data.subsample")
     from mridc_tpu.data.subsample import create_masker
 
@@ -303,12 +303,47 @@ def test_mask_generators_match_reference(ref):
     om = np.asarray(create_masker("gaussian2d", [0.7], [4])(np.array(shape), 7)[0])
     assert np.array_equal(rm.squeeze().astype(bool), om.squeeze().astype(bool))
 
-    fr, fo = [], []
-    for s in range(6):
-        np.random.seed(s)
-        fr.append(float(np.asarray(sub.create_mask_for_mask_type("poisson2d", [0.08], [4])(list(shape), seed=s)[0]).mean()))
-        fo.append(float(np.asarray(create_masker("poisson2d", [0.08], [4])(np.array(shape), s)[0]).mean()))
-    assert abs(np.mean(fr) - np.mean(fo)) / np.mean(fr) < 0.1
+
+@pytest.mark.parametrize(
+    "shape,acc,cf,hsp",
+    [((1, 64, 64, 2), 4, 0.7, 0.0), ((1, 64, 48, 2), 8, 0.7, 0.0), ((1, 96, 64, 2), 4, 1.4, 0.1)],
+)
+def test_gaussian2d_poisson2d_bitwise(ref, shape, acc, cf, hsp):
+    """Gaussian2D AND Poisson2D bit-identical vs the reference's v2 module
+    (common/data/subsample.py:493 Gaussian2D, :621 Poisson2D) under aligned
+    RNG streams. The reference draws its 2D samples from the GLOBAL
+    ``np.random`` with no temp_seed (its numba-jitted poisson body is run
+    as pure Python here — reference_loader stubs ``nb.jit`` — which makes
+    the draw sequence observable); ours draws the identical sequence from
+    the fname-seeded instance RNG under ``temp_seed``, a strict
+    reproducibility improvement with bitwise-equal output."""
+    sub = reference_loader.load("mridc.collections.common.data.subsample")
+    from mridc_tpu.data.subsample import create_masker
+
+    for seed in (3, 99):
+        np.random.seed(seed)
+        rm, racc = sub.create_masker("gaussian2d", [cf], [acc])(
+            list(shape), seed=seed, half_scan_percentage=hsp
+        )
+        om, oacc = create_masker("gaussian2d", [cf], [acc])(
+            np.array(shape), seed, half_scan_percentage=hsp
+        )
+        assert np.array_equal(
+            np.asarray(rm).squeeze().astype(bool), np.asarray(om).squeeze().astype(bool)
+        ), ("gaussian2d", seed)
+        assert float(racc) == float(oacc)
+
+        np.random.seed(seed)
+        rm, racc = sub.create_masker("poisson2d", [0.08], [acc])(
+            list(shape), seed=seed, half_scan_percentage=hsp
+        )
+        om, oacc = create_masker("poisson2d", [0.08], [acc])(
+            np.array(shape), seed, half_scan_percentage=hsp
+        )
+        assert np.array_equal(
+            np.asarray(rm).squeeze().astype(bool), np.asarray(om).squeeze().astype(bool)
+        ), ("poisson2d", seed)
+        assert float(racc) == float(oacc)
 
 
 def test_gaussian1d_reference_degeneracy_not_replicated(ref):
