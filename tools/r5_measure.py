@@ -80,6 +80,26 @@ def _vn_psf1d_sweep3():
     vn("f32 psf1d", 96, {"compute_dtype": None, "dc_mode": "psf1d"})
 
 
+@register("train_e2e")
+def _train_e2e():
+    """Device-only train step vs data-included e2e with the HBM dataset
+    cache — the VERDICT r5 #1 gap (bar: train_e2e_vs_device >= 0.5)."""
+    t0 = time.time()
+    dev_sps, _ = bench.bench_jax_train()
+    emit({"set": "train", "tag": "device-only b24", "slices_per_s": round(dev_sps, 2),
+          "wall_s": round(time.time() - t0)})
+    t0 = time.time()
+    e2e_sps, n = bench.bench_train_e2e()
+    emit({"set": "train", "tag": "e2e devcache b24", "slices_per_s": round(e2e_sps, 2),
+          "n": n, "vs_device": round(e2e_sps / dev_sps, 3), "wall_s": round(time.time() - t0)})
+    os.environ["BENCH_E2E_DEVICE_CACHE"] = "0"
+    t0 = time.time()
+    e2e0_sps, n = bench.bench_train_e2e()
+    emit({"set": "train", "tag": "e2e nocache b24", "slices_per_s": round(e2e0_sps, 2),
+          "n": n, "vs_device": round(e2e0_sps / dev_sps, 3), "wall_s": round(time.time() - t0)})
+    os.environ.pop("BENCH_E2E_DEVICE_CACHE", None)
+
+
 if __name__ == "__main__":
     for name in sys.argv[1:]:
         SETS[name]()
