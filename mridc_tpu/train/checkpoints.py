@@ -56,12 +56,49 @@ def load_archive(path) -> Tuple[Dict, bytes]:
     return cfg, weights
 
 
+def _is_reference_torch_archive(path) -> bool:
+    """True for a reference-format ``.mridc`` tar: ``model_config.yaml`` +
+    ``model_weights.ckpt`` (torch pickle) instead of our msgpack weights
+    (reference mridc/core/connectors/save_restore_connector.py:32-56)."""
+    try:
+        with tarfile.open(path, "r:*") as tar:
+            names = [n.lstrip("./") for n in tar.getnames()]
+    except tarfile.ReadError:
+        return False
+    return any(n.endswith("model_weights.ckpt") for n in names)
+
+
+def _restore_reference_archive(path, override_config: Optional[Dict] = None):
+    """Restore a reference (PyTorch) ``.mridc`` archive: read its
+    model_config.yaml, rebuild the model from our registry (the config keys
+    are compatible by design), and convert the torch state dict into our flax
+    param tree (utils/torch_import.py). This is the cross-framework
+    ``from_pretrained`` path — a user's trained reference checkpoint loads
+    directly (reference mridc/core/classes/common.py:634)."""
+    from mridc_tpu.models import build_model
+    from mridc_tpu.utils.torch_import import import_reference_model_params, load_torch_state_dict
+
+    with tarfile.open(path, "r:*") as tar:
+        member = next(m for m in tar.getmembers() if m.name.lstrip("./").endswith(_CONFIG_NAME))
+        cfg = yaml.safe_load(tar.extractfile(member).read())
+    if isinstance(cfg, dict) and "model" in cfg and "model_name" not in cfg:
+        cfg = dict(cfg["model"])  # archives saved with the full cfg tree
+    if override_config:
+        cfg = {**cfg, **override_config}
+    model = build_model(cfg)
+    params = import_reference_model_params(cfg, load_torch_state_dict(path))
+    return model, {"params": params}, cfg
+
+
 def restore_model_variables(path, override_config: Optional[Dict] = None):
     """Rebuild ``(model, variables, cfg)`` from an archive, where variables is
     ``{"params": ...}`` plus ``"batch_stats"`` for live-BN archives
-    (train_batch_stats models save both collections)."""
+    (train_batch_stats models save both collections). Reference torch
+    archives (``model_weights.ckpt``) are converted on the fly."""
     from mridc_tpu.models import build_model
 
+    if _is_reference_torch_archive(path):
+        return _restore_reference_archive(path, override_config)
     cfg, weights = load_archive(path)
     if override_config:
         cfg = {**cfg, **override_config}

@@ -18,7 +18,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params", "import_residual_network_params", "import_rim_block_params", "import_unet_params", "import_idslr_encoder_params", "import_idslr_decoder_params", "import_conv_nonlinear_params", "iodhw_to_dhwio_flipped", "import_unet3d_params"]
+__all__ = ["load_torch_state_dict", "oihw_to_hwio", "iohw_to_hwio_flipped", "import_cirim_params", "import_normunet_params", "import_varnet_params", "import_ccnn_params", "import_crnn_params", "import_didn_params", "import_convlstm_cell_params", "import_convlstm_unet_params", "import_attention_gate_params", "import_attention_unet_params", "oidhw_to_dhwio", "import_torch_batchnorm_params", "import_lambda_layer_params", "import_lambda_block_params", "import_lambda_unet_params", "import_vnet_params", "import_unet_basic_block_params", "import_unet_up_block_params", "import_dynunet_params", "import_vit_params", "import_unetr_params", "import_sensitivity_model_params", "import_residual_network_params", "import_rim_block_params", "import_unet_params", "import_idslr_encoder_params", "import_idslr_decoder_params", "import_conv_nonlinear_params", "iodhw_to_dhwio_flipped", "import_unet3d_params", "import_reference_model_params"]
 
 
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
@@ -765,3 +765,48 @@ def import_unet3d_params(state: Dict[str, np.ndarray], num_pools: int, prefix: s
         "bias": state[prefix + f"up_conv.{num_pools - 1}.1.bias"],
     }
     return tree
+
+
+def import_reference_model_params(cfg: Dict, state: Dict[str, np.ndarray]) -> Dict:
+    """Full-model converter: reference torch state dict -> our flax param tree,
+    dispatched on ``cfg['model_name']``. This is the weight half of restoring a
+    reference ``.mridc`` archive end-to-end (reference
+    mridc/core/connectors/save_restore_connector.py:157 ``load_state_dict`` —
+    here the state dict is converted instead of loaded in place).
+
+    Supports the flagship reconstruction models (CIRIM, VN/E2EVN, CCNN) plus
+    the shared ``use_sens_net`` wrapper (reference reconstruction/nn/base.py:406
+    ``self.sens_net``); extend per model as archives show up.
+    """
+    name = str(cfg.get("model_name", "")).upper()
+    body = {k: v for k, v in state.items() if not k.startswith("sens_net.")}
+    if name == "CIRIM":
+        inner_cls, inner = "CIRIM", import_cirim_params(body, num_cascades=int(cfg.get("num_cascades", 1)))
+    elif name in ("VN", "E2EVN", "VARNET"):
+        inner_cls, inner = "VarNet", import_varnet_params(
+            body,
+            num_cascades=int(cfg.get("num_cascades", 8)),
+            chans=int(cfg.get("channels", 18)),
+            num_pools=int(cfg.get("pooling_layers", 4)),
+        )
+    elif name in ("CCNN", "CASCADENET"):
+        inner_cls, inner = "CascadeNet", import_ccnn_params(
+            body,
+            num_cascades=int(cfg.get("num_cascades", 10)),
+            n_convs=int(cfg.get("n_convs", 5)),
+        )
+    else:
+        raise NotImplementedError(
+            f"no reference-archive weight converter for model {name!r} yet "
+            "(supported: CIRIM, VN/E2EVN/VarNet, CCNN/CascadeNet); use the "
+            "per-block importers in mridc_tpu.utils.torch_import directly"
+        )
+    if not cfg.get("use_sens_net", False):
+        return inner
+    sens = import_sensitivity_model_params(
+        state,
+        chans=int(cfg.get("sens_chans", 8)),
+        num_pools=int(cfg.get("sens_pools", 4)),
+        prefix="sens_net.",
+    )
+    return {"SensitivityModel_0": sens, f"{inner_cls}_0": inner}
