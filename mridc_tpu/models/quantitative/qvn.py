@@ -75,6 +75,21 @@ class qVarNet(BaseReconModel):
             raise ValueError(
                 f"quantitative_module_map_threading must be 'complex' or 'real', got {threading!r}"
             )
+        dtype = cfg.get("compute_dtype")
+        if dtype and "bf" in str(dtype).lower() and not cfg.get("quantitative_module_allow_bf16", False):
+            # Certification attempted and FAILED (tools/dtype_cert.py qvn,
+            # 2026-08-19): at the 150/150/600/150 gamma defaults the complex-map
+            # threading amplifies regularizer rounding through the MEGRE
+            # exponentials (the complex-B0 cosh overflows within a few
+            # cascades once perturbed), so bf16 outputs cannot be certified
+            # against f32. docs/performance.md knob table has the details.
+            raise ValueError(
+                "compute_dtype=bfloat16 is NOT certified for qVarNet: the "
+                "150-600x gamma_regularization_factors amplify bf16 rounding "
+                "through the MEGRE exponentials (measured: tools/dtype_cert.py). "
+                "Use f32 (drop compute_dtype), or accept uncertified outputs "
+                "explicitly with quantitative_module_allow_bf16: true"
+            )
         return cls(
             compute_dtype=cfg.get("compute_dtype"),
             use_reconstruction_module=bool(cfg.get("use_reconstruction_module", False)),

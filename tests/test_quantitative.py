@@ -363,7 +363,9 @@ def test_quantitative_bf16_opt_in(cfg):
     tol = 0.3 if cfg.get("use_reconstruction_module") else 0.1
     y, sens, mask, maps_init, tes = _q_inputs()
     exact = build_model(cfg)
-    fast = build_model({**cfg, "compute_dtype": "bfloat16"})
+    # qVN refuses bf16 without the explicit uncertified opt-out (r5 #8);
+    # this test exercises knob THREADING at gamma=1, not the quality claim
+    fast = build_model({**cfg, "compute_dtype": "bfloat16", "quantitative_module_allow_bf16": True})
     v = exact.init(jax.random.PRNGKey(0), y, sens, mask, maps_init, tes)
     v_fast = fast.init(jax.random.PRNGKey(0), y, sens, mask, maps_init, tes)
     assert jax.tree_util.tree_structure(v_fast["params"]) == jax.tree_util.tree_structure(v["params"])
