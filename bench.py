@@ -292,11 +292,16 @@ def bench_jax_train() -> tuple:
 VN_CASCADES, VN_CHANS, VN_POOLS = 8, 18, 4  # reference base_vn_train.yaml:7-9
 
 
-def e2evn_flops_per_slice() -> float:
+def e2evn_flops_per_slice(dc_mode: str = "psf1d") -> float:
     """Analytic FLOPs for one slice of the E2EVN/VarNet forward (8 cascades,
-    NormUnet 18ch/4pools — reference defaults). DC FFTs are credited as the
-    DFT-matmul path that actually executes on this backend (ops/fft.py MXU-DFT:
-    6*H*W*(H+W) per coil per direction)."""
+    NormUnet 18ch/4pools — reference defaults).
+
+    ``dc_mode="psf1d"`` credits the DC as what actually EXECUTES on the bench
+    path (nn/dc.py PSF-1D: 3 Gauss [W, W] matmuls on the coil tensor — same
+    executed-flops convention as cirim_flops_per_slice). ``dc_mode="full"``
+    credits the canonical algorithm's forward+inverse 2D DFT-matmul pair
+    (what the reference model's math requires on this backend) — the
+    model-flops number for the exact-speedup view."""
     hw = H * W
 
     def cb(hw_i, cin, cout):  # ConvBlock: 3x3 (cin->cout) + 3x3 (cout->cout)
@@ -312,19 +317,18 @@ def e2evn_flops_per_slice() -> float:
     unet += tcb(hw // 16, 8 * c, 4 * c) + cb(hw // 16, 8 * c, 4 * c)
     unet += tcb(hw // 4, 4 * c, 2 * c) + cb(hw // 4, 4 * c, 2 * c)
     unet += tcb(hw, 2 * c, c) + cb(hw, 2 * c, c) + 2 * hw * c * 2  # + final 1x1
-    dc = 2 * COILS * 6 * hw * (H + W)  # fft2 + ifft2 as DFT matmuls
+    if dc_mode == "psf1d":
+        dc = COILS * 6 * hw * W  # 3 Gauss [W, W] real matmuls per coil
+    else:
+        dc = 2 * COILS * 6 * hw * (H + W)  # fft2 + ifft2 as DFT matmuls
     cmuls = (6 + 8) * COILS * hw  # sens_expand + sens_reduce complex muls
     return float(VN_CASCADES * (unet + dc + cmuls))
 
 
-def make_e2evn_forward(batch, overrides=None):
-    """Jitted E2EVN/VarNet inference forward (scalar readback form), reference
-    default arch + the measured bf16 win (+47% on v5e, docs/performance.md)."""
-    import jax
-    import jax.numpy as jnp
-
-    from mridc_tpu.models import build_model
-
+def e2evn_cfg(**overrides):
+    """The E2EVN bench config: reference default arch + the CERTIFIED fast
+    path (bf16 compute + psf1d DC + bf16 DC chain — trained-weight A/B at
+    320x320/15 coils: SSIM vs f32 0.999949, tools/dtype_cert.py, r5)."""
     cfg = {
         "model_name": "VN",
         "num_cascades": VN_CASCADES,
@@ -333,9 +337,21 @@ def make_e2evn_forward(batch, overrides=None):
         "fft_centered": True,
         "fft_normalization": "ortho",
         "compute_dtype": "bfloat16",
+        "dc_mode": "psf1d",
+        "dc_dtype": "bfloat16",
     }
-    cfg.update(overrides or {})
-    model = build_model(cfg)
+    cfg.update(overrides)
+    return cfg
+
+
+def make_e2evn_forward(batch, overrides=None):
+    """Jitted E2EVN/VarNet inference forward (scalar readback form)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mridc_tpu.models import build_model
+
+    model = build_model(e2evn_cfg(**(overrides or {})))
     y, sens, mask = (jnp.asarray(x) for x in _data(batch))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), y, sens, mask)
 
@@ -348,19 +364,24 @@ def make_e2evn_forward(batch, overrides=None):
 
 
 def bench_e2evn() -> tuple:
-    """E2EVN slices/s + model TFLOP/s (BASELINE driver metric names
-    'CIRIM/E2EVN' — this covers the second half)."""
-    batch = int(os.environ.get("BENCH_VN_BATCH", 32))  # 73.9 slices/s at b32 (r3)
+    """E2EVN slices/s + (executed TFLOP/s, model TFLOP/s) — BASELINE driver
+    metric names 'CIRIM/E2EVN'; this covers the second half. Executed flops
+    credit the PSF-1D DC that actually runs (CIRIM convention); model flops
+    credit the canonical full-DC algorithm the psf1d identity replaces."""
+    batch = int(os.environ.get("BENCH_VN_BATCH", 96))  # 216 slices/s (r5)
     forward, fargs = make_e2evn_forward(batch)
     dt = time_scalar_fn(forward, fargs, WARMUP, ITERS)
     sps = (ITERS * batch) / dt
-    return sps, e2evn_flops_per_slice() * sps / 1e12
+    return sps, e2evn_flops_per_slice("psf1d") * sps / 1e12, e2evn_flops_per_slice("full") * sps / 1e12
 
 
 def e2evn_quality() -> float:
-    """SSIM of the bf16 E2EVN against the f32 build with the SAME weights
-    (random init — the training-A/B caveat in docs/performance.md applies;
-    this reports the weight-independent bound)."""
+    """SSIM of the certified-fast E2EVN (bf16 + psf1d + bf16 DC) against the
+    exact f32 full-DC build with the SAME weights at RANDOM init — the
+    weight-independent lower bound. Through 8 unrolled non-contractive
+    random cascades bf16 rounding compounds unrealistically, so this bound is
+    pessimistic; the production claim is the TRAINED-weight certificate
+    (bench emits it as e2evn_trained_cert_ssim; tools/dtype_cert.py vn)."""
     import jax
     import jax.numpy as jnp
 
@@ -371,7 +392,7 @@ def e2evn_quality() -> float:
         "model_name": "VN", "num_cascades": VN_CASCADES, "channels": VN_CHANS,
         "pooling_layers": VN_POOLS, "fft_centered": True, "fft_normalization": "ortho",
     }
-    fast_m = build_model({**base, "compute_dtype": "bfloat16"})
+    fast_m = build_model(e2evn_cfg())
     exact_m = build_model(base)
     y, sens, mask = (jnp.asarray(x) for x in _data(2))
     variables = jax.jit(exact_m.init)(jax.random.PRNGKey(0), y, sens, mask)
@@ -383,6 +404,27 @@ def e2evn_quality() -> float:
         return m / (m.max() or 1.0)
 
     return float(ssim(mag(p_ref), mag(p_fast)))
+
+
+def e2evn_trained_cert() -> float:
+    """Trained-weight bf16+psf1d+dc16 certificate: train VN briefly on the
+    synthetic recon task, A/B vs exact f32 at production size with the SAME
+    trained weights, return SSIM (tools/dtype_cert.py cert_vn, r5 measured
+    0.999949 at 300 steps)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "dtype_cert", pathlib.Path(__file__).parent / "tools" / "dtype_cert.py"
+    )
+    dc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dc)
+    steps = int(os.environ.get("BENCH_VN_CERT_STEPS", 150))
+    recs = dc.cert_vn(steps, eval_batch=2)
+    for r in recs:
+        if r.get("tag") == "bf16+dc16":
+            return float(r["ssim_vs_f32"])
+    return None
 
 
 def bench_train_e2e() -> tuple:
@@ -569,7 +611,8 @@ def main():
     except Exception:
         cpu_sps = None
     # optional sections, budget-gated in priority order
-    quality_ssim = vn_sps = vn_tflops = vn_ssim = e2e_sps = None
+    quality_ssim = vn_sps = vn_tflops = vn_model_tflops = vn_ssim = e2e_sps = None
+    vn_cert = None
     try:
         if have_time():
             quality_ssim = bench_quality()
@@ -577,12 +620,17 @@ def main():
         pass
     try:
         if have_time():
-            vn_sps, vn_tflops = bench_e2evn()
+            vn_sps, vn_tflops, vn_model_tflops = bench_e2evn()
     except Exception:
         pass
     try:
         if have_time():
             e2e_sps, _ = bench_train_e2e()
+    except Exception:
+        pass
+    try:
+        if have_time():
+            vn_cert = e2evn_trained_cert()
     except Exception:
         pass
     try:
@@ -606,9 +654,18 @@ def main():
                 # fast path (bf16 + psf1d + lane folding) vs f32 full-DC path,
                 # same weights — certifies speed is not bought with accuracy
                 "quality_ssim_vs_f32": round(quality_ssim, 6) if quality_ssim is not None else None,
-                # E2EVN (second half of the BASELINE driver metric "CIRIM/E2EVN")
+                # E2EVN (second half of the BASELINE driver metric "CIRIM/E2EVN"):
+                # certified fast path (bf16 + psf1d + bf16 DC chain).
+                # e2evn_mfu credits executed flops (CIRIM convention);
+                # e2evn_mfu_model credits the canonical full-DC algorithm the
+                # exact psf1d identity replaces (model-flops view).
                 "e2evn_slices_per_s": round(vn_sps, 3) if vn_sps else None,
                 "e2evn_mfu": round(vn_tflops / peak_tflops, 3) if vn_tflops else None,
+                "e2evn_mfu_model": round(vn_model_tflops / peak_tflops, 3) if vn_model_tflops else None,
+                # TRAINED-weight bf16+dc16 vs f32 certificate at 320x320/15c
+                # (tools/dtype_cert.py; 0.999949 at 300 steps, r5)
+                "e2evn_trained_cert_ssim": round(vn_cert, 6) if vn_cert is not None else None,
+                # weight-independent random-init lower bound (pessimistic)
                 "e2evn_ssim_vs_f32": round(vn_ssim, 6) if vn_ssim is not None else None,
                 # data-INCLUDED training throughput (h5 + transforms + prefetch)
                 "train_e2e_slices_per_s": round(e2e_sps, 3) if e2e_sps else None,

@@ -83,6 +83,9 @@ def _vn_batch(rng, b, c, h, w, mask):
 
 
 def cert_vn(steps: int, eval_batch: int):
+    """Returns the list of emitted records (bench.py consumes the
+    bf16+dc16 ssim_vs_f32 as e2evn_trained_cert_ssim)."""
+    records = []
     import jax
     import jax.numpy as jnp
     import optax
@@ -149,14 +152,17 @@ def cert_vn(steps: int, eval_batch: int):
         ("full-f32", {"dc_mode": "full"}),
     ):
         got = fwd(extra)
-        emit({
+        rec = {
             "set": "cert_vn", "tag": tag,
             "ssim_vs_f32": round(float(ssim(mag(ref), mag(got))), 6),
             "ssim_vs_target": round(float(ssim(tgt_m, mag(got))), 6),
             "ssim_f32_vs_target": round(s_ref, 6),
             "nmse_vs_f32": round(float(((got - ref) ** 2).sum() / (ref**2).sum()), 8),
             "eval_hw": [hp, wp], "coils": cp, "wall_s": round(time.time() - t0),
-        })
+        }
+        records.append(rec)
+        emit(rec)
+    return records
 
 
 def _qvn_batch(rng, b, e, c, h, w, tes, mask):
