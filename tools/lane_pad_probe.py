@@ -57,21 +57,25 @@ def emit(rec):
 
 
 def _timed(fn, *args):
-    """Median per-call seconds with the call chained SCAN times in one jit."""
+    """Median per-call seconds with the call chained SCAN times in one jit.
+    The accumulator feeds back into the inputs (x + acc * 1e-20) so XLA
+    cannot hoist the loop-invariant computation out of the scan, and the
+    result is read back with float() (axon's block_until_ready does not
+    synchronize)."""
 
     @jax.jit
     def run(args):
         def body(acc, _):
-            return acc + fn(*args), None
+            return fn(*args, acc), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=SCAN)
         return acc
 
-    run(args).block_until_ready()
+    float(run(args))  # compile
     ts = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        run(args).block_until_ready()
+        float(run(args))
         ts.append((time.perf_counter() - t0) / SCAN)
     return float(np.median(ts))
 
@@ -82,19 +86,20 @@ def conv(x, k):
     )
 
 
-def fwd_scalar(x, k):
-    return conv(x, k).astype(jnp.float32).sum()
+def fwd_scalar(x, k, acc):
+    out = conv(x + acc.astype(x.dtype) * 1e-20, k)
+    return acc + out.astype(jnp.float32).sum() * 1e-20
 
 
-def fwdbwd_scalar(x, k, slice_out=None):
+def fwdbwd_scalar(x, k, acc, slice_out=None):
     def loss(k_, x_):
         y = conv(x_, k_)
         if slice_out:
             y = y[..., :slice_out]
         return y.astype(jnp.float32).sum()
 
-    l, (gk, gx) = jax.value_and_grad(loss, argnums=(0, 1))(k, x)
-    return l + gk.astype(jnp.float32).sum() + gx.astype(jnp.float32).sum()
+    l, (gk, gx) = jax.value_and_grad(loss, argnums=(0, 1))(k, x + acc.astype(x.dtype) * 1e-20)
+    return acc + (l + gk.astype(jnp.float32).sum() + gx.astype(jnp.float32).sum()) * 1e-20
 
 
 def main():
@@ -137,5 +142,54 @@ def main():
           "fwdbwd_ms": round(_timed(fwdbwd_scalar, xt, km) * 1e3, 3)})
 
 
+
+
+def vn_fold():
+    """Fold hypothesis for the VN NormUnet convs (18ch at 320^2): time the
+    level-0/1 ConvBlock convs unfolded vs lane-folded at the E2EVN bench
+    shapes (batch 96, bf16). Decides whether a folded NormUnet is worth
+    building (VERDICT r4 #2 'lane-fold or channel-pad the 18-channel convs')."""
+    from mridc_tpu.nn.fold import fold_kernel
+
+    rng = np.random.default_rng(0)
+    Bv = int(os.environ.get("BENCH_VN_BATCH", 96)) if not SMOKE else 2
+    Hv, Wv, Cv = (320, 320, 18) if not SMOKE else (32, 32, 4)
+
+    def mk(shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32)).astype(DT)
+
+    def fold_x(x):
+        b, h, w, c = x.shape
+        return x.reshape(b, h, w // 2, 2 * c)
+
+    cases = [
+        ("lvl0 2->C", (Bv, Hv, Wv, 2), (3, 3, 2, Cv)),
+        ("lvl0 C->C", (Bv, Hv, Wv, Cv), (3, 3, Cv, Cv)),
+        ("lvl0 2C->C (up)", (Bv, Hv, Wv, 2 * Cv), (3, 3, 2 * Cv, Cv)),
+        ("lvl1 2C->2C", (Bv, Hv // 2, Wv // 2, 2 * Cv), (3, 3, 2 * Cv, 2 * Cv)),
+    ]
+    for tag, xs, ks in cases:
+        x = mk(xs)
+        k = mk(ks)
+        # unfolded: SAME padding via explicit zero pad + VALID (matches folded halo)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        base_f = _timed(fwd_scalar, xp, k) * 1e3
+        base_fb = _timed(fwdbwd_scalar, xp, k) * 1e3
+        kf = fold_kernel(k, 1)
+        xf = fold_x(x)
+        xf = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (1, 1), (0, 0)))  # halo slot
+        fold_f = _timed(fwd_scalar, xf, kf) * 1e3
+        fold_fb = _timed(fwdbwd_scalar, xf, kf) * 1e3
+        emit({"set": "vn_fold", "tag": tag, "batch": Bv,
+              "unfolded_fwd_ms": round(base_f, 3), "folded_fwd_ms": round(fold_f, 3),
+              "unfolded_fwdbwd_ms": round(base_fb, 3), "folded_fwdbwd_ms": round(fold_fb, 3),
+              "fwd_speedup": round(base_f / fold_f, 2)})
+
+
 if __name__ == "__main__":
-    main()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "pad"):
+        main()
+    if which in ("all", "vnfold"):
+        vn_fold()

@@ -143,6 +143,60 @@ def _qcirim_cfg(ov=None):
     return cfg
 
 
+def _attention_unet_flops(hw, in_ch, chans, pools, out_ch) -> float:
+    """Analytic conv flops of nn/seg_blocks.AttentionUnet (2x 3x3 convs per
+    ConvBlock, gate wx/wg convs, 2x2 transpose convs, final 1x1; norms and
+    bilinear resizes ignored — they are bandwidth, not MXU, terms)."""
+    fl = 0.0
+    ch, cin, res = chans, in_ch, float(hw)
+    enc = []
+    for i in range(pools):
+        fl += 2 * res * 9 * cin * ch + 2 * res * 9 * ch * ch
+        enc.append((res, ch))
+        res /= 4.0
+        cin = ch
+        if i < pools - 1:
+            ch *= 2
+    fl += 2 * res * 9 * ch * (2 * ch) + 2 * res * 9 * (2 * ch) * (2 * ch)
+    x_ch = 2 * ch
+    for i in range(pools):
+        sres, sch = enc.pop()
+        gres = sres / 4.0  # gate operates at the pre-upsample resolution
+        fl += 2 * gres * 4 * sch * ch + 2 * gres * x_ch * ch + 2 * gres * ch
+        fl += 2 * sres * x_ch * ch  # 2x2-stride-2 transpose: 1 tap/output
+        fl += 2 * sres * 9 * (2 * ch) * ch + 2 * sres * 9 * ch * ch
+        x_ch = ch
+        if i < pools - 1:
+            ch //= 2
+    fl += 2 * float(hw) * ch * out_ch
+    return fl
+
+
+def _mtlrs_flops_per_slice(psf1d: bool) -> float:
+    """Executed forward flops for one MTLRS slice (same convention as
+    bench.cirim_flops_per_slice: folded-conv overwork NOT credited): J=5
+    joint cascades x (T=8 RIM steps with a per-step likelihood gradient +
+    one AttentionUNet seg forward)."""
+    C, H, W = bench.COILS, bench.H, bench.W
+    hw, F = H * W, 64
+    dft = C * 6 * hw * W if psf1d else 2 * C * 6 * hw * (H + W)
+    conv = 2 * hw * (25 * 4 * F + F * F + 9 * F * F + F * F + 9 * F * 2)
+    seg = _attention_unet_flops(hw, 2, 32, 2, 2)
+    return float(5 * (8 * (dft + conv) + seg))
+
+
+def _qcirim_flops_per_slice() -> float:
+    """Executed forward flops for one qCIRIM slice: 5 cascades x (one
+    analytical MEGRE likelihood gradient over E=4 echoes — fixed within a
+    cascade's time steps, reference qrim_block semantics — + T=8 qRIM conv
+    steps on the 8-channel [grad, maps] input)."""
+    C, H, W = bench.COILS, bench.H, bench.W
+    hw, F, E = H * W, 64, 4
+    dft = 2 * E * C * 6 * hw * (H + W)
+    conv = 2 * hw * (25 * 8 * F + F * F + 9 * F * F + F * F + 9 * F * 4)
+    return float(5 * (dft + 8 * conv))
+
+
 def _time_trainer_step(trainer, batch, iters=4):
     """(slices/s, model TFLOP/s) of the REAL jitted task-trainer train step:
     compile + 2 warm calls, then time; model flops from XLA's own cost
@@ -160,25 +214,11 @@ def _time_trainer_step(trainer, batch, iters=4):
     return iters * b / dt, b
 
 
-def _fwd_flops_per_slice(model, fargs) -> float:
-    import jax
-
-    jitted = jax.jit(lambda *a: model.apply(*a, train=False))
-    try:
-        cost = jitted.lower(*fargs).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost["flops"]) / fargs[1].shape[0]
-    except Exception:
-        return float("nan")
-
-
 @register("task_train")
 def _task_train():
     """Train-step throughput + MFU for the multitask and quantitative
     flagships (VERDICT r4 #7) at production configs, bench shapes."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from mridc_tpu.models import build_model
@@ -197,7 +237,11 @@ def _task_train():
     mask[..., ::4] = 1.0
     mask[..., W // 2 - 16 : W // 2 + 16] = 1.0
 
-    for tag, ov in (("bf16", {"compute_dtype": "bfloat16"}), ("f32", {})):
+    mtlrs_rows = (
+        ("f32", {}),
+        ("fast bf16+psf1d+dc16", {"compute_dtype": "bfloat16", "dc_mode": "psf1d"}),
+    )
+    for tag, ov in mtlrs_rows:
         bsz = int(os.environ.get("R5_MTLRS_BATCH", 8))
         t0 = time.time()
         batch = {
@@ -213,14 +257,7 @@ def _task_train():
         tr.setup_optimization()
         tr.init_state(jax.random.PRNGKey(0), batch)
         sps, bsz = _time_trainer_step(tr, batch)
-        fargs = (
-            {"params": tr.state.params},
-            jnp.asarray(batch["masked_kspace"]),
-            jnp.asarray(batch["sensitivity_maps"]),
-            jnp.asarray(batch["mask"]),
-            jnp.asarray(batch["initial_prediction"]),
-        )
-        fl = _fwd_flops_per_slice(model, fargs)
+        fl = _mtlrs_flops_per_slice(psf1d=ov.get("dc_mode") == "psf1d")
         emit({"set": "task_train", "tag": f"MTLRS {tag}", "batch": bsz,
               "slices_per_s": round(sps, 3),
               "train_tflops": round(3 * fl * sps / 1e12, 2),
@@ -228,7 +265,7 @@ def _task_train():
               "wall_s": round(time.time() - t0)})
         del tr, model
 
-    for tag, ov in (("bf16", {"compute_dtype": "bfloat16"}), ("f32", {})):
+    for tag, ov in (("f32", {}), ("bf16", {"compute_dtype": "bfloat16"})):
         bsz = int(os.environ.get("R5_QCIRIM_BATCH", 4))
         e = 4
         t0 = time.time()
@@ -246,15 +283,7 @@ def _task_train():
         tr.setup_optimization()
         tr.init_state(jax.random.PRNGKey(0), qb)
         sps, bsz = _time_trainer_step(tr, qb)
-        fargs = (
-            {"params": tr.state.params},
-            jnp.asarray(qb["kspace"]),
-            jnp.asarray(qb["sensitivity_maps"]),
-            jnp.asarray(qb["mask"]),
-            jnp.asarray(qb["maps_init"]),
-            jnp.asarray(qb["TEs"]),
-        )
-        fl = _fwd_flops_per_slice(model, fargs)
+        fl = _qcirim_flops_per_slice()
         emit({"set": "task_train", "tag": f"qCIRIM {tag}", "batch": bsz,
               "slices_per_s": round(sps, 3),
               "train_tflops": round(3 * fl * sps / 1e12, 2),
