@@ -26,6 +26,7 @@ import numpy as np
 COILS, H, W = 15, 320, 320
 # batch 96: +2% over 64 with psf1d + lane folding (62.5 vs 61.3 slices/s v5e)
 BATCH = int(os.environ.get("BENCH_BATCH", 96))
+LAST_E2E_PROFILE = None  # host-CPU profile of the last bench_train_e2e run
 WARMUP = 2
 ITERS = 7  # ITERS * BATCH = 112 slices
 CASCADES, TIME_STEPS, FILTERS = 5, 8, 64
@@ -512,12 +513,24 @@ def bench_train_e2e() -> tuple:
     float(loss)
     n = 0
     t0 = time.perf_counter()
+    cpu0 = time.process_time()
     for _ in range(2):
         for b in loader:
             params, opt_state, loss = train_step(params, opt_state, *feed(b))
             n += batch
     float(loss)
     dt = time.perf_counter() - t0
+    # epoch-2+ host-CPU profile (VERDICT r5 #1): process_time measures the
+    # host CPU seconds this process spent across the measured epochs — with
+    # the HBM dataset cache the steady state is an int32 index gather per
+    # step, so host CPU should be a small fraction of wall
+    global LAST_E2E_PROFILE
+    LAST_E2E_PROFILE = {
+        "wall_s": round(dt, 2),
+        "host_cpu_s": round(time.process_time() - cpu0, 2),
+        "steps": n // batch,
+        "host_cpu_ms_per_step": round(1e3 * (time.process_time() - cpu0) / (n // batch), 1),
+    }
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

@@ -91,12 +91,14 @@ def _train_e2e():
     t0 = time.time()
     e2e_sps, n = bench.bench_train_e2e()
     emit({"set": "train", "tag": "e2e devcache b24", "slices_per_s": round(e2e_sps, 2),
-          "n": n, "vs_device": round(e2e_sps / dev_sps, 3), "wall_s": round(time.time() - t0)})
+          "n": n, "vs_device": round(e2e_sps / dev_sps, 3), "wall_s": round(time.time() - t0),
+          "host_profile": bench.LAST_E2E_PROFILE})
     os.environ["BENCH_E2E_DEVICE_CACHE"] = "0"
     t0 = time.time()
     e2e0_sps, n = bench.bench_train_e2e()
     emit({"set": "train", "tag": "e2e nocache b24", "slices_per_s": round(e2e0_sps, 2),
-          "n": n, "vs_device": round(e2e0_sps / dev_sps, 3), "wall_s": round(time.time() - t0)})
+          "n": n, "vs_device": round(e2e0_sps / dev_sps, 3), "wall_s": round(time.time() - t0),
+          "host_profile": bench.LAST_E2E_PROFILE})
     os.environ.pop("BENCH_E2E_DEVICE_CACHE", None)
 
 
@@ -237,14 +239,30 @@ def _task_train():
     mask[..., ::4] = 1.0
     mask[..., W // 2 - 16 : W // 2 + 16] = 1.0
 
-    mtlrs_rows = (
-        ("f32", {}),
-        ("fast bf16+psf1d+dc16", {"compute_dtype": "bfloat16", "dc_mode": "psf1d"}),
-    )
-    for tag, ov in mtlrs_rows:
-        bsz = int(os.environ.get("R5_MTLRS_BATCH", 8))
-        t0 = time.time()
-        batch = {
+    def run_row(name, build_batch, make_trainer, fl, bsz):
+        """Measure one trainer row, halving the batch on device OOM."""
+        while bsz >= 1:
+            t0 = time.time()
+            try:
+                batch = build_batch(bsz)
+                tr = make_trainer(batch)
+                sps, b = _time_trainer_step(tr, batch)
+                emit({"set": "task_train", "tag": name, "batch": b,
+                      "slices_per_s": round(sps, 3),
+                      "train_tflops": round(3 * fl * sps / 1e12, 2),
+                      "train_mfu": round(3 * fl * sps / 1e12 / peak, 4),
+                      "wall_s": round(time.time() - t0)})
+                return
+            except Exception as exc:  # noqa: BLE001 — RESOURCE_EXHAUSTED etc.
+                if "RESOURCE_EXHAUSTED" not in str(exc) and "out of memory" not in str(exc).lower():
+                    emit({"set": "task_train", "tag": name, "batch": bsz,
+                          "error": str(exc)[:200]})
+                    return
+                emit({"set": "task_train", "tag": name, "batch": bsz, "oom": True})
+                bsz //= 2
+
+    def mtlrs_batch(bsz):
+        return {
             "masked_kspace": rv((bsz, C, H, W)),
             "sensitivity_maps": rv((bsz, C, H, W)) / np.sqrt(C),
             "mask": np.broadcast_to(mask, (bsz, 1, H, W)).copy(),
@@ -252,25 +270,10 @@ def _task_train():
             "target": rv((bsz, H, W)),
             "segmentation": np.eye(2, dtype="float32")[rng.integers(0, 2, (bsz, H, W))],
         }
-        model = build_model(_mtlrs_cfg(ov))
-        tr = MultitaskTrainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, mesh=mesh)
-        tr.setup_optimization()
-        tr.init_state(jax.random.PRNGKey(0), batch)
-        sps, bsz = _time_trainer_step(tr, batch)
-        fl = _mtlrs_flops_per_slice(psf1d=ov.get("dc_mode") == "psf1d")
-        emit({"set": "task_train", "tag": f"MTLRS {tag}", "batch": bsz,
-              "slices_per_s": round(sps, 3),
-              "train_tflops": round(3 * fl * sps / 1e12, 2),
-              "train_mfu": round(3 * fl * sps / 1e12 / peak, 4),
-              "wall_s": round(time.time() - t0)})
-        del tr, model
 
-    for tag, ov in (("f32", {}), ("bf16", {"compute_dtype": "bfloat16"})):
-        bsz = int(os.environ.get("R5_QCIRIM_BATCH", 4))
-        e = 4
-        t0 = time.time()
-        qb = {
-            "kspace": rv((bsz, e, C, H, W)),
+    def qcirim_batch(bsz):
+        return {
+            "kspace": rv((bsz, 4, C, H, W)),
             "sensitivity_maps": rv((bsz, C, H, W)) / np.sqrt(C),
             "mask": np.broadcast_to(mask[0], (bsz, 1, H, W)).copy(),
             "maps_init": np.abs(rng.standard_normal((bsz, H, W, 4))).astype("float32"),
@@ -278,18 +281,33 @@ def _task_train():
             "TEs": np.asarray([3.0, 11.5, 20.0, 28.5], "float32"),
             "mask_brain": np.ones((bsz, H, W), "float32"),
         }
-        model = build_model(_qcirim_cfg(ov))
-        tr = QuantitativeTrainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, mesh=mesh)
-        tr.setup_optimization()
-        tr.init_state(jax.random.PRNGKey(0), qb)
-        sps, bsz = _time_trainer_step(tr, qb)
-        fl = _qcirim_flops_per_slice()
-        emit({"set": "task_train", "tag": f"qCIRIM {tag}", "batch": bsz,
-              "slices_per_s": round(sps, 3),
-              "train_tflops": round(3 * fl * sps / 1e12, 2),
-              "train_mfu": round(3 * fl * sps / 1e12 / peak, 4),
-              "wall_s": round(time.time() - t0)})
-        del tr, model
+
+    mtlrs_rows = (
+        ("f32", {}),
+        ("fast bf16+psf1d+dc16", {"compute_dtype": "bfloat16", "dc_mode": "psf1d"}),
+    )
+    for tag, ov in mtlrs_rows:
+        def mk(batch, _ov=ov):
+            model = build_model(_mtlrs_cfg(_ov))
+            tr = MultitaskTrainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, mesh=mesh)
+            tr.setup_optimization()
+            tr.init_state(jax.random.PRNGKey(0), batch)
+            return tr
+
+        run_row(f"MTLRS {tag}", mtlrs_batch, mk,
+                _mtlrs_flops_per_slice(psf1d=ov.get("dc_mode") == "psf1d"),
+                int(os.environ.get("R5_MTLRS_BATCH", 8)))
+
+    for tag, ov in (("f32", {}), ("bf16", {"compute_dtype": "bfloat16"})):
+        def mkq(batch, _ov=ov):
+            model = build_model(_qcirim_cfg(_ov))
+            tr = QuantitativeTrainer(model, optim_cfg={"name": "adam", "lr": 1e-3}, mesh=mesh)
+            tr.setup_optimization()
+            tr.init_state(jax.random.PRNGKey(0), batch)
+            return tr
+
+        run_row(f"qCIRIM {tag}", qcirim_batch, mkq, _qcirim_flops_per_slice(),
+                int(os.environ.get("R5_QCIRIM_BATCH", 4)))
 
 
 if __name__ == "__main__":
