@@ -60,17 +60,40 @@ def _group_norm_nograd(x: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     return jax.lax.stop_gradient(apply_group_norm(x.astype(jnp.float32), groups))
 
 
-def _make_seg_module(kind: str, classes: int, chans: int, pools: int, live_bn: bool = False):
+def _make_seg_module(
+    kind: str,
+    classes: int,
+    chans: int,
+    pools: int,
+    live_bn: bool = False,
+    remat: bool = False,
+    index: int = None,
+):
+    """Build the per-cascade segmentation head. With ``remat`` the module is
+    wrapped in nn.remat (backward recomputes the seg activations instead of
+    storing rs_cascades x UNet trunks — value-exact) under an EXPLICIT name
+    equal to what flax auto-naming would have produced, so the param tree —
+    and therefore checkpoints and the torch importers — are unchanged.
+    live_bn (mutable batch_stats) opts out: lifted remat and mutable
+    collections don't mix."""
     kind = str(kind).lower()
     if kind == "unet":
-        return Unet(out_chans=classes, chans=chans, num_pool_layers=pools)
-    if kind == "attentionunet":
-        return AttentionUnet(out_chans=classes, chans=chans, num_pool_layers=pools)
-    if kind == "lambdaunet":
-        return LambdaUnet(out_chans=classes, chans=chans, num_pool_layers=pools, live_bn=live_bn)
-    if kind == "vnet":
-        return VNet(out_chans=classes, live_bn=live_bn)
-    raise ValueError(f"Unknown segmentation module {kind!r}")
+        cls, kw = Unet, dict(out_chans=classes, chans=chans, num_pool_layers=pools)
+    elif kind == "attentionunet":
+        cls, kw = AttentionUnet, dict(out_chans=classes, chans=chans, num_pool_layers=pools)
+    elif kind == "lambdaunet":
+        cls, kw = LambdaUnet, dict(out_chans=classes, chans=chans, num_pool_layers=pools, live_bn=live_bn)
+    elif kind == "vnet":
+        cls, kw = VNet, dict(out_chans=classes, live_bn=live_bn)
+    else:
+        raise ValueError(f"Unknown segmentation module {kind!r}")
+    if remat and not live_bn:
+        # static_argnums=(2,): the `train` flag (args[0] is the lifted scope,
+        # args[1] the input tensor) — modules branch on it in python
+        return nn.remat(cls, prevent_cse=False, static_argnums=(2,))(
+            **kw, name=f"{cls.__name__}_{index}"
+        )
+    return cls(**kw)
 
 
 class MTLRS(BaseReconModel):
@@ -146,7 +169,7 @@ class MTLRS(BaseReconModel):
         hx = None
         all_recons = []
         seg = None
-        for _ in range(self.rs_cascades):
+        for rs_i in range(self.rs_cascades):
             # reconstruction trunk: CIRIM cascades with threaded hidden state
             cascade_etas = []
             eta = None
@@ -190,7 +213,7 @@ class MTLRS(BaseReconModel):
                 seg_in = eta
             seg_in = _group_norm_nograd(seg_in)
             seg = _make_seg_module(self.seg_module, self.seg_classes, self.seg_channels, self.seg_pools,
-                                   live_bn=self.live_bn)(
+                                   live_bn=self.live_bn, remat=train, index=rs_i)(
                 seg_in, train
             )
             seg = jnp.abs(seg)

@@ -111,6 +111,12 @@ class qRIMBlock(BaseReconModel):
     lane_fold: str = "auto"  # fold the conv/RNN stack on non-CPU backends
     # (IndRNN only, even W; exact — see nn/fold.py)
     compute_dtype: str = None  # opt-in bf16 conv/RNN compute (maps/fits f32)
+    remat: object = True  # time-step rematerialization, like nn/rim.py
+    # RIMBlock: the backward recomputes each step's conv/RNN stack instead of
+    # storing T x cascades x activations (the analytical MEGRE gradient is
+    # computed once per cascade OUTSIDE the scan and broadcast, so it is never
+    # recomputed). Value-identical; without it the qCIRIM train step at
+    # production size (320x320, 15 coils, 4 echoes) exhausts v5e HBM at batch 4.
 
     @nn.compact
     def __call__(self, y, maps, tes, sens, sampling_mask, gamma):
@@ -149,8 +155,13 @@ class qRIMBlock(BaseReconModel):
             for f in self.recurrent_filters
             if f != 0
         )
+        step_cls = (
+            nn.remat(_QRIMStep, prevent_cse=False)
+            if self.remat is True or self.remat == "step"
+            else _QRIMStep
+        )
         scan = nn.scan(
-            _QRIMStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, nn.broadcast),
@@ -171,6 +182,17 @@ class qRIMBlock(BaseReconModel):
         )
         (maps, _), all_maps = scan((maps, hx), None, grad)
         return all_maps, maps
+
+
+def _parse_qremat(mode) -> bool:
+    """qCIRIM supports per-time-step remat only (the MEGRE gradient already
+    lives outside the scan, so there is no cascade-level trade to make)."""
+    mode_s = str(mode).lower()
+    if mode is True or mode_s == "step":
+        return True
+    if mode is False or mode_s == "none":
+        return False
+    raise ValueError(f"qCIRIM remat_mode must be 'step' or 'none', got {mode!r}")
 
 
 class qCIRIM(BaseReconModel):
@@ -201,6 +223,7 @@ class qCIRIM(BaseReconModel):
     compute_dtype: str = None  # opt-in bf16 conv/RNN compute for the qRIM
     # trunk and the optional recon module; map carries, MEGRE fits, the
     # analytical gradient and all clamps stay f32. Params stay f32.
+    remat: object = True  # time-step remat of the qRIM scan (see qRIMBlock)
 
     @classmethod
     def from_config(cls, cfg):
@@ -232,6 +255,7 @@ class qCIRIM(BaseReconModel):
             spatial_dims=tuple(cfg.get("spatial_dims", (-2, -1))),
             coil_dim=cfg.get("coil_dim", 1),
             coil_combination_method=str(cfg.get("coil_combination_method", "SENSE")).upper(),
+            remat=_parse_qremat(cfg.get("remat_mode", "step")),
         )
 
     @nn.compact
@@ -303,6 +327,7 @@ class qCIRIM(BaseReconModel):
                 fft_normalization=self.fft_normalization,
                 spatial_dims=self.spatial_dims,
                 compute_dtype=self.compute_dtype,
+                remat=self.remat,
             )
             etas, maps = block(y, maps, tes, sens, sampling_mask, gamma)
             all_casc.append(etas)

@@ -95,7 +95,7 @@ _TPU_KNOB_SUPPORT = {
     "scan_iterations": {"XPDNET", "KIKINET", "LPDNET", "LPD"},
     "dc_mode": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM", "VN", "E2EVN", "VARNET"},
     "dc_dtype": {"VN", "E2EVN", "VARNET"},
-    "remat_mode": {"CIRIM", "RIM"},
+    "remat_mode": {"CIRIM", "RIM", "QCIRIM"},
     "remat_save_dc": {"CIRIM", "RIM"},
     "lane_fold": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},
     "train_dc_dtype": {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"},

@@ -335,3 +335,40 @@ def test_jrscirim_dispatches_to_mtlrs():
     out, seg = model.apply(v, y, jnp.asarray(sens), jnp.asarray(mask), None)
     assert seg.shape == (b, h, w, 2)
     assert np.isfinite(np.asarray(out.prediction)).all()
+
+
+def test_mtlrs_seg_remat_is_value_exact():
+    """The train-path seg-module remat (models.py _make_seg_module) must be
+    bit-identical in loss AND grads to the unwrapped module, and must not
+    change the param tree (explicit name pins the auto-naming)."""
+    import jax.tree_util as tu
+
+    import mridc_tpu.models.multitask.models as mt
+    from mridc_tpu.models import build_model
+
+    model = build_model({**CONFIGS[0], "reconstruction_module_time_steps": 2})
+    y, sens, mask = _inputs()
+    p_eval = model.init(jax.random.PRNGKey(0), y, sens, mask)["params"]
+    p_train = model.init(jax.random.PRNGKey(0), y, sens, mask, train=True)["params"]
+    assert sorted(p_eval.keys()) == sorted(p_train.keys())
+
+    def loss(p):
+        out, seg = model.apply({"params": p}, y, sens, mask, train=True)
+        return jnp.mean(out.prediction**2) + jnp.mean(seg**2)
+
+    l1, g1 = jax.value_and_grad(loss)(p_eval)
+
+    orig = mt._make_seg_module
+
+    def noremat(*a, **kw):
+        kw["remat"] = False
+        return orig(*a, **kw)
+
+    mt._make_seg_module = noremat
+    try:
+        l0, g0 = jax.value_and_grad(loss)(p_eval)
+    finally:
+        mt._make_seg_module = orig
+    assert float(l1) == float(l0)
+    for a, b in zip(tu.tree_leaves(g1), tu.tree_leaves(g0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

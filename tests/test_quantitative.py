@@ -484,3 +484,43 @@ def test_qcirim_recon_intermediates_and_trainer_lossrecon():
     trainer2.init_state(jax.random.PRNGKey(0), batch)
     m2 = trainer2.training_batch(batch)
     assert float(m2["recon_loss"]) == 0.0
+
+
+def test_qcirim_remat_is_value_exact():
+    """remat_mode: step (default) must be bit-identical to none in loss AND
+    grads — remat only changes what the backward stores vs recomputes.
+    (The flax module path differs between the two trees, so params are
+    grafted leaf-for-leaf before comparing.)"""
+    import jax.tree_util as tu
+
+    cfg = {
+        "model_name": "qCIRIM",
+        "quantitative_module_num_cascades": 2,
+        "quantitative_module_time_steps": 2,
+        "quantitative_module_conv_filters": [8, 8, 4],
+        "quantitative_module_recurrent_filters": [8, 8, 0],
+        "fft_centered": True,
+        "fft_normalization": "ortho",
+    }
+    y, sens, mask, maps_init, tes = _q_inputs()
+
+    def prep(c):
+        model = build_model(c)
+        v = model.init(jax.random.PRNGKey(0), y, sens, mask, maps_init, tes)
+
+        def loss(p):
+            out = model.apply({"params": p}, y, sens, mask, maps_init, tes)
+            return jnp.mean(out.intermediates**2)
+
+        return v["params"], loss
+
+    p1, loss1 = prep({**cfg, "remat_mode": "step"})
+    p0, loss0 = prep({**cfg, "remat_mode": "none"})
+    p0 = tu.tree_unflatten(tu.tree_structure(p0), tu.tree_leaves(p1))
+    l1, g1 = jax.value_and_grad(loss1)(p1)
+    l0, g0 = jax.value_and_grad(loss0)(p0)
+    assert float(l1) == float(l0)
+    for a, b in zip(tu.tree_leaves(g1), tu.tree_leaves(g0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="remat_mode"):
+        build_model({**cfg, "remat_mode": "cascade"})
