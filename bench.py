@@ -369,7 +369,9 @@ def bench_e2evn() -> tuple:
     metric names 'CIRIM/E2EVN'; this covers the second half. Executed flops
     credit the PSF-1D DC that actually runs (CIRIM convention); model flops
     credit the canonical full-DC algorithm the psf1d identity replaces."""
-    batch = int(os.environ.get("BENCH_VN_BATCH", 96))  # 216 slices/s (r5)
+    # batch sweep 32/64/96/128/160 (tools/vn_batch_probe.py, v5e): 128 wins
+    # (274 slices/s, exec-MFU 0.166; 96: 219/0.133, 160 regresses to 195)
+    batch = int(os.environ.get("BENCH_VN_BATCH", 128))
     forward, fargs = make_e2evn_forward(batch)
     dt = time_scalar_fn(forward, fargs, WARMUP, ITERS)
     sps = (ITERS * batch) / dt
@@ -611,8 +613,11 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 1800.0))
     t_start = time.perf_counter()
 
-    def have_time():
-        return (time.perf_counter() - t_start) < budget_s
+    def have_time(need: float = 0.0):
+        # cost-aware gate: start a section only if its rough uncontended cost
+        # still fits the budget, so one slow section skips itself instead of
+        # starving every cheaper section queued behind it
+        return (time.perf_counter() - t_start) < budget_s - need
 
     jax_sps, infer_tflops = bench_jax()
     try:
@@ -627,28 +632,28 @@ def main():
     quality_ssim = vn_sps = vn_tflops = vn_model_tflops = vn_ssim = e2e_sps = None
     vn_cert = None
     try:
-        if have_time():
+        if have_time(120):
             quality_ssim = bench_quality()
     except Exception:
         pass
     try:
-        if have_time():
+        if have_time(180):
             vn_sps, vn_tflops, vn_model_tflops = bench_e2evn()
     except Exception:
         pass
     try:
-        if have_time():
+        if have_time(420):
             e2e_sps, _ = bench_train_e2e()
     except Exception:
         pass
     try:
-        if have_time():
-            vn_cert = e2evn_trained_cert()
+        if have_time(120):  # cheap weight-independent bound before the cert
+            vn_ssim = e2evn_quality()
     except Exception:
         pass
     try:
-        if have_time():
-            vn_ssim = e2evn_quality()
+        if have_time(300):
+            vn_cert = e2evn_trained_cert()
     except Exception:
         pass
     vs = (jax_sps / cpu_sps) if cpu_sps else None

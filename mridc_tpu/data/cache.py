@@ -275,6 +275,19 @@ class DeviceDatasetCache:
             self._alloc(batch)
             if self._disabled:
                 return batch
+        # belt-and-braces: a batch whose leaf shapes disagree with the
+        # residents (heterogeneous per-batch padding the static check missed)
+        # disables the cache transparently instead of crashing the scatter
+        for k, r in self._resident.items():
+            if tuple(np.shape(batch[k])[1:]) != tuple(r.shape[1:]):
+                logger.warning(
+                    "device dataset cache disabled: leaf %r shape %s != resident %s "
+                    "(set a fixed dataset pad_shape for cross-batch static shapes)",
+                    k, tuple(np.shape(batch[k])[1:]), tuple(r.shape[1:]),
+                )
+                self._disabled = True
+                self._resident.clear()
+                return batch
         scatter, _ = self._jits()
         idx = jnp.asarray(np.asarray(batch["sample_indices"], np.int32))
         out = dict(batch)

@@ -168,6 +168,35 @@ def test_device_cache_budget_guard_passthrough(dataset_dir):
         _assert_batch_equal(a, b)
 
 
+def test_device_cache_shape_mismatch_disables_transparently(dataset_dir, tmp_path):
+    # heterogeneous per-batch padding (no fixed pad_shape): a batch whose
+    # padded leaf shapes disagree with the residents must disable the cache
+    # and fall back, not crash the scatter
+    from fixtures import create_dataset
+
+    create_dataset(tmp_path, n_files=1, slices=3, coils=4, h=72, w=72)
+    create_dataset(tmp_path / "b", n_files=1, slices=3, coils=4, h=64, w=64)
+    import shutil
+
+    for f in (tmp_path / "b").glob("*.h5"):
+        shutil.move(str(f), tmp_path / ("small_" + f.name))
+    shutil.rmtree(tmp_path / "b")
+    ds = ReconstructionMRIDataset(root=tmp_path, transform=_make_tfm())
+    cached = DeviceDatasetCache(
+        BatchLoader(ds, batch_size=3, shuffle=False), exclude=("kspace",)
+    )
+    e1 = list(cached)
+    assert cached._disabled and not cached._resident
+    e2 = list(cached)  # transparent host-pipeline fallback
+    plain = BatchLoader(
+        ReconstructionMRIDataset(root=tmp_path, transform=_make_tfm()),
+        batch_size=3,
+        shuffle=False,
+    )
+    for a, b in zip(plain, e2):
+        _assert_batch_equal(a, b)
+
+
 def test_factory_knobs(dataset_dir):
     loader = build_dataloader(
         {
