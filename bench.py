@@ -628,34 +628,28 @@ def main():
         cpu_sps = bench_torch_cpu()
     except Exception:
         cpu_sps = None
-    # optional sections, budget-gated in priority order
-    quality_ssim = vn_sps = vn_tflops = vn_model_tflops = vn_ssim = e2e_sps = None
-    vn_cert = None
-    try:
-        if have_time(120):
-            quality_ssim = bench_quality()
-    except Exception:
-        pass
-    try:
-        if have_time(180):
-            vn_sps, vn_tflops, vn_model_tflops = bench_e2evn()
-    except Exception:
-        pass
-    try:
-        if have_time(420):
-            e2e_sps, _ = bench_train_e2e()
-    except Exception:
-        pass
-    try:
-        if have_time(120):  # cheap weight-independent bound before the cert
-            vn_ssim = e2evn_quality()
-    except Exception:
-        pass
-    try:
-        if have_time(300):
-            vn_cert = e2evn_trained_cert()
-    except Exception:
-        pass
+    # optional sections, budget-gated in priority order; a failing section
+    # reports itself on stderr (one line, diagnosable from the driver's tail)
+    # instead of silently emitting null
+    import sys
+
+    def _section(name, need, fn):
+        try:
+            if have_time(need):
+                return fn()
+            print(f"bench: section {name} skipped (budget)", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: section {name} failed: {e!r}", file=sys.stderr)
+        return None
+
+    quality_ssim = _section("quality", 120, bench_quality)
+    vn = _section("e2evn", 180, bench_e2evn)
+    vn_sps, vn_tflops, vn_model_tflops = vn if vn else (None, None, None)
+    e2e = _section("train_e2e", 420, bench_train_e2e)
+    e2e_sps = e2e[0] if e2e else None
+    # cheap weight-independent bound before the cert
+    vn_ssim = _section("e2evn_quality", 120, e2evn_quality)
+    vn_cert = _section("e2evn_trained_cert", 300, e2evn_trained_cert)
     vs = (jax_sps / cpu_sps) if cpu_sps else None
     print(
         json.dumps(

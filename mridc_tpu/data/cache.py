@@ -153,10 +153,16 @@ class CachedDataset:
         return sample
 
 
+_UPCAST = None  # lazily-built module-level jit: keyed by function identity,
+# so every call hits JAX's executable cache instead of retracing (a fresh
+# jit(lambda) per call costs host milliseconds on the data hot path)
+
+
 def to_device_f32(x):
     """Transfer a numpy array to device in ITS OWN dtype (bf16 arrays cross
     the wire at half width) and upcast to float32 on device, so consumers
     compiled for f32 avals never recompile on transfer_dtype changes."""
+    global _UPCAST
     import jax
     import jax.numpy as jnp
 
@@ -164,7 +170,9 @@ def to_device_f32(x):
     if a.dtype == jnp.float32:
         return a
     if a.dtype in (jnp.bfloat16, jnp.float16):
-        return jax.jit(lambda v: v.astype(jnp.float32))(a)
+        if _UPCAST is None:
+            _UPCAST = jax.jit(lambda v: v.astype(jnp.float32))
+        return _UPCAST(a)
     return a
 
 
@@ -207,6 +215,7 @@ class DeviceDatasetCache:
         self._meta: list = [None] * n
         self._resident: Dict[str, object] = {}
         self._disabled = False
+        self._populated = False  # one complete populating pass finished
         self._scatter = None
         self._gather = None
 
@@ -275,15 +284,36 @@ class DeviceDatasetCache:
             self._alloc(batch)
             if self._disabled:
                 return batch
-        # belt-and-braces: a batch whose leaf shapes disagree with the
-        # residents (heterogeneous per-batch padding the static check missed)
-        # disables the cache transparently instead of crashing the scatter
+        # belt-and-braces: a batch whose leaf set or shapes disagree with the
+        # residents (batch-composition-dependent keys like initial_prediction,
+        # or heterogeneous per-batch padding the static check missed) disables
+        # the cache transparently instead of crashing the scatter — gathered
+        # epochs can only reproduce leaves every batch carries identically
         for k, r in self._resident.items():
+            if batch.get(k) is None:
+                logger.warning(
+                    "device dataset cache disabled: leaf %r present in the first "
+                    "batch but missing from a later one (batch-composition-"
+                    "dependent keys cannot be served epoch-transparently)", k,
+                )
+                self._disabled = True
+                self._resident.clear()
+                return batch
             if tuple(np.shape(batch[k])[1:]) != tuple(r.shape[1:]):
                 logger.warning(
                     "device dataset cache disabled: leaf %r shape %s != resident %s "
                     "(set a fixed dataset pad_shape for cross-batch static shapes)",
                     k, tuple(np.shape(batch[k])[1:]), tuple(r.shape[1:]),
+                )
+                self._disabled = True
+                self._resident.clear()
+                return batch
+        for k in CACHEABLE_KEYS:
+            if k not in self._resident and k not in self.exclude and batch.get(k) is not None:
+                logger.warning(
+                    "device dataset cache disabled: leaf %r appeared after the "
+                    "allocating batch (batch-composition-dependent keys cannot "
+                    "be served epoch-transparently)", k,
                 )
                 self._disabled = True
                 self._resident.clear()
@@ -323,6 +353,13 @@ class DeviceDatasetCache:
         import jax.numpy as jnp
 
         self._fetch_missing(ids)
+        if self._disabled or not self._resident:
+            # the lazy fetch tripped an _absorb guard (e.g. the mini-collate
+            # padded to a different shape without a fixed pad_shape): serve
+            # this and later batches straight from the host pipeline —
+            # identical values, cache stays disabled
+            samples = [self.loader.dataset[int(i)] for i in ids]
+            return self.loader._collate(samples, [int(i) for i in ids])
         _, gather = self._jits()
         idx = jnp.asarray(np.asarray(ids, np.int32))
         out: Dict = {k: gather(r, idx) for k, r in self._resident.items()}
@@ -337,10 +374,16 @@ class DeviceDatasetCache:
     # ------------------------------------------------------------------ iter
 
     def __iter__(self):
-        if self._disabled or not self._have.all() or not self._resident:
-            # populating epoch: run the wrapped pipeline, absorb as we go
+        if self._disabled or not self._populated or not self._resident:
+            # populating epoch: run the wrapped pipeline, absorb as we go.
+            # One COMPLETE pass is enough to switch to the gather path —
+            # samples the pass never produced (drop_last remainders under a
+            # different shuffle, multi-host shard gaps) are filled lazily by
+            # _fetch_missing the first time a gathered batch needs them.
             for batch in self.loader:
                 yield self._absorb(batch)
+            if not self._disabled and self._resident:
+                self._populated = True
             return
         order = self.loader.epoch_order()
         bs = int(self.loader.batch_size)

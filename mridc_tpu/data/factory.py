@@ -131,6 +131,14 @@ def maybe_device_cache(loader, ds_cfg: Dict, exclude=()):
             "(non-deterministic transform or per-epoch acceleration selection)"
         )
         return loader
+    if getattr(loader, "process_count", 1) > 1:
+        import logging
+
+        logging.getLogger("mridc_tpu").warning(
+            "device_cache_dataset under multi-host: residents are sized for the "
+            "FULL dataset on every host (only this host's shard is ever gathered); "
+            "lower device_cache_bytes if per-host HBM is tight"
+        )
     return DeviceDatasetCache(
         loader, exclude=exclude, max_bytes=ds_cfg.get("device_cache_bytes")
     )

@@ -146,7 +146,10 @@ def maybe_init_distributed(trainer_cfg: dict):
 
 
 _PSF1D_MASK_TYPES = {"random1d", "equispaced1d", "gaussian1d"}
-_PSF1D_MODELS = {"CIRIM", "RIM", "MTLRS", "JRSCIRIM"}
+_PSF1D_MODELS = {"CIRIM", "RIM", "MTLRS", "JRSCIRIM", "VN", "E2EVN", "VARNET"}
+# VarNet's reduced-state psf1d cascade additionally requires the DC term and
+# SENSE combination (models/recon/vn.py from_config raises otherwise)
+_PSF1D_VN_NAMES = {"VN", "E2EVN", "VARNET"}
 
 
 def _auto_dc_mode(model_cfg: dict) -> dict:
@@ -155,9 +158,15 @@ def _auto_dc_mode(model_cfg: dict) -> dict:
     masks: every dataset block generates a 1D mask type, loads no external
     mask files, and applies no partial-Fourier half-scan; SSDU is off (its
     split masks are 2D point subsets). Explicit ``dc_mode`` always wins."""
-    if "dc_mode" in model_cfg or str(model_cfg.get("model_name", "")).upper() not in _PSF1D_MODELS:
+    name = str(model_cfg.get("model_name", "")).upper()
+    if "dc_mode" in model_cfg or name not in _PSF1D_MODELS:
         return model_cfg
     if model_cfg.get("ssdu") or model_cfg.get("n2r"):
+        return model_cfg
+    if name in _PSF1D_VN_NAMES and (
+        model_cfg.get("no_dc")
+        or str(model_cfg.get("coil_combination_method", "SENSE")).upper() != "SENSE"
+    ):
         return model_cfg
     blocks = [
         model_cfg.get(k)

@@ -79,7 +79,13 @@ def _restore_reference_archive(path, override_config: Optional[Dict] = None):
     from mridc_tpu.utils.torch_import import import_reference_model_params, load_torch_state_dict
 
     with tarfile.open(path, "r:*") as tar:
-        member = next(m for m in tar.getmembers() if m.name.lstrip("./").endswith(_CONFIG_NAME))
+        member = next(
+            (m for m in tar.getmembers() if m.name.lstrip("./").endswith(_CONFIG_NAME)), None
+        )
+        if member is None:
+            raise ValueError(
+                f"reference archive {path} has model weights but no {_CONFIG_NAME} member"
+            )
         cfg = yaml.safe_load(tar.extractfile(member).read())
     if isinstance(cfg, dict) and "model" in cfg and "model_name" not in cfg:
         cfg = dict(cfg["model"])  # archives saved with the full cfg tree

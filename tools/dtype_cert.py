@@ -270,7 +270,9 @@ def cert_qvn(steps: int):
         return np.asarray(out)
 
     ref = fwd({})
-    got = fwd({"compute_dtype": "bfloat16"})
+    # the A/B is exactly the certification run the qVN bf16 guard points at,
+    # so the explicit uncertified opt-out is required here
+    got = fwd({"compute_dtype": "bfloat16", "quantitative_module_allow_bf16": True})
     rec = {"set": "cert_qvn", "tag": "bf16", "wall_s": round(time.time() - t0)}
     for i, name in enumerate(("R2star", "S0", "B0", "phi")):
         nm = float(((got[..., i] - ref[..., i]) ** 2).sum() / ((ref[..., i] ** 2).sum() + 1e-12))
